@@ -1,0 +1,121 @@
+"""Self-check harness mimicking the driver's t2 correctness gate.
+
+For every query in ``__spark_entry__.queries()`` with an oracle: run the
+Spark query and the DuckDB oracle at the given sf, then compare row count,
+sorted column names, and an order-insensitive value comparison (columns
+sorted by name, rows sorted by all columns, exact equality on the already-
+rounded values). Queries without an oracle get a rows-only report.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[sorted(df.columns)].copy()
+    for c in out.columns:
+        if out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} != {len(duck_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if problems:
+        return problems
+    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            import numpy as np
+
+            ok = np.isclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
+            ).all()
+        else:
+            ok = (av.astype(str) == bv.astype(str)).all()
+        if not ok:
+            bad = (av.astype(str) != bv.astype(str))
+            idx = bad[bad].index[:3].tolist()
+            problems.append(
+                f"column {c} mismatch at rows {idx}: "
+                f"spark={av.iloc[idx[0]]!r} duck={bv.iloc[idx[0]]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as e
+    from uk_housing_dashboard_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    con = duck_connection(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({len(sdf)} vs {len(ddf)} rows):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
