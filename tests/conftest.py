@@ -1,0 +1,30 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from uk_housing_dashboard_etl_spark.session import get_spark  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="pytest", cpus=8, shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_small() -> str:
+    return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def sf_med() -> str:
+    return SF_MED

@@ -38,6 +38,9 @@ from uk_housing_dashboard_etl_spark.sources.readers import read_table
 ROUND_DP = 4
 WINDOWS = [4, 12]
 
+# extra bench-suite members appended as they land (bench.py reads this)
+BENCH_EXTRA: list[str] = []
+
 
 def _round(df: DataFrame, cols: list[str]) -> DataFrame:
     out = df
