@@ -33,13 +33,27 @@ from uk_housing_dashboard_etl_spark.operators import (
     type_breakdown,
     weekly_mart,
 )
+from uk_housing_dashboard_etl_spark.operators.relational import (
+    brand_revenue,
+    customers_without_orders,
+    order_priority_counts,
+    pricing_summary,
+    revenue_by_nation,
+    top_customers_by_revenue,
+)
 from uk_housing_dashboard_etl_spark.sources.readers import read_table
 
 ROUND_DP = 4
 WINDOWS = [4, 12]
 
 # extra bench-suite members appended as they land (bench.py reads this)
-BENCH_EXTRA: list[str] = []
+BENCH_EXTRA: list[str] = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority",
+    "brand_revenue",
+]
 
 
 def _round(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -146,6 +160,57 @@ def q_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = _enriched(spark, sf_dir)
     qa = qa_metrics(raw, weekly_mart(enriched), coverage_report(enriched))
     return _round(qa, ["coverage_pct"])
+
+
+# ------------------------------------------- generic relational queries
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-filter + partial-agg hash aggregation (TPC-H Q1 shape)."""
+    return _round(
+        pricing_summary(read_table(spark, sf_dir, "lineitem")),
+        ["avg_qty", "avg_price", "avg_disc"],
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-way join with broadcast dims (TPC-H Q5 shape)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    return revenue_by_nation(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"],
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k over aggregated revenue (TPC-H Q10 shape)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "nation"]}
+    return top_customers_by_revenue(
+        t["customer"], t["orders"], t["lineitem"], t["nation"]
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + count by priority (TPC-H Q4 shape)."""
+    return order_priority_counts(
+        read_table(spark, sf_dir, "orders"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) + count by segment."""
+    return customers_without_orders(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + hash agg per brand."""
+    return brand_revenue(
+        read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
 
 
 # ------------------------------------------------------- oracle SQL
@@ -299,6 +364,87 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+_RELATIONAL_ORACLES: dict[str, str] = {
+    "pricing_summary": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY 1, 2
+    """,
+    "revenue_by_nation": """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND s_nationkey = c_nationkey
+    GROUP BY 1
+    """,
+    "top_customers": """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               CAST(row_number() OVER (ORDER BY revenue DESC, o_custkey) AS INTEGER) AS rank
+        FROM per_cust
+    )
+    SELECT c_custkey, c_name, n_name AS nation, c_mktsegment, revenue, rank
+    FROM ranked
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE rank <= 20
+    """,
+    "order_priority": """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+    "customers_without_orders": """
+    SELECT c_mktsegment, count(*) AS inactive_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1996-01-01'
+                        AND o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY 1
+    """,
+    "brand_revenue": """
+    SELECT p_brand,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty,
+           count(*) AS line_count
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 10
+    GROUP BY 1
+    """,
+}
+
+ORACLES.update(_RELATIONAL_ORACLES)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,
@@ -309,4 +455,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomalies": q_anomalies,
     "latest_snapshot": q_latest_snapshot,
     "qa_metrics": q_qa_metrics,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "order_priority": q_order_priority,
+    "customers_without_orders": q_customers_without_orders,
+    "brand_revenue": q_brand_revenue,
 }

@@ -1,0 +1,193 @@
+"""Generic relational operators at bench scale — the engine's join/agg/
+sort/top-k surface exercised over the TPC-H-ish star schema.
+
+The reference's operator inventory (SURVEY.md §2.3-2.6) is J1/J2 joins,
+hash aggregation, multi-key sort, distinct and union; these queries run
+the same operators through deeper plans (multi-way joins, semi/anti
+joins, deterministic top-k) so the physical strategies that matter at
+100 TB — broadcast vs shuffle join selection, partial aggregation,
+AQE re-planning — are all on the bench path.
+
+Float-determinism note: big SUMs aggregate ``decimal(18,4)``-cast terms
+(exact, order-independent) and cast the total back to double, so results
+are bit-identical regardless of partitioning; AVGs stay double and are
+rounded by the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dsum(expr) -> F.Column:
+    """Order-independent sum, deterministic across engines: scale each term
+    to an integer number of 1e-4 units (both engines round the identical
+    IEEE double), sum exactly as bigint, and descale to double. Immune to
+    partitioning/AQE re-plans and to engine-specific double→decimal
+    rounding paths."""
+    units = F.round(expr * F.lit(10000.0)).cast("bigint")
+    return (F.sum(units).cast("double") / F.lit(10000.0))
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter + hash agg with partial aggregation.
+
+    Catalyst pushes the shipdate filter to the parquet scan; the groupBy
+    key has 6 distinct values, so map-side combine collapses virtually
+    all rows before the shuffle.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dims broadcast, facts shuffle-joined.
+
+    region→nation→customer prune the build side before it ever touches
+    the fact tables; supplier must share the customer's nation (the
+    classic Q5 co-location predicate).
+    """
+    dims = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supp = supplier.select("s_suppkey", "s_nationkey")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(_dsum(revenue).alias("revenue"))
+
+
+def top_customers_by_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape + deterministic top-k.
+
+    Revenue is rounded BEFORE ranking and ties break on the key, so the
+    cut is stable across engines/partitionings. The rank window is global
+    but runs on the already-aggregated (customer-grain) frame — at 100 TB
+    that frame is dim-sized, and Spark realizes global top-k as a
+    TakeOrdered-style operation rather than a full sort.
+    """
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.round(_dsum(revenue), 4).alias("revenue"))
+    )
+    ranked = per_cust.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        ),
+    ).where(F.col("rank") <= k)
+    return (
+        ranked.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment"),
+            F.col("revenue"),
+            F.col("rank"),
+        )
+    )
+
+
+def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
+    flagged = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """NOT EXISTS → left-anti join, counted per market segment."""
+    active = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_custkey")
+    return (
+        customer.join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("inactive_customers"))
+    )
+
+
+def brand_revenue(part: DataFrame, lineitem: DataFrame, min_size: int = 10) -> DataFrame:
+    """Broadcast dim join (part) + hash agg per brand."""
+    dims = part.where(F.col("p_size") >= min_size).select("p_partkey", "p_brand")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_partkey", "l_extendedprice", "l_discount", "l_quantity")
+        .join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
