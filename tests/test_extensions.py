@@ -1,0 +1,144 @@
+"""Validation for the non-SQL-expressible extension operators: the hash-
+family ops (MinHash LSH, SimHash, projection LSH) are checked against
+their exact counterparts; multimodal plumbing is checked for schema,
+batch shape, and determinism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from uk_housing_dashboard_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    media_metadata,
+    sample_frames,
+)
+from uk_housing_dashboard_etl_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from uk_housing_dashboard_etl_spark.operators.text_analysis import doc_fingerprint
+from uk_housing_dashboard_etl_spark.sources.readers import read_table
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),        # near dup of 0
+        (3, "completely different words about spark catalyst tungsten shuffles"),
+        (4, "another unrelated document mentioning parquet and arrow batches"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(near_dup_docs):
+    out = exact_dedup(near_dup_docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "canonical_id"] == 0 and bool(out.loc[1, "is_duplicate"])
+    assert out.loc[0, "dup_count"] == 2 and not bool(out.loc[0, "is_duplicate"])
+    assert not bool(out.loc[3, "is_duplicate"])
+
+
+def test_minhash_finds_what_exact_jaccard_finds(near_dup_docs):
+    exact = ngram_jaccard_pairs(near_dup_docs, threshold=0.5).toPandas()
+    approx = minhash_lsh_pairs(near_dup_docs, threshold=0.5).toPandas()
+    exact_pairs = set(zip(exact.doc_a, exact.doc_b))
+    approx_pairs = set(zip(approx.doc_a, approx.doc_b))
+    # high-similarity pairs must be recalled by LSH
+    assert exact_pairs <= approx_pairs
+    # and LSH must not hallucinate pairs with no real overlap
+    assert (3, 4) not in approx_pairs and (0, 3) not in approx_pairs
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_med):
+    docs = read_table(spark, sf_med, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.2).toPandas()
+    est = minhash_lsh_pairs(docs, threshold=0.0).toPandas()
+    merged = exact.merge(est, on=["doc_a", "doc_b"], how="inner")
+    # LSH with k=16,b=4 recalls the large majority of true >=0.2 pairs
+    assert len(merged) >= 0.6 * len(exact)
+    # and the signature estimate correlates with the exact jaccard
+    if len(merged) >= 5:
+        err = np.abs(merged.est_jaccard - merged.jaccard)
+        assert err.mean() < 0.25
+
+
+def test_simhash_near_dups_have_small_hamming(near_dup_docs):
+    pairs = simhash_pairs(near_dup_docs, max_hamming=10).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 1) in got  # identical docs: hamming 0
+    assert (0, 2) in got  # near dup: few bits differ
+    ham = pairs.set_index(["doc_a", "doc_b"]).hamming
+    assert ham.loc[(0, 1)] == 0
+    assert (3, 4) not in got or ham.loc[(3, 4)] > 10  # unrelated stays out
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_med):
+    emb = read_table(spark, sf_med, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=10).toPandas()
+    approx = lsh_bucketed_topk(corpus, queries, k=10, bits=4).toPandas()
+    exact_set = set(zip(exact.query_id, exact.vec_id))
+    approx_set = set(zip(approx.query_id, approx.vec_id))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3  # 4-bit buckets ≈ 1/16 of corpus scanned
+    # scores for overlapping pairs must agree exactly (same rerank math)
+    merged = exact.merge(approx, on=["query_id", "vec_id"], suffixes=("_e", "_a"))
+    assert (merged.score_e == merged.score_a).all()
+
+
+def test_decode_images_schema_and_determinism(near_dup_docs):
+    media = attach_binary_payload(near_dup_docs)
+    out = decode_images(media, fake=True, thumb=4)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,format:string,width:int,height:int,"
+        "pixels:array<float>>"
+    )
+    pdf = out.toPandas().set_index("doc_id").sort_index()
+    assert (pdf.width == 4).all() and (pdf.height == 4).all()
+    assert all(len(p) == 16 for p in pdf.pixels)
+    # deterministic: identical payloads -> identical pixels
+    assert list(pdf.loc[0, "pixels"]) == list(pdf.loc[1, "pixels"])
+    # real-codec path raises where PIL would be called
+    with pytest.raises(Exception, match="NotImplementedError|image codec"):
+        decode_images(media, fake=False).collect()
+
+
+def test_sample_frames_stride_and_counts(near_dup_docs):
+    media = attach_binary_payload(near_dup_docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8).toPandas()
+    meta = media.select("doc_id", "n_bytes").toPandas().set_index("doc_id")
+    for doc_id, grp in frames.groupby("doc_id"):
+        expected = min(8, -(-int(meta.loc[doc_id, "n_bytes"]) // 64))
+        assert len(grp) == expected
+        assert sorted(grp.frame_idx) == list(range(expected))
+
+
+def test_media_metadata_partitions_by_format(near_dup_docs):
+    out = media_metadata(attach_binary_payload(near_dup_docs)).toPandas()
+    assert set(out.format) <= {"png", "jpeg", "webp"}
+    assert out.n_items.sum() == 5
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    fp = doc_fingerprint(docs).toPandas().set_index("doc_id").fingerprint
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]

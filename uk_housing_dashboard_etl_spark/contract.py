@@ -41,6 +41,30 @@ from uk_housing_dashboard_etl_spark.operators.relational import (
     revenue_by_nation,
     top_customers_by_revenue,
 )
+from uk_housing_dashboard_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from uk_housing_dashboard_etl_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_images,
+    media_metadata,
+    sample_frames,
+)
+from uk_housing_dashboard_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    lsh_bucketed_topk,
+)
+from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
 from uk_housing_dashboard_etl_spark.sources.readers import read_table
 
 ROUND_DP = 4
@@ -53,6 +77,13 @@ BENCH_EXTRA: list[str] = [
     "top_customers",
     "order_priority",
     "brand_revenue",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_meta",
 ]
 
 
@@ -210,6 +241,111 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + hash agg per brand."""
     return brand_revenue(
         read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+# -------------------------------------------- extension: dedup family
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy with canonical ids."""
+    return exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (oracle baseline)."""
+    return ngram_jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (scale path; hash-family op, no
+    SQL oracle — validated against ngram_jaccard in tests)."""
+    return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded Hamming near-dup pairs (hash-family op, no oracle)."""
+    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------- extension: similarity search
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (exact baseline)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=10)
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path; recall vs brute force
+    asserted in tests, no SQL oracle)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return lsh_bucketed_topk(corpus, _query_vectors(spark, sf_dir), k=10, bits=4)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding cosine ≥ 0.4 (embedding-space near-dup).
+
+    Threshold chosen to produce verifiable pairs on the synthetic
+    embeddings (max pairwise cosine ≈ 0.51)."""
+    return embedding_near_dup(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ------------------------------------------ extension: text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/token/punct/stopword statistics."""
+    return text_stats(read_table(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 quality heuristic."""
+    return quality_score(read_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language prediction with fixed tie order."""
+    return lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash per document."""
+    return doc_fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------- extension: multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata mart (JVM-only path over opaque bytes)."""
+    return media_metadata(
+        attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing with deterministic fake codec
+    (schema/batch shape is the contract; no SQL oracle)."""
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return decode_images(media, fake=True)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling fan-out over binary payloads (JVM-side)."""
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return sample_frames(media).select(
+        "doc_id", "frame_idx", F.octet_length("frame_payload").alias("frame_len")
     )
 
 
@@ -445,6 +581,164 @@ _RELATIONAL_ORACLES: dict[str, str] = {
 
 ORACLES.update(_RELATIONAL_ORACLES)
 
+# DuckDB equivalents of the extension operators. NOTE: DuckDB lists are
+# 1-based (Spark arrays 0-based); folds start from a prepended zero so
+# both engines reduce left-to-right from the same init; dot products are
+# sequential double folds → bit-identical, rounded 4dp anyway.
+
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split_regex({_NORM_TEXT}, '\\s+')"
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (x, y) -> x + y))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)}) / "
+        f"(({_NORM_SQL.format(a=a)}) * ({_NORM_SQL.format(a=b)}))"
+    )
+
+
+_STOP_EN = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for'"
+
+_EXTENSION_ORACLES: dict[str, str] = {
+    "dedup_exact": f"""
+    WITH hashed AS (
+        SELECT doc_id, md5({_NORM_TEXT}) AS content_hash FROM documents
+    )
+    SELECT doc_id, content_hash,
+           min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+           count(*) OVER (PARTITION BY content_hash) AS dup_count,
+           doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+    FROM hashed
+    """,
+    "dedup_ngram_jaccard": f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    """,
+    "similarity_topk": f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5
+    ), scored AS (
+        SELECT query_id, vec_id, round({_cos_sql('qe', 'ce')}, 4) AS score
+        FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "embedding_near_dup": f"""
+    WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings),
+         b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings)
+    SELECT id_a, id_b, round({_cos_sql('ea', 'eb')}, 4) AS cosine
+    FROM a JOIN b ON id_a < id_b
+    WHERE round({_cos_sql('ea', 'eb')}, 4) >= 0.4
+    """,
+    "text_stats": f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+           round(length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}), 4) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text), 4) AS punct_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 4) AS digit_ratio,
+           round(len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+    FROM documents
+    """,
+    "quality_score": f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}) AS stopword_ratio,
+               (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text) AS punct_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           round(0.4 * least(1.0, stopword_ratio * 5)
+               + 0.3 * least(1.0, n_tokens / 100.0)
+               + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+    FROM s
+    """,
+    "doc_fingerprint": f"""
+    WITH n AS (SELECT doc_id, {_NORM_TEXT} AS norm FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(norm)),
+                   i -> CAST(ascii(substring(norm, i, 1)) AS BIGINT))),
+               (a, c) -> (a * 31 + c) % 1000000000000003) AS fingerprint
+    FROM n
+    """,
+    "multimodal_meta": """
+    WITH media AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               (['png', 'jpeg', 'webp'])[octet_length(encode(text)) % 3 + 1] AS format
+        FROM documents
+    )
+    SELECT format, count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+    FROM media
+    GROUP BY 1
+    """,
+}
+
+# lang_id oracle: per-language stopword-hit scores + first-match CASE
+_lang_score = {
+    lang: "len(list_filter(" + _TOKS + ", x -> x IN ("
+    + ", ".join("'" + w + "'" for w in ws)
+    + ")))"
+    for lang, ws in STOPWORDS.items()
+}
+_lang_case = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"({_lang_score[lang]}) >= ({_lang_score[other]})"
+        for other in ["en", "de", "es", "fr", "zh"]
+        if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in ["en", "de", "es", "fr", "zh"]
+) + " END"
+_EXTENSION_ORACLES["lang_id"] = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"CAST({_lang_score[lang]} AS INTEGER) AS score_{lang}"
+        for lang in ["en", "de", "es", "fr", "zh"]
+    )
+    + f", {_lang_case} AS predicted_lang FROM documents"
+)
+
+ORACLES.update(_EXTENSION_ORACLES)
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,
@@ -461,4 +755,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_stats": q_text_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
 }

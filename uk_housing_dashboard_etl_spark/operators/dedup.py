@@ -1,0 +1,274 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all pure DataFrame ops (no Python UDFs):
+
+- ``exact_dedup``          : content-hash groupBy (the 100 TB workhorse)
+- ``ngram_jaccard_pairs``  : exact set-similarity via shingle self-join
+                             (quadratic in co-shingled docs — the oracle
+                             baseline the scale paths approximate)
+- ``minhash_lsh_pairs``    : MinHash signatures + banded LSH bucketing —
+                             the scale path: shuffle is O(docs × bands),
+                             never all-pairs
+- ``simhash_pairs``        : 63-bit SimHash + chunk-banded Hamming join
+
+Scale notes: every family shuffles on a short hash key, never on raw
+text; signatures/aggregates are map-side combinable; banding bounds the
+candidate-pair blowup and AQE's skew-join splitting handles hot buckets
+(e.g. boilerplate shingles). Thresholds/parameters mirror common
+practice for web-scale corpus dedup (e.g. GPT-3/C4-style MinHash LSH).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MOD_61 = (1 << 61) - 1
+
+
+def _norm_text(col) -> F.Column:
+    """Whitespace-collapse + trim + lowercase — the canonical form hashed
+    for exact dedup and shingled for near-dup."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized content hash.
+
+    Output: one row per input doc with its content hash, the canonical
+    (minimum) id of its duplicate group, group size, and a duplicate flag.
+    The shuffle key is the 32-char md5, not the document body.
+    """
+    hashed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(_norm_text(F.col(text_col))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+def _word_shingles(documents: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Built with sequence/transform/explode — stays in whole-stage codegen.
+    """
+    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    shingle_expr = F.expr(
+        f"""CASE WHEN size(__toks) < {n} THEN array()
+             ELSE transform(
+               sequence(0, size(__toks) - {n}),
+               i -> concat_ws(' ', slice(__toks, i + 1, {n})))
+            END"""
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.explode(shingle_expr).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, sim ≥ threshold).
+
+    |A∩B| from a shingle self-join, |A∪B| = |A|+|B|−|A∩B|; the Jaccard is
+    an exact integer ratio so the threshold comparison is deterministic.
+    Quadratic in documents sharing a shingle — use ``minhash_lsh_pairs``
+    at scale; this is the correctness oracle for it.
+    """
+    sh = _word_shingles(documents, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: k independent min-hashes of the shingle
+    set, using xxhash64 with the hash index as a mixed-in seed column.
+
+    The k mins are one map-side-combinable groupBy — a single shuffle of
+    (doc_id, k longs) regardless of document size.
+    """
+    sh = _word_shingles(documents, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    b bands of r = k/b rows; docs colliding on any band's hash become
+    candidates; estimated Jaccard = fraction of matching signature
+    components; pairs below ``threshold`` are dropped. Collision
+    probability 1-(1-j^r)^b — with k=16, b=4: ~0.97 at j=0.8, ~0.04 at
+    j=0.2, the classic S-curve.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n)
+    band_entries = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {bands - 1}),
+                     b -> struct(b AS band, xxhash64(to_json(slice(signature, b * {rows} + 1, {rows}))) AS bucket))"""
+            )
+        ).alias("be"),
+    ).select("doc_id", "signature", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
+) -> DataFrame:
+    """63-bit SimHash per doc: sign of the per-bit sum of token hashes.
+
+    One explode + one groupBy with ``bits`` conditional sums (all map-side
+    combinable); the signature assembles JVM-side from bit tests — no
+    Python, no second shuffle. 63 bits keeps the value a positive long.
+    """
+    toks = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(_norm_text(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", simhash.alias("simhash"))
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 63-bit hash into ``chunks`` 16-bit
+    chunks; any pair within distance < chunks must agree on ≥1 chunk, so
+    candidates come from per-chunk equality joins, then the exact
+    ``bit_count(xor)`` filter runs only on candidates.
+    """
+    sig = simhash_signatures(documents, text_col, id_col)
+    chunked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> struct(c AS chunk, shiftright(simhash, CAST(c * 16 AS INT)) & 65535 AS val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

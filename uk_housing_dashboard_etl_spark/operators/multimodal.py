@@ -1,0 +1,152 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The Spark-side plumbing — schemas, partitioning, ``mapInPandas`` batch
+shapes, deterministic fan-out — is real and tested. The actual codec
+calls (PIL/ffmpeg/torchaudio) are NOT available in this container, so
+decode is stubbed: ``fake=True`` produces a deterministic synthetic
+payload derived from the content hash (stable across runs/executors);
+``fake=False`` raises ``NotImplementedError`` at the exact call site a
+codec would occupy.
+
+Scale notes: binary payloads never pass through Python row-at-a-time —
+``mapInPandas`` moves Arrow record batches; metadata-only operations
+(byte length, content hash, format sniff) stay JVM-side entirely, so a
+"count the JPEGs over 100 TB" query never deserializes a single image.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FORMATS = ["png", "jpeg", "webp"]
+
+
+def attach_binary_payload(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal shape from the documents table: an opaque
+    ``binary`` payload (utf-8 bytes stand in for image bytes) plus typed
+    metadata columns — all JVM-side."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    n_bytes = F.octet_length(payload)
+    return documents.select(
+        F.col("doc_id"),
+        payload.alias("payload"),
+        n_bytes.alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.element_at(
+            F.array(*[F.lit(f) for f in FORMATS]), (n_bytes % 3 + 1).cast("int")
+        ).alias("format"),
+    )
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_images(media: DataFrame, fake: bool = True, thumb: int = 4) -> DataFrame:
+    """Decode binary payloads to (width, height, pixel array) via
+    ``mapInPandas`` — Arrow batches in, Arrow batches out.
+
+    With ``fake=True`` the "decoder" derives a ``thumb×thumb`` grayscale
+    thumbnail deterministically from the payload bytes; with
+    ``fake=False`` it raises where PIL/libjpeg would be invoked.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image codec not available in this environment; "
+                    "plug PIL.Image.open(io.BytesIO(payload)) here"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "width": thumb,
+                    "height": thumb,
+                    "pixels": [
+                        _fake_pixels(bytes(p), thumb * thumb) for p in pdf["payload"]
+                    ],
+                }
+            )
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def _fake_pixels(payload: bytes, n: int) -> list[float]:
+    """Deterministic stand-in decode: cycle payload bytes into [0,1)."""
+    if not payload:
+        return [0.0] * n
+    return [payload[i % len(payload)] / 256.0 for i in range(n)]
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Video-style frame sampling: slice the opaque payload into fixed-
+    stride "frames" (a real pipeline would seek keyframes via ffmpeg).
+
+    Pure JVM fan-out: sequence + transform + explode — the payload is
+    never copied to Python. One input row → ≤ ``max_frames`` rows.
+    """
+    n_frames = F.least(
+        F.lit(max_frames),
+        F.ceil(F.octet_length("payload") / F.lit(every_n_bytes)).cast("int"),
+    )
+    frames = F.expr(
+        f"transform(sequence(0, {max_frames} - 1),"
+        f" i -> struct(i AS frame_idx, substring(payload, i * {every_n_bytes} + 1,"
+        f" {every_n_bytes}) AS frame_payload))"
+    )
+    return (
+        media.withColumn("__n", n_frames)
+        .select("doc_id", F.explode(F.slice(frames, 1, F.col("__n"))).alias("fr"))
+        .select(
+            "doc_id",
+            F.col("fr.frame_idx").alias("frame_idx"),
+            F.col("fr.frame_payload").alias("frame_payload"),
+        )
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only mart: per-format counts and byte stats — stays fully
+    JVM-side (the 100 TB 'count the JPEGs' query)."""
+    return media.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

@@ -1,0 +1,183 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+- ``brute_force_topk``   : exact cosine top-k — the correctness baseline.
+  Queries broadcast against the corpus; dot products run JVM-side via
+  ``zip_with``/``aggregate`` (sequential left-fold in double, so results
+  are bit-deterministic across engines and partitionings).
+- ``embedding_near_dup`` : all-pairs cosine ≥ τ (dedup by embedding).
+- ``lsh_bucketed_topk``  : the scale path — sign-random-projection LSH
+  buckets (deterministic hash-derived hyperplanes), exact rerank only
+  within the query's bucket. Corpus side is one narrow (id, bucket,
+  embedding) frame; candidate count drops from N to N/2^bits per query.
+
+Scale notes: brute force is O(Q×N) — fine when Q is small or as a
+per-bucket rerank; the LSH variant bounds the join fan-out and its
+bucket ids are computed in one projection pass (no Python). For very
+large Q×N both sides can also be mapInPandas'd into matrix multiplies;
+that path is deliberately avoided here because the built-ins already
+express the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + v))"
+)
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine similarity of two array<double> columns, sequential-fold
+    double math (deterministic)."""
+    dot = _DOT.format(a=a, b=b)
+    na = _NORM.format(a=a)
+    nb = _NORM.format(a=b)
+    return F.expr(f"({dot}) / (({na}) * ({nb}))")
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` is (query_id, embedding); it is broadcast, so the corpus
+    never shuffles. Scores are rounded to 4dp BEFORE ranking with an id
+    tie-break, making the cut deterministic.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
+    )
+    qs = queries.select(
+        F.col("query_id"), _as_double(vec_col).alias("qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr("qvec", "vec"), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
+
+    All-pairs is the oracle baseline; at scale route candidates through
+    ``lsh_bucketed_topk``-style bucketing first.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr("vec_a", "vec_b"), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def _bucket_expr(vec_col: str, bits: int) -> F.Column:
+    """Sign-random-projection bucket id.
+
+    Hyperplane r_{j} has components ±1 derived from xxhash64(dim, j) —
+    deterministic, no stored model, identical on every executor. bucket =
+    Σ_j [⟨v, r_j⟩ > 0] · 2^j, computed with nested JVM lambdas.
+    """
+    proj = (
+        f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+        " (x, i) -> CASE WHEN (xxhash64(i, {j}) & 1) = 1 THEN CAST(x AS DOUBLE)"
+        " ELSE -CAST(x AS DOUBLE) END), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN ({proj.format(j=j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return F.expr(f"CAST({terms} AS INT)")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    multi_probe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine rerank inside the query's LSH
+    bucket(s).
+
+    Recall is tunable via ``bits`` (fewer bits → bigger buckets → higher
+    recall, more work) and ``multi_probe`` (also probe every Hamming-1
+    neighbor bucket — near-misses on one hyperplane are the dominant
+    recall loss, so this multiplies recall for (bits+1)× candidate cost).
+    Candidates join on the bucket id — a plain equi join Catalyst
+    shuffle-partitions by bucket, so per-query work is ~N·(bits+1)/2^bits
+    instead of N.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("vec"),
+        _bucket_expr(vec_col, bits).alias("bucket"),
+    )
+    qs = queries.select(
+        "query_id",
+        _as_double(vec_col).alias("qvec"),
+        _bucket_expr(vec_col, bits).alias("bucket"),
+    )
+    if multi_probe:
+        probe_set = F.expr(
+            f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
+            f" j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"
+        )
+        qs = qs.select(
+            "query_id", "qvec", F.explode(probe_set).alias("bucket")
+        )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_expr("qvec", "vec"), 4).alias("score"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data curation pipelines.
+
+- ``text_stats``      : length/token/punctuation/stopword quality metrics
+- ``quality_score``   : composite 0-1 heuristic from those metrics
+- ``lang_id``         : n-gram-free stopword-overlap language heuristic
+- ``doc_fingerprint`` : order-sensitive polynomial rolling hash
+
+Everything is built-in column expressions (split/filter/aggregate/
+regexp) — one scan, no shuffle, no Python on executors. All ratios are
+exact integer ratios in double, so cross-engine comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets (top function words). Deterministic
+# lexicons, not a model — the point is the *operator shape*: token-set
+# overlap scoring per language, argmax with a fixed tie order.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "les", "des", "en"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "他", "这", "中"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+FP_MOD = 1_000_000_000_000_003  # fits acc*31+255 in int64, no overflow
+
+_PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+_BPE_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document statistics used by quality filters.
+
+    n_chars, n_tokens (whitespace), n_bpe_tokens (BPE-ish regex pieces),
+    avg_token_len, punct_ratio, digit_ratio, stopword_ratio (English
+    function words), all exact.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{_BPE_TOKEN}', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+        F.round(nonspace / n_tokens, 4).alias("avg_token_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristic in [0,1]:
+    0.4·stopword_signal + 0.3·length_signal + 0.3·(1 − punct_noise).
+
+    Built from the UNROUNDED ratios (rounding only the final score) so the
+    composite is exact integer-ratio math until the last step."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    stopword_ratio = stop_hits / n_tokens
+    punct_ratio = punct / n_chars
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), stopword_ratio * 5)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language heuristic.
+
+    One column per language with the count of its function words among
+    the doc's tokens; prediction = argmax with fixed LANG_ORDER
+    tie-break (a deterministic CASE chain, identical in the SQL oracle).
+    """
+    toks = _tokens(text_col)
+
+    def _hits(words: list[str]) -> F.Column:
+        # NB: the lambda must take exactly one param — F.filter interprets
+        # a second param as the array index.
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    scores = {lang: _hits(ws) for lang, ws in STOPWORDS.items()}
+    # first-match-wins CASE chain: ties resolve to the earlier language
+    pred = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    out_scores = [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
+    return documents.select(
+        F.col(id_col).alias("doc_id"), *out_scores, pred.alias("predicted_lang")
+    )
+
+
+def doc_fingerprint(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive polynomial rolling hash of the normalized text:
+    fold over code points of h → (h·31 + code) mod FP_MOD.
+
+    Sequential integer fold — bit-identical everywhere; anagrams get
+    different fingerprints (unlike bag-of-words hashes)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp = F.expr(
+        f"""aggregate(
+              transform(sequence(1, length(__norm)), i -> ascii(substring(__norm, i, 1))),
+              CAST(0 AS BIGINT),
+              (acc, c) -> (acc * 31 + c) % {FP_MOD}
+            )"""
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"), norm.alias("__norm")
+    ).select("doc_id", fp.alias("fingerprint"))
