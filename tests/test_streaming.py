@@ -1,0 +1,104 @@
+"""Structured Streaming: Monday-anchored weekly windows match the batch
+mart; the stateful anomaly operator carries state across micro-batches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.streaming import run_stream_once, weekly_stream
+from uk_housing_dashboard_etl_spark.streaming.stateful import streaming_anomaly_scores
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    batch1 = [
+        (1, t0, 1, "a", 10.0, ""),
+        (2, t0 + dt.timedelta(days=2), 1, "a", 20.0, ""),
+        (3, t0 + dt.timedelta(days=8), 2, "b", 30.0, ""),
+    ]
+    batch2 = [
+        (4, t0 + dt.timedelta(days=9), 2, "b", 40.0, ""),
+        (5, t0 + dt.timedelta(days=15), 1, "a", 50.0, ""),
+    ]
+    _events(spark, batch1).write.mode("append").parquet(str(d))
+    _events(spark, batch2).write.mode("append").parquet(str(d))
+    return str(d)
+
+
+def test_weekly_stream_matches_batch(spark, landing):
+    got = (
+        run_stream_once(weekly_stream(spark, landing), "t_weekly")
+        .toPandas()
+        .sort_values(["week", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        spark.read.parquet(landing)
+        .groupBy(
+            F.date_trunc("week", "ts").alias("week"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("transactions"), F.avg("value").alias("value_mean"))
+        .toPandas()
+        .sort_values(["week", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    # Monday anchoring: every window start is a Monday
+    assert all(w.weekday() == 0 for w in got["week"])
+
+
+def test_stateful_anomaly_scores_across_batches(spark, tmp_path):
+    d = tmp_path / "stream_in"
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 1: establish a tight distribution for key 'a'
+    rows1 = [(i, t0 + dt.timedelta(hours=i), 1, "a", 100.0 + (i % 3), "") for i in range(10)]
+    _events(spark, rows1).write.mode("append").parquet(str(d))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).parquet(str(d))
+    scored = streaming_anomaly_scores(stream)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("t_state1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    first = spark.sql("SELECT * FROM t_state1").toPandas()
+    assert len(first) == 10
+    assert not first["is_anomaly"].any()  # establishing the baseline
+
+    # batch 2: an extreme outlier arrives — state must have persisted,
+    # so it is scored against batch-1 statistics
+    rows2 = [(100, t0 + dt.timedelta(days=2), 1, "a", 10_000.0, "")]
+    _events(spark, rows2).write.mode("append").parquet(str(d))
+    q2 = (
+        scored.writeStream.format("memory")
+        .queryName("t_state2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # NOTE: without a shared checkpoint the second query replays all
+    # input; the outlier must be flagged, the baseline rows must not.
+    out = spark.sql("SELECT * FROM t_state2").toPandas()
+    flagged = out[out["is_anomaly"]]
+    assert set(flagged["value"]) == {10_000.0}
+    assert flagged["n_seen"].iloc[0] == 11

@@ -1,0 +1,108 @@
+"""Custom stateful streaming operator: running per-key anomaly scores.
+
+The reference computes z-scores over the full history every day (ref
+``etl/etl_main.py:260-282``). The streaming-native equivalent keeps
+per-LA Welford accumulators (count, mean, M2) in state and scores each
+arriving micro-batch against the statistics *so far* — O(keys) state,
+no reprocessing.
+
+This is the one operator family where Spark's built-ins genuinely can't
+express the semantics (evolving cross-batch state with custom math), so
+it uses ``applyInPandasWithState`` — Arrow-batched per-group pandas,
+state round-trips as a plain tuple.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _score_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Welford update + score. Each value is scored against the stats of
+    all PRIOR values (so the first observation of a key is never
+    anomalous), then folded into the state."""
+    import math
+
+    if state.exists:
+        n, mean, m2 = state.get
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        out_z, out_flag, out_n = [], [], []
+        for v in pdf["value"].astype(float):
+            if n >= 2:
+                var = m2 / (n - 1)  # ddof=1, matching the batch operator
+                std = math.sqrt(var)
+                z = (v - mean) / std if std > 0 else 0.0
+            else:
+                z = 0.0
+            out_z.append(z)
+            out_flag.append(abs(z) > 3.0)
+            n += 1
+            delta = v - mean
+            mean += delta / n
+            m2 += delta * (v - mean)
+            out_n.append(n)
+        yield pd.DataFrame(
+            {
+                "key": key[0],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "zscore": out_z,
+                "is_anomaly": out_flag,
+                "n_seen": out_n,
+            }
+        )
+    state.update((n, mean, m2))
+
+
+def streaming_anomaly_scores(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Score a stream of (key, ts, value) rows against evolving per-key
+    statistics. ``events`` must be a streaming DataFrame."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        F.col(key_col).cast("string").alias("key"), "ts", "value"
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _score_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

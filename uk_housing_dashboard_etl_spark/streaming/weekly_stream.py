@@ -1,0 +1,89 @@
+"""Structured Streaming variant of the weekly mart.
+
+The reference's operational loop is a daily cron that re-downloads and
+recomputes everything (ref ``.github/workflows/daily-etl.yml:9-12``).
+The streaming-native re-expression: a landing zone consumed by
+``readStream`` with a Monday-anchored 7-day tumbling window aggregation
+and a watermark for late data — each arriving file updates only the
+affected (week, LA) groups instead of recomputing the world.
+
+Window anchoring: ``window(ts, '7 days')`` aligns to the epoch (a
+Thursday); ``startTime='96 hours'`` shifts the grid to Mondays so
+``window.start`` coincides exactly with the batch mart's
+``date_trunc('week', ts)`` buckets (W1 parity).
+
+Scale notes: tumbling-window + watermark is incremental state the size
+of the open windows (weeks × LAs), not the data; ``availableNow``
+triggers give the daily-batch cadence the reference has, with exactly-
+once file tracking replacing its 24 h cache heuristic (S2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+MONDAY_ANCHOR = "96 hours"  # epoch (Thu) + 96h = Monday grid
+
+
+def weekly_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "14 days",
+    schema: StructType = EVENTS_STREAM_SCHEMA,
+) -> DataFrame:
+    """Streaming weekly mart: per (Monday week, event_type) transaction
+    count and mean value, tolerant of ``watermark`` of lateness."""
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "7 days", "7 days", MONDAY_ANCHOR).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("transactions"),
+            F.avg("value").alias("value_mean"),
+        )
+        .select(
+            F.col("win.start").alias("week"),
+            "event_type",
+            "transactions",
+            "value_mean",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, query_name: str = "weekly_stream") -> DataFrame:
+    """Drain all currently-available input (Trigger.AvailableNow — the
+    daily-batch cadence) into an in-memory sink and return the result as
+    a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
