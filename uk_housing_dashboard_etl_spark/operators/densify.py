@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 
 
 def densify_weekly_grid(weekly: DataFrame) -> DataFrame:
-    """Left-join the weekly mart onto the dense (week, LA) grid."""
+    """Left-join the weekly mart onto the dense (week, LA) grid.
+
+    The input mart feeds THREE consumers here (bounds aggregate, distinct
+    LAs, join probe side); it is mart-sized (weeks × LAs) by construction,
+    so it is cached to keep the fact-table subtree that produced it from
+    being re-executed per consumer.
+    """
+    weekly = weekly.cache()
     bounds = weekly.agg(
         F.min("week").alias("__wmin"), F.max("week").alias("__wmax")
     )

@@ -5,13 +5,18 @@ Reference parity: ``etl/etl_main.py:247-256`` — for each window length w
 null-skipping rolling mean of ``price_mean`` (``min_periods=1``), each copy
 tagged ``window_weeks=w`` and concatenated.
 
-Spark realization: one ``Window.partitionBy(la).orderBy(week)`` spec per w
-with ``rowsBetween(-(w-1), 0)`` — rows-based frames are valid as time-based
-because the input grid is densified (J2). ``min_periods=1`` is automatic
-(partial frames at the partition head). The fan-out is ``unionByName`` of
-projections over the SAME sorted exchange — Catalyst reuses the single
-shuffle+sort across every window spec, so adding window lengths costs no
-extra shuffle.
+Spark realization: ALL window lengths are computed in ONE Window operator
+— the frames share the same partition/order spec (``partitionBy(la).
+orderBy(week)``, ``rowsBetween(-(w-1), 0)``), so one shuffle + one sort
+produce every rolling column in a single pass; the per-w fan-out is then
+an ``explode`` of (window_weeks, rolling_*) structs, a streaming Generate
+with zero extra exchanges. Rows-based frames are valid as time-based
+because the input grid is densified (J2); ``min_periods=1`` is automatic
+(partial frames at the partition head).
+
+A naive per-w ``unionByName`` of separately-built frames would recompute
+the entire upstream mart once per window length — at 100 TB that is the
+difference between one fact-table pass and |windows| passes.
 """
 
 from __future__ import annotations
@@ -37,22 +42,39 @@ OUTPUT_COLS = [
 def rolling_windows(
     dense_weekly: DataFrame, windows: Sequence[int] = DEFAULT_WINDOWS
 ) -> DataFrame:
-    """Per-LA rolling sum/mean for each window length, unioned with a tag."""
-    out = None
+    """Per-LA rolling sum/mean for each window length, tagged ``window_weeks``."""
+    base = Window.partitionBy("local_authority").orderBy("week")
+    # step 1: every rolling column in ONE Window operator (flat columns —
+    # window expressions are not allowed inside generators)
+    flat_cols = []
     for w in windows:
-        frame = (
-            Window.partitionBy("local_authority")
-            .orderBy("week")
-            .rowsBetween(-(w - 1), Window.currentRow)
-        )
-        piece = dense_weekly.select(
-            "week",
-            "local_authority",
-            "transactions",
-            F.sum("transactions").over(frame).alias("rolling_trans"),
-            "price_mean",
-            F.avg("price_mean").over(frame).alias("rolling_price_mean"),
+        frame = base.rowsBetween(-(w - 1), Window.currentRow)
+        flat_cols.append(F.sum("transactions").over(frame).alias(f"__rt_{w}"))
+        flat_cols.append(F.avg("price_mean").over(frame).alias(f"__rpm_{w}"))
+    windowed = dense_weekly.select(
+        "week", "local_authority", "transactions", "price_mean", *flat_cols
+    )
+    # step 2: per-w fan-out as a streaming Generate (no extra exchange)
+    per_w = [
+        F.struct(
             F.lit(w).alias("window_weeks"),
+            F.col(f"__rt_{w}").alias("rolling_trans"),
+            F.col(f"__rpm_{w}").alias("rolling_price_mean"),
         )
-        out = piece if out is None else out.unionByName(piece)
-    return out.select(*OUTPUT_COLS)
+        for w in windows
+    ]
+    return windowed.select(
+        "week",
+        "local_authority",
+        "transactions",
+        "price_mean",
+        F.explode(F.array(*per_w)).alias("__w"),
+    ).select(
+        "week",
+        "local_authority",
+        "transactions",
+        F.col("__w.rolling_trans").alias("rolling_trans"),
+        "price_mean",
+        F.col("__w.rolling_price_mean").alias("rolling_price_mean"),
+        F.col("__w.window_weeks").alias("window_weeks"),
+    )
