@@ -193,6 +193,47 @@ def q_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(qa, ["coverage_pct"])
 
 
+def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change (the reference's advertised-but-missing
+    YOY operator, as WoW on the dense grid; YOY = periods=52)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import period_over_period
+
+    dense = densify_weekly_grid(_weekly(spark, sf_dir))
+    out = period_over_period(dense, ["transactions", "price_mean"], periods=1)
+    return _round(
+        out.select(
+            "week",
+            "local_authority",
+            "transactions",
+            "transactions_prev",
+            "transactions_delta",
+            "transactions_pct_change",
+            "price_mean",
+            "price_mean_prev",
+            "price_mean_delta",
+            "price_mean_pct_change",
+        ),
+        ["price_mean", "price_mean_prev", "price_mean_delta"],
+    )
+
+
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON field extraction from the props
+    column + per-type aggregation (get_json_object stays JVM-side)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("k_mean"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 # ------------------------------------------- generic relational queries
 
 
@@ -490,6 +531,38 @@ ORACLES: dict[str, str] = {
     FROM rolled
     WHERE week = (SELECT max(week) FROM rolled)
     """,
+    "week_over_week": _BASE
+    + """
+    , pop AS (
+        SELECT week, local_authority, transactions,
+               lag(transactions, 1) OVER (PARTITION BY local_authority
+                    ORDER BY week) AS transactions_prev,
+               price_mean,
+               lag(price_mean, 1) OVER (PARTITION BY local_authority
+                    ORDER BY week) AS price_mean_prev
+        FROM dense
+    )
+    SELECT week, local_authority, transactions, transactions_prev,
+           transactions - transactions_prev AS transactions_delta,
+           CASE WHEN transactions_prev IS NULL OR transactions_prev = 0 THEN NULL
+                ELSE round((transactions - transactions_prev) / transactions_prev * 100.0, 4)
+           END AS transactions_pct_change,
+           round(price_mean, 4) AS price_mean,
+           round(price_mean_prev, 4) AS price_mean_prev,
+           round(price_mean - price_mean_prev, 4) AS price_mean_delta,
+           CASE WHEN price_mean_prev IS NULL OR price_mean_prev = 0 THEN NULL
+                ELSE round((price_mean - price_mean_prev) / price_mean_prev * 100.0, 4)
+           END AS price_mean_pct_change
+    FROM pop
+    """,
+    "props_json": """
+    SELECT event_type, count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS k_mean,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+    FROM events
+    GROUP BY 1
+    """,
     "qa_metrics": _BASE
     + """
     SELECT (SELECT count(*) FROM events) AS rows_raw,
@@ -749,6 +822,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomalies": q_anomalies,
     "latest_snapshot": q_latest_snapshot,
     "qa_metrics": q_qa_metrics,
+    "week_over_week": q_week_over_week,
+    "props_json": q_props_json,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
