@@ -65,6 +65,7 @@ from uk_housing_dashboard_etl_spark.operators.text_analysis import (
     quality_score,
     text_stats,
 )
+from uk_housing_dashboard_etl_spark.functions.rounding import round4, round4_sql
 from uk_housing_dashboard_etl_spark.sources.readers import read_table
 
 ROUND_DP = 4
@@ -90,8 +91,42 @@ BENCH_EXTRA: list[str] = [
 def _round(df: DataFrame, cols: list[str]) -> DataFrame:
     out = df
     for c in cols:
-        out = out.withColumn(c, F.round(F.col(c), ROUND_DP))
+        out = out.withColumn(c, round4(F.col(c)))
     return out
+
+
+def _rewrite_round4(sql: str) -> str:
+    """Rewrite every ``round(expr, 4)`` in an oracle statement into the
+    engine-portable ``floor(expr·1e4 + 0.5)/1e4`` formula (see
+    ``functions.rounding``) so both engines round bit-identically.
+    Oracle SQL is still written with ``round(…, 4)`` for readability.
+    """
+    lower = sql.lower()
+    i = lower.find("round(")
+    while i != -1:
+        depth, j = 1, i + len("round(")
+        top_comma = -1
+        while j < len(sql) and depth:
+            ch = sql[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                top_comma = j
+            j += 1
+        inner = sql[i + len("round(") : j - 1]
+        if top_comma != -1 and sql[top_comma + 1 : j - 1].strip() == "4":
+            expr = sql[i + len("round(") : top_comma]
+            replacement = round4_sql(_rewrite_round4(expr))
+            sql = sql[:i] + replacement + sql[j:]
+            lower = sql.lower()
+            i = lower.find("round(", i + len(replacement))
+        else:
+            # not a 4dp round (or no scale) — leave it, continue past
+            del inner
+            i = lower.find("round(", i + len("round("))
+    return sql
 
 
 # ---------------------------------------------------------------- loaders
@@ -199,6 +234,9 @@ def q_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.timeseries import period_over_period
 
     dense = densify_weekly_grid(_weekly(spark, sf_dir))
+    # round the float base BEFORE differencing: deltas of 4dp values never
+    # land on a rounding boundary, so both engines agree bit-for-bit
+    dense = dense.withColumn("price_mean", round4(F.col("price_mean")))
     out = period_over_period(dense, ["transactions", "price_mean"], periods=1)
     return _round(
         out.select(
@@ -230,6 +268,33 @@ def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("k_mean"),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min timeout) + per-session stats."""
+    from uk_housing_dashboard_etl_spark.operators.sessionize import session_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return session_stats(ev, timeout_minutes=30.0, tie_cols=["event_id"])
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation with grouping indicators (subtotal lattice)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import _dsum
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
         )
     )
 
@@ -533,14 +598,18 @@ ORACLES: dict[str, str] = {
     """,
     "week_over_week": _BASE
     + """
-    , pop AS (
+    , dense_r AS (
+        SELECT week, local_authority, transactions,
+               round(price_mean, 4) AS price_mean
+        FROM dense
+    ), pop AS (
         SELECT week, local_authority, transactions,
                lag(transactions, 1) OVER (PARTITION BY local_authority
                     ORDER BY week) AS transactions_prev,
                price_mean,
                lag(price_mean, 1) OVER (PARTITION BY local_authority
                     ORDER BY week) AS price_mean_prev
-        FROM dense
+        FROM dense_r
     )
     SELECT week, local_authority, transactions, transactions_prev,
            transactions - transactions_prev AS transactions_delta,
@@ -554,6 +623,39 @@ ORACLES: dict[str, str] = {
                 ELSE round((price_mean - price_mean_prev) / price_mean_prev * 100.0, 4)
            END AS price_mean_pct_change
     FROM pop
+    """,
+    "sessionize": """
+    WITH base AS (
+        SELECT user_id, value, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ), marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM base
+    ), sessions AS (
+        SELECT user_id, value, ts, us,
+               CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start,
+           round((max(us) - min(us)) / 1000000.0, 4) AS span_seconds,
+           round(avg(value), 4) AS value_mean
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+    "rollup_lineitem": """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           count(*) AS n_rows,
+           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "props_json": """
     SELECT event_type, count(*) AS n_events,
@@ -812,6 +914,9 @@ _EXTENSION_ORACLES["lang_id"] = (
 
 ORACLES.update(_EXTENSION_ORACLES)
 
+# rewrite round(x, 4) into the engine-portable floor formula everywhere
+ORACLES = {name: _rewrite_round4(sql) for name, sql in ORACLES.items()}
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,
@@ -824,6 +929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qa_metrics": q_qa_metrics,
     "week_over_week": q_week_over_week,
     "props_json": q_props_json,
+    "sessionize": q_sessionize,
+    "rollup_lineitem": q_rollup_lineitem,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,

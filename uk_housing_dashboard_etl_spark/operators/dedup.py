@@ -25,6 +25,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
 MOD_61 = (1 << 61) - 1
 
 
@@ -105,10 +107,9 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            round4(
                 F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                4,
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -190,7 +191,7 @@ def minhash_lsh_pairs(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", F.round(est, 4))
+        cand.withColumn("est_jaccard", round4(est))
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
 
 def _dsum(expr) -> F.Column:
     """Order-independent sum, deterministic across engines: scale each term
@@ -125,7 +127,7 @@ def top_customers_by_revenue(
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(_dsum(revenue), 4).alias("revenue"))
+        .agg(round4(_dsum(revenue)).alias("revenue"))
     )
     ranked = per_cust.withColumn(
         "rank",

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
     " (acc, v) -> acc + v)"
@@ -68,7 +70,7 @@ def brute_force_topk(
     scored = corpus.crossJoin(F.broadcast(qs)).select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr("qvec", "vec"), 4).alias("score"),
+        round4(cosine_expr("qvec", "vec")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -101,7 +103,7 @@ def embedding_near_dup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr("vec_a", "vec_b"), 4).alias("cosine"),
+            round4(cosine_expr("vec_a", "vec_b")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -169,7 +171,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine_expr("qvec", "vec"), 4).alias("score"),
+            round4(cosine_expr("qvec", "vec")).alias("score"),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )

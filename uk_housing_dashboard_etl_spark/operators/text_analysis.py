@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
 # Tiny per-language stopword sets (top function words). Deterministic
 # lexicons, not a model — the point is the *operator shape*: token-set
 # overlap scoring per language, argmax with a fixed tie order.
@@ -58,10 +60,10 @@ def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.size(F.expr(f"regexp_extract_all({text_col}, '{_BPE_TOKEN}', 0)")).alias(
             "n_bpe_tokens"
         ),
-        F.round(nonspace / n_tokens, 4).alias("avg_token_len"),
-        F.round(punct / n_chars, 4).alias("punct_ratio"),
-        F.round(digits / n_chars, 4).alias("digit_ratio"),
-        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        round4(nonspace / n_tokens).alias("avg_token_len"),
+        round4(punct / n_chars).alias("punct_ratio"),
+        round4(digits / n_chars).alias("digit_ratio"),
+        round4(stop_hits / n_tokens).alias("stopword_ratio"),
     )
 
 
@@ -86,7 +88,7 @@ def quality_score(documents: DataFrame, text_col: str = "text", id_col: str = "d
     return documents.select(
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),
-        F.round(score, 4).alias("quality"),
+        round4(score).alias("quality"),
     )
 
 

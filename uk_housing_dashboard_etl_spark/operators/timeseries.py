@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
 
 def period_over_period(
     dense_weekly: DataFrame,
@@ -40,7 +42,7 @@ def period_over_period(
                 f"{c}_pct_change",
                 F.when(
                     prev.isNull() | (prev == 0), F.lit(None).cast("double")
-                ).otherwise(F.round((F.col(c) - prev) / prev * 100.0, 4)),
+                ).otherwise(round4((F.col(c) - prev) / prev * 100.0)),
             )
         )
     return out
