@@ -84,6 +84,22 @@ def test_simhash_near_dups_have_small_hamming(near_dup_docs):
     assert (3, 4) not in got or ham.loc[(3, 4)] > 10  # unrelated stays out
 
 
+def test_duplicate_clusters_transitive(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import duplicate_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # chain 0-1-2-3 (transitive), pair 5-6, singletons 4 and 7
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    out = duplicate_clusters(ids, pairs).toPandas().set_index("doc_id").sort_index()
+    assert out.loc[[0, 1, 2, 3], "cluster_id"].tolist() == [0, 0, 0, 0]
+    assert out.loc[[0, 1, 2, 3], "cluster_size"].tolist() == [4, 4, 4, 4]
+    assert out.loc[5, "cluster_id"] == 5 and out.loc[6, "cluster_id"] == 5
+    assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "cluster_size"] == 1
+    assert out.loc[7, "cluster_id"] == 7
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_med):
     emb = read_table(spark, sf_med, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)

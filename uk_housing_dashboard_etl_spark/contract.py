@@ -374,6 +374,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: connected components (iterative
+    min-label propagation) over the exact-Jaccard near-dup graph."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import duplicate_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
+    return duplicate_clusters(docs.select("doc_id"), pairs)
+
+
 # ---------------------------------------- extension: similarity search
 
 
@@ -423,6 +433,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language prediction with fixed tie order."""
     return lang_id(read_table(spark, sf_dir, "documents"))
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams (deterministic frequency rank)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import top_ngrams
+
+    return top_ngrams(read_table(spark, sf_dir, "documents"), n=2, k=50)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,6 +833,57 @@ _EXTENSION_ORACLES: dict[str, str] = {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
     """,
+    "dedup_clusters": f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labeled AS (
+        SELECT d.doc_id,
+               least(d.doc_id,
+                     coalesce((SELECT min(r.dst) FROM reach r
+                               WHERE r.src = d.doc_id), d.doc_id)) AS cluster_id
+        FROM documents d
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM labeled
+    """,
+    "top_ngrams": f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT t[i] || ' ' || t[i+1] AS ngram
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ), counts AS (
+        SELECT ngram, count(*) AS freq FROM grams GROUP BY 1
+    )
+    SELECT ngram, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, ngram) AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 50
+    """,
     "similarity_topk": f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
@@ -939,6 +1007,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_revenue": q_brand_revenue,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "top_ngrams": q_top_ngrams,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,

@@ -197,6 +197,74 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive duplicate clustering: connected components over a
+    near-dup pair graph, via iterative min-label propagation.
+
+    ``ids`` is the node set (one column ``id_col``); ``pairs`` has
+    (doc_a, doc_b) edges from any near-dup detector. Every node ends up
+    labeled with the minimum doc_id reachable from it (``cluster_id``).
+
+    Implementation is Pregel-lite: each round joins current labels
+    across edges and takes the min of (own label, neighbors' labels);
+    convergence in ≤ graph-diameter rounds, checked with a cheap
+    aggregate per round. Each round is one shuffle join + one groupBy —
+    at 100 TB-scale graphs the classic optimization is large-star/
+    small-star contraction (fewer rounds on high-degree graphs); dup
+    graphs from LSH are overwhelmingly tiny stars, where plain
+    propagation already converges in 2-3 rounds.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
+    ).cache()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
 def simhash_signatures(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 63
 ) -> DataFrame:

@@ -12,7 +12,7 @@ exact integer ratios in double, so cross-engine comparison is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
@@ -120,6 +120,40 @@ def lang_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     out_scores = [scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER]
     return documents.select(
         F.col(id_col).alias("doc_id"), *out_scores, pred.alias("predicted_lang")
+    )
+
+
+def top_ngrams(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by frequency (vocab/boilerplate
+    analysis). Deterministic cut: rank by (count desc, ngram asc).
+
+    One explode + one hash aggregate (map-side combinable) + a rank over
+    the aggregated (ngram-grain) frame — the same top-k shape as
+    ``top_customers_by_revenue``, applied to text.
+    """
+    toks = _tokens(text_col)
+    grams = F.expr(
+        f"""CASE WHEN size(__toks) < {n} THEN array()
+             ELSE transform(sequence(0, size(__toks) - {n}),
+                            i -> concat_ws(' ', slice(__toks, i + 1, {n})))
+            END"""
+    )
+    counts = (
+        documents.select(toks.alias("__toks"))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("ngram", "freq", "rank")
     )
 
 
