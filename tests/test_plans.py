@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the scale properties SCALE.md claims
+(broadcast joins, column pruning, semi/anti strategies, single-Window
+rolling) must be visible in the optimized plans, not just intended.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from uk_housing_dashboard_etl_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = contract.QUERIES[name](spark, SF)
+    jdf = df._jdf
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return jdf.queryExecution().explainString(mode)
+
+
+def test_weekly_mart_broadcasts_lookup_and_prunes_columns(spark):
+    plan = plan_of(spark, "weekly_by_la")
+    assert "BroadcastHashJoin" in plan
+    # the fact-side join must not shuffle (no sort-merge for the lookup)
+    assert "SortMergeJoin" not in plan
+    # events scan pruned: props/event_type are not referenced
+    events_scan = next(
+        s for s in plan.split("(") if "events.parquet" in s
+    )
+    assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_pricing_summary_prunes_and_partial_aggregates(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # two-phase hash aggregation (partial before the exchange)
+    assert plan.count("HashAggregate") >= 2
+    # only the referenced lineitem columns are read
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_semi_and_anti_join_strategies(spark):
+    assert "LeftSemi" in plan_of(spark, "order_priority")
+    assert "LeftAnti" in plan_of(spark, "customers_without_orders")
+
+
+def test_rolling_windows_single_window_operator(spark):
+    plan = plan_of(spark, "rolling_windows")
+    tree = plan.split("\n\n")[0]
+    # all window lengths in ONE Window node; fan-out is a Generate
+    window_nodes = [ln for ln in tree.splitlines() if "+- Window" in ln or ": Window" in ln]
+    assert len(window_nodes) == 1, tree
+    assert "Generate" in tree
+    # the weekly mart is computed once and reused from cache
+    assert "InMemoryRelation" in tree
+
+
+def test_similarity_topk_broadcasts_queries(spark):
+    plan = plan_of(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dedup_exact_shuffles_hash_not_text(spark):
+    plan = plan_of(spark, "dedup_exact")
+    # the exchange key is the md5 hash column, never the document body
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln.lower()
+    ]
+    assert exchange_lines and all("content_hash" in ln for ln in exchange_lines)

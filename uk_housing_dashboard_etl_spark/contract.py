@@ -85,6 +85,9 @@ BENCH_EXTRA: list[str] = [
     "quality_score",
     "doc_fingerprint",
     "multimodal_meta",
+    "sessionize",
+    "top_ngrams",
+    "week_over_week",
 ]
 
 

@@ -31,8 +31,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamps — the same truncation DuckDB applies.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:  # session-level SQLConf — safe to set on externally-built sessions
+    try:  # session-level SQLConfs — safe to set on externally-built sessions
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # week bucketing / collected timestamps must be tz-independent and
+        # match the DuckDB oracle's naive-timestamp semantics
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     df = spark.read.parquet(path)
