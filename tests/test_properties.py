@@ -1,0 +1,141 @@
+"""Hypothesis property tests for the semantics gotcha list (SURVEY §4):
+random frames → the weekly mart must match an independent pandas
+computation; normalizations must be idempotent; approx percentile mode
+must stay within rank-error bounds of exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.functions.cleaning import normalize_code
+from uk_housing_dashboard_etl_spark.operators import (
+    standardize_transactions,
+    weekly_mart,
+)
+from uk_housing_dashboard_etl_spark.operators.weekly import enrich_with_lookup
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def tx_frames(draw):
+    n = draw(st.integers(min_value=1, max_value=120))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    prices = rng.uniform(1e3, 1e6, n)
+    null_mask = rng.random(n) < draw(st.floats(0.0, 0.9))
+    return pd.DataFrame(
+        {
+            "transaction_unique_id": [
+                f"id{rng.integers(0, max(2, n // 2))}" for _ in range(n)
+            ],  # collisions exercise count-distinct
+            "date_of_transfer": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 45, n), unit="D"),
+            "price": np.where(null_mask, np.nan, prices),
+            "postcode": rng.choice(["AA1 1AA", "BB2 2BB"], n),
+        }
+    )
+
+
+@SLOW
+@given(pdf=tx_frames())
+def test_weekly_mart_matches_pandas_on_random_frames(spark, pdf):
+    lookup = spark.createDataFrame(
+        [("AA11AA", "Alpha"), ("BB22BB", "Beta")], ["key", "local_authority"]
+    )
+    got = (
+        weekly_mart(
+            enrich_with_lookup(
+                standardize_transactions(spark.createDataFrame(pdf)), lookup
+            )
+        )
+        .toPandas()
+        .sort_values(["local_authority", "week"])
+        .reset_index(drop=True)
+    )
+    p = pdf.copy()
+    p["local_authority"] = p["postcode"].map({"AA1 1AA": "Alpha", "BB2 2BB": "Beta"})
+    p["week"] = p["date_of_transfer"].dt.to_period("W").dt.start_time
+    exp = (
+        p.groupby(["week", "local_authority"])
+        .agg(
+            transactions=("transaction_unique_id", "nunique"),
+            price_mean=("price", "mean"),
+            price_median=("price", "median"),
+        )
+        .reset_index()
+        .sort_values(["local_authority", "week"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got["transactions"], exp["transactions"])
+    np.testing.assert_allclose(
+        got["price_mean"].astype(float),
+        exp["price_mean"].astype(float),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["price_median"].astype(float),
+        exp["price_median"].astype(float),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+
+@SLOW
+@given(
+    s=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs")),
+        max_size=20,
+    )
+)
+def test_normalize_code_idempotent_and_spaceless(spark, s):
+    df = spark.createDataFrame([(s,)], ["x"])
+    once = df.select(normalize_code(F.col("x")).alias("y"))
+    twice = once.select(normalize_code(F.col("y")).alias("y"))
+    a, b = once.collect()[0]["y"], twice.collect()[0]["y"]
+    assert a == b  # idempotent
+    assert " " not in a and a == a.upper()
+
+
+def test_approx_percentile_mode_close_to_exact(spark, sf_med):
+    from uk_housing_dashboard_etl_spark.contract import (
+        _enriched,
+    )
+
+    enriched = _enriched(spark, sf_med)
+    exact = weekly_mart(enriched).toPandas().set_index(["week", "local_authority"])
+    approx = (
+        weekly_mart(enriched, approx=True)
+        .toPandas()
+        .set_index(["week", "local_authority"])
+    )
+    merged = exact.join(approx, lsuffix="_e", rsuffix="_a")
+    assert (merged["transactions_e"] == merged["transactions_a"]).all()
+    # percentile_approx returns an actual sample element (no
+    # interpolation), so the correct envelope is RANK-based: the approx
+    # median must lie within the exact p35..p65 band of its group
+    band = (
+        enriched.where(F.col("local_authority").isNotNull())
+        .withColumn("week", F.date_trunc("week", F.col("date")))
+        .groupBy("week", "local_authority")
+        .agg(
+            F.percentile("price", 0.35).alias("lo"),
+            F.percentile("price", 0.65).alias("hi"),
+        )
+        .toPandas()
+        .set_index(["week", "local_authority"])
+    )
+    j = merged.join(band)
+    ok = (j["price_median_a"] >= j["lo"]) & (j["price_median_a"] <= j["hi"])
+    assert ok.all(), j[~ok][["price_median_e", "price_median_a", "lo", "hi"]]
