@@ -60,6 +60,59 @@ def test_weekly_stream_matches_batch(spark, landing):
     assert all(w.weekday() == 0 for w in got["week"])
 
 
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append mode + watermark: a window only emits once the watermark
+    passes its end, and events later than the watermark are dropped."""
+    d = tmp_path / "late_landing"
+    ckpt = str(tmp_path / "wm_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+
+    out = str(tmp_path / "wm_out")
+
+    def run(_name):
+        q = (
+            weekly_stream(spark, str(d), watermark="7 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out).toPandas()
+        except Exception:  # no files emitted yet
+            import pandas as pd
+
+            return pd.DataFrame(columns=["week", "event_type", "transactions"])
+
+    # run 1: two events in week-of-day-0; watermark ends below window end
+    _events(
+        spark,
+        [(1, t0, 1, "a", 10.0, ""), (2, t0 + dt.timedelta(days=2), 1, "a", 20.0, "")],
+    ).write.mode("append").parquet(str(d))
+    first = run("t_wm1")
+    assert len(first) == 0  # window still open
+
+    # run 2: an event at day 30 pushes the watermark past week-0's end →
+    # the closed window (transactions=2) is emitted
+    _events(spark, [(3, t0 + dt.timedelta(days=30), 1, "a", 30.0, "")]).write.mode(
+        "append"
+    ).parquet(str(d))
+    second = run("t_wm2")
+    assert len(second) == 1
+    assert second["transactions"].iloc[0] == 2
+
+    # run 3: a straggler 4 weeks behind the watermark arrives → dropped,
+    # no re-emission of the closed window (cumulative sink count unchanged)
+    _events(spark, [(4, t0 + dt.timedelta(days=1), 2, "a", 99.0, "")]).write.mode(
+        "append"
+    ).parquet(str(d))
+    third = run("t_wm3")
+    assert len(third) == 1 and third["transactions"].iloc[0] == 2
+
+
 def test_stateful_anomaly_scores_across_batches(spark, tmp_path):
     d = tmp_path / "stream_in"
     t0 = dt.datetime(2024, 1, 1)

@@ -160,15 +160,21 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n)
+    # band bucket = xxhash64 over the band's signature components directly
+    # (fixed-width longs — no serialization on the hot path)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     band_entries = sig.select(
         "doc_id",
         "signature",
-        F.explode(
-            F.expr(
-                f"""transform(sequence(0, {bands - 1}),
-                     b -> struct(b AS band, xxhash64(to_json(slice(signature, b * {rows} + 1, {rows}))) AS bucket))"""
-            )
-        ).alias("be"),
+        F.explode(F.array(*band_structs)).alias("be"),
     ).select("doc_id", "signature", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")

@@ -91,6 +91,7 @@ def enrich_with_lookup(
     lookup_key: str = "key",
     lookup_value: str = "local_authority",
     fallback_prefix: int = 4,
+    broadcast_hint: bool = True,
 ) -> DataFrame:
     """J1: left broadcast-hash equi-join onto the dimension lookup.
 
@@ -98,16 +99,19 @@ def enrich_with_lookup(
     already normalized. With no lookup, falls back to the prefix projection
     (P8), mirroring the reference (ref ``etl/etl_main.py:182,190``).
     Unmatched keys keep the row with a null ``local_authority``.
+
+    ``broadcast_hint=True`` is right for dimension-sized lookups (a UK
+    postcode map ≈ 50 MB). Pass False for a lookup that outgrows executor
+    memory — the normalized high-cardinality key shuffle-joins evenly.
     """
     if lookup is None:
         return tx.withColumn(lookup_value, prefix_key(F.col("key"), fallback_prefix))
     dim = lookup.select(
         F.col(lookup_key).alias("__lk"), F.col(lookup_value).alias(lookup_value)
     )
-    return (
-        tx.join(F.broadcast(dim), tx["key"] == dim["__lk"], "left")
-        .drop("__lk")
-    )
+    if broadcast_hint:
+        dim = F.broadcast(dim)
+    return tx.join(dim, tx["key"] == dim["__lk"], "left").drop("__lk")
 
 
 def weekly_mart(enriched: DataFrame, approx: bool = False) -> DataFrame:
