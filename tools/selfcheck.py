@@ -61,9 +61,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
             import numpy as np
 
-            ok = np.isclose(
-                av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
-            ).all()
+            x, y = av.astype(float).to_numpy(), bv.astype(float).to_numpy()
+            # BIT-EXACT: the driver hashes values, so 1-ulp drift fails there
+            ok = ((x == y) | (np.isnan(x) & np.isnan(y))).all()
         else:
             ok = (av.astype(str) == bv.astype(str)).all()
         if not ok:

@@ -498,7 +498,7 @@ WITH lookup AS (
     SELECT date_trunc('week', date) AS week,
            local_authority,
            count(DISTINCT transaction_id) AS transactions,
-           avg(price) AS price_mean,
+           (CAST(sum(CAST(round(price * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(price) AS price_mean,
            median(price) AS price_median,
            quantile_cont(price, 0.1) AS price_p10,
            quantile_cont(price, 0.9) AS price_p90
@@ -664,7 +664,7 @@ ORACLES: dict[str, str] = {
     SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start,
            round((max(us) - min(us)) / 1000000.0, 4) AS span_seconds,
-           round(avg(value), 4) AS value_mean
+           round((CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(value), 4) AS value_mean
     FROM sessions
     GROUP BY 1, 2
     """,
@@ -702,9 +702,9 @@ _RELATIONAL_ORACLES: dict[str, str] = {
            CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round((CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_quantity), 4) AS avg_qty,
+           round((CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_extendedprice), 4) AS avg_price,
+           round((CAST(sum(CAST(round(l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_discount), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.functions.rounding import dmean, round4
 
 
 def _dsum(expr) -> F.Column:
@@ -49,9 +49,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFram
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dsum(disc_price).alias("sum_disc_price"),
             _dsum(charge).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            dmean(F.col("l_quantity")).alias("avg_qty"),
+            dmean(F.col("l_extendedprice")).alias("avg_price"),
+            dmean(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.functions.rounding import dmean, round4
 
 
 def assign_sessions(
@@ -66,5 +66,5 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         round4(span_seconds).alias("span_seconds"),
-        round4(F.avg(value_col)).alias("value_mean"),
+        round4(dmean(F.col(value_col))).alias("value_mean"),
     )

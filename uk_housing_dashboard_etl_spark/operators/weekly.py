@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.rounding import dmean
 from uk_housing_dashboard_etl_spark.functions.cleaning import (
     coerce_double,
     coerce_timestamp,
@@ -135,7 +136,10 @@ def weekly_mart(enriched: DataFrame, approx: bool = False) -> DataFrame:
         .groupBy("week", "local_authority")
         .agg(
             F.countDistinct("transaction_id").alias("transactions"),
-            F.avg("price").alias("price_mean"),
+            # deterministic mean (exact integer-scaled sum / count):
+            # groups whose true mean lands exactly on a 4dp boundary
+            # otherwise tie-break differently per engine/partitioning
+            dmean(F.col("price")).alias("price_mean"),
             med.alias("price_median"),
             p10.alias("price_p10"),
             p90.alias("price_p90"),
