@@ -522,8 +522,11 @@ WITH lookup AS (
            CAST(sum(transactions) OVER (PARTITION BY local_authority ORDER BY week
                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_trans,
            price_mean,
-           avg(price_mean) OVER (PARTITION BY local_authority ORDER BY week
-                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling_price_mean,
+           (CAST(sum(CAST(round(price_mean * 10000.0) AS BIGINT))
+                 OVER (PARTITION BY local_authority ORDER BY week
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0)
+               / count(price_mean) OVER (PARTITION BY local_authority ORDER BY week
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rolling_price_mean,
            4 AS window_weeks
     FROM dense
     UNION ALL
@@ -531,8 +534,11 @@ WITH lookup AS (
            CAST(sum(transactions) OVER (PARTITION BY local_authority ORDER BY week
                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_trans,
            price_mean,
-           avg(price_mean) OVER (PARTITION BY local_authority ORDER BY week
-                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rolling_price_mean,
+           (CAST(sum(CAST(round(price_mean * 10000.0) AS BIGINT))
+                 OVER (PARTITION BY local_authority ORDER BY week
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0)
+               / count(price_mean) OVER (PARTITION BY local_authority ORDER BY week
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS rolling_price_mean,
            12 AS window_weeks
     FROM dense
 ), scored AS (

@@ -44,13 +44,22 @@ def rolling_windows(
 ) -> DataFrame:
     """Per-LA rolling sum/mean for each window length, tagged ``window_weeks``."""
     base = Window.partitionBy("local_authority").orderBy("week")
+    # rolling mean as exact integer-unit sum / count: window avg over
+    # doubles is engine-combine-order dependent (DuckDB segment trees vs
+    # sequential), integer sums are not
+    pm_units = F.round(F.col("price_mean") * F.lit(10000.0)).cast("bigint")
     # step 1: every rolling column in ONE Window operator (flat columns —
     # window expressions are not allowed inside generators)
     flat_cols = []
     for w in windows:
         frame = base.rowsBetween(-(w - 1), Window.currentRow)
         flat_cols.append(F.sum("transactions").over(frame).alias(f"__rt_{w}"))
-        flat_cols.append(F.avg("price_mean").over(frame).alias(f"__rpm_{w}"))
+        rpm = (
+            F.sum(pm_units).over(frame).cast("double")
+            / F.lit(10000.0)
+            / F.count("price_mean").over(frame)
+        )
+        flat_cols.append(rpm.alias(f"__rpm_{w}"))
     windowed = dense_weekly.select(
         "week", "local_authority", "transactions", "price_mean", *flat_cols
     )
