@@ -1,0 +1,61 @@
+"""Curation operators: redaction correctness on real PII shapes, and
+deterministic sampling/splitting stability."""
+
+from __future__ import annotations
+
+from uk_housing_dashboard_etl_spark.operators.curation import (
+    dataset_split,
+    hash_sample,
+    redact_pii,
+    split_summary,
+)
+
+
+def test_redact_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "contact alice.smith+x@example.co.uk or bob@test.org today"),
+            (1, "call +44 20 7946 0958 or (555) 123-4567 now"),
+            (2, "server at 192.168.1.100 and 10.0.0.1 are up"),
+            (3, "no sensitive content here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = redact_pii(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2
+    assert "<EMAIL>" in out.loc[0, "redacted_text"]
+    assert "example.co.uk" not in out.loc[0, "redacted_text"]
+    assert out.loc[1, "n_phones"] >= 2
+    assert "<PHONE>" in out.loc[1, "redacted_text"]
+    assert out.loc[2, "n_ips"] == 2
+    assert "192.168.1.100" not in out.loc[2, "redacted_text"]
+    assert not bool(out.loc[3, "has_pii"])
+    assert out.loc[3, "redacted_text"] == "no sensitive content here at all"
+
+
+def test_hash_sample_stable_and_proportional(spark):
+    big = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    s1 = set(r.doc_id for r in hash_sample(big, "doc_id", 10).collect())
+    s2 = set(r.doc_id for r in hash_sample(big, "doc_id", 10).collect())
+    assert s1 == s2  # deterministic
+    assert 0.07 < len(s1) / 10_000 < 0.13  # ~10%
+    # membership is stable under corpus growth: the sample of a prefix is
+    # a subset of the sample of the whole
+    small = spark.range(0, 1_000).withColumnRenamed("id", "doc_id")
+    s_small = set(r.doc_id for r in hash_sample(small, "doc_id", 10).collect())
+    assert s_small <= s1
+    # nested sampling: 5% sample is a subset of the 10% sample
+    s5 = set(r.doc_id for r in hash_sample(big, "doc_id", 5).collect())
+    assert s5 <= s1
+
+
+def test_dataset_split_partitions_everything(spark):
+    big = spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(big, "doc_id").toPandas()
+    assert len(out) == 5_000
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    summary = split_summary(big, "doc_id").toPandas().set_index("split")
+    assert summary["n_docs"].sum() == 5_000
+    assert 0.06 < summary.loc["test", "n_docs"] / 5_000 < 0.14

@@ -450,6 +450,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones/IPv4 → typed tags) + per-doc counts."""
+    from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
+
+    return redact_pii(read_table(spark, sf_dir, "documents"))
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample via multiplicative id hashing."""
+    from uk_housing_dashboard_etl_spark.operators.curation import hash_sample
+
+    return hash_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", percent=10
+    ).select("doc_id", "n_chars")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment summary (80/10/10 by id hash)."""
+    from uk_housing_dashboard_etl_spark.operators.curation import split_summary
+
+    return split_summary(read_table(spark, sf_dir, "documents"), "doc_id")
+
+
 # -------------------------------------------- extension: multimodal
 
 
@@ -949,6 +972,35 @@ _EXTENSION_ORACLES: dict[str, str] = {
                (a, c) -> (a * 31 + c) % 1000000000000003) AS fingerprint
     FROM n
     """,
+    "redact_pii": """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+             '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]'))
+            + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) > 0 AS has_pii
+    FROM documents
+    """,
+    "hash_sample": """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 1000000007) % 100 < 10
+    """,
+    "dataset_split": """
+    SELECT CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 10 THEN 'test'
+                WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 20 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
     "multimodal_meta": """
     WITH media AS (
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -1027,6 +1079,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "redact_pii": q_redact_pii,
+    "hash_sample": q_hash_sample,
+    "dataset_split": q_dataset_split,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

@@ -1,0 +1,100 @@
+"""Corpus-curation operators: PII redaction, deterministic sampling,
+train/val/test splitting.
+
+All single-scan column expressions. Sampling/splitting use a
+multiplicative integer hash (Knuth 2654435761) on the id — exact 64-bit
+arithmetic, so assignments are reproducible across engines, runs, and
+partitionings (unlike ``rand()`` or engine-specific hash functions),
+and a document keeps its split forever as the corpus grows.
+
+Scale notes: redaction is regexp work inside codegen; sampling/splits
+are stateless row-local predicates — no shuffle anywhere. The split
+summary is one map-side-combinable aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # golden-ratio multiplicative hashing constant
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace emails/phones/IPv4s with typed placeholder tags; report
+    per-doc match counts so downstream filters can drop PII-heavy docs."""
+    text = F.col(text_col)
+    # F.regexp_extract_all with a lit pattern: avoids SQL-string escape
+    # mangling of backslashes in the regex
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted_text"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+        ((n_email + n_phone + n_ip) > 0).alias("has_pii"),
+    )
+
+
+def _hash_pct(id_col: str) -> Column:
+    """Deterministic pseudo-uniform percentile in [0, 100) from an id:
+    exact 64-bit multiplicative hash — identical in any engine."""
+    return (
+        (F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007)
+    ) % F.lit(100)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, percent: int = 10
+) -> DataFrame:
+    """Keep a deterministic ~``percent``% sample keyed on the id.
+
+    Membership is stable: re-running over a grown corpus re-selects
+    exactly the same surviving ids (unlike ``df.sample``)."""
+    return df.where(_hash_pct(id_col) < percent)
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    val_percent: int = 10,
+    test_percent: int = 10,
+) -> DataFrame:
+    """Assign train/val/test via the deterministic id hash.
+
+    [0, test) → test; [test, test+val) → val; rest → train.
+    """
+    pct = _hash_pct(id_col)
+    split = (
+        F.when(pct < test_percent, F.lit("test"))
+        .when(pct < test_percent + val_percent, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_summary(
+    df: DataFrame, id_col: str, val_percent: int = 10, test_percent: int = 10
+) -> DataFrame:
+    """Per-split doc counts — the sanity mart for a split assignment."""
+    return (
+        dataset_split(df, id_col, val_percent, test_percent)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
