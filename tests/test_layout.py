@@ -1,0 +1,61 @@
+"""Bucketed layout: co-bucketed join must need no shuffle on either side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.sources.layout import write_bucketed
+from uk_housing_dashboard_etl_spark.sources.readers import read_table
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # force the sort-merge path: at real scale neither fact side
+    # broadcasts, which is exactly the case bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in ["b_orders", "b_lineitem"]:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cobucketed_join_has_no_exchange(warehouse, sf_small):
+    spark = warehouse
+    orders = read_table(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = read_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 4, sort_keys=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 4, sort_keys=["l_orderkey"])
+
+    joined = (
+        spark.table("b_lineitem")
+        .join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    join_section = plan.split("\n\n")[0]
+    # the join itself consumes the bucketing: no Exchange below the join
+    join_line = next(
+        i for i, ln in enumerate(join_section.splitlines()) if "Join" in ln
+    )
+    below_join = "\n".join(join_section.splitlines()[join_line:])
+    assert "Exchange" not in below_join, plan
+    # correctness unaffected
+    unbucketed = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    got = {r.o_orderkey: r.qty for r in joined.collect()}
+    exp = {r.o_orderkey: r.qty for r in unbucketed.collect()}
+    assert got == exp
