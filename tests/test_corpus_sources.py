@@ -1,0 +1,71 @@
+"""JSONL corpus reader (schema-enforced, corrupt-line quarantine) and
+WebDataset-style tar shard reader (member explode + sample grouping)."""
+
+from __future__ import annotations
+
+import io
+import json
+import tarfile
+
+from uk_housing_dashboard_etl_spark.sources.corpus import (
+    read_jsonl_corpus,
+    read_tar_shards,
+    samples_from_members,
+    split_corrupt,
+)
+
+
+def test_jsonl_read_and_quarantine(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "hello world", "lang": "en", "source": "a"}),
+        json.dumps({"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "b"}),
+        '{"doc_id": 3, "text": "broken',  # corrupt line
+        json.dumps({"doc_id": 4, "text": None, "lang": "en", "source": "a"}),
+    ]
+    p.write_text("\n".join(lines))
+    df = read_jsonl_corpus(spark, str(p))
+    clean, bad = split_corrupt(df)
+    got = clean.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [1, 2, 4]
+    assert got.loc[0, "text"] == "hello world"
+    assert bad.count() == 1
+    assert "broken" in bad.collect()[0][0]
+
+
+def _make_shard(path, samples):
+    with tarfile.open(path, "w") as tf:
+        for name, payload in samples:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+
+
+def test_tar_shards_explode_and_group(spark, tmp_path):
+    _make_shard(
+        tmp_path / "shard-000.tar",
+        [
+            ("000001.jpg", b"\xff\xd8fakejpeg"),
+            ("000001.txt", b"a caption"),
+            ("000002.jpg", b"\xff\xd8other"),
+        ],
+    )
+    _make_shard(
+        tmp_path / "shard-001.tar",
+        [("000003.jpg", b"x" * 100), ("000003.json", b'{"w": 1}')],
+    )
+    members = read_tar_shards(spark, str(tmp_path / "*.tar"))
+    pdf = members.toPandas()
+    assert len(pdf) == 5
+    assert set(pdf["extension"]) == {"jpg", "txt", "json"}
+    row = pdf[pdf.member_name == "000001.txt"].iloc[0]
+    assert bytes(row["payload"]) == b"a caption"
+    assert row["sample_key"] == "000001" and row["shard"] == "shard-000.tar"
+
+    samples = samples_from_members(members).toPandas()
+    assert len(samples) == 3
+    s1 = samples[samples.sample_key == "000001"].iloc[0]
+    assert s1["n_parts"] == 2
+    assert set(s1["parts"].keys()) == {"jpg", "txt"}
+    s3 = samples[samples.sample_key == "000003"].iloc[0]
+    assert s3["total_bytes"] == 108

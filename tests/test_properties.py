@@ -78,10 +78,13 @@ def test_weekly_mart_matches_pandas_on_random_frames(spark, pdf):
     )
     assert len(got) == len(exp)
     np.testing.assert_array_equal(got["transactions"], exp["transactions"])
+    # price_mean uses dmean (1e-4-quantized inputs for cross-engine
+    # determinism): within the documented 5e-5 envelope of the true mean
     np.testing.assert_allclose(
         got["price_mean"].astype(float),
         exp["price_mean"].astype(float),
         rtol=1e-9,
+        atol=5.1e-5,
         equal_nan=True,
     )
     np.testing.assert_allclose(

@@ -302,6 +302,42 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint report in one aggregate pass
+    (nulls, key uniqueness, value range, accepted categories)."""
+    from uk_housing_dashboard_etl_spark.operators.quality_checks import (
+        accepted_values,
+        in_range,
+        not_null,
+        run_checks,
+        unique_key,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return run_checks(
+        ev,
+        [
+            not_null("ts"),
+            not_null("value"),
+            unique_key("event_id"),
+            in_range("value", 0.0, 1000.0),
+            accepted_values(
+                "event_type", ["click", "error", "purchase", "signup", "view"]
+            ),
+        ],
+    )
+
+
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: latest event per user by (ts, event_id)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import latest_by_key
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return latest_by_key(ev, ["user_id"], "ts", tie_cols=["event_id"])
+
+
 # ------------------------------------------- generic relational queries
 
 
@@ -329,6 +365,26 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
          ["customer", "orders", "lineitem", "nation"]}
     return top_customers_by_revenue(
         t["customer"], t["orders"], t["lineitem"], t["nation"]
+    )
+
+
+def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate (TPC-H Q6 shape, pushdown microbench)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        revenue_forecast_filter,
+    )
+
+    return revenue_forecast_filter(read_table(spark, sf_dir, "lineitem"))
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment join + per-order revenue + top-10 (TPC-H Q3 shape)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import shipping_priority
+
+    return shipping_priority(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
     )
 
 
@@ -775,6 +831,64 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     JOIN nation   ON c_nationkey = n_nationkey
     WHERE rank <= 20
     """,
+    "quality_checks": """
+    WITH agg AS (
+        SELECT avg(CASE WHEN ts IS NULL THEN 1.0 ELSE 0.0 END) AS not_null_ts,
+               avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS not_null_value,
+               (count(event_id) - count(DISTINCT event_id)) / count(event_id) AS unique_event_id,
+               avg(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 1000.0)
+                        THEN 1.0 ELSE 0.0 END) AS range_value,
+               avg(CASE WHEN event_type IS NOT NULL
+                         AND event_type NOT IN ('click','error','purchase','signup','view')
+                        THEN 1.0 ELSE 0.0 END) AS accepted_event_type
+        FROM events
+    )
+    SELECT u.check_name,
+           CAST(round(u.v * 10000.0) AS DOUBLE) AS violation_bps,
+           0.0 AS threshold_bps,
+           u.v <= 0.0 AS passed
+    FROM agg, LATERAL (
+        SELECT * FROM (VALUES
+            ('not_null_ts', agg.not_null_ts),
+            ('not_null_value', agg.not_null_value),
+            ('unique_event_id', agg.unique_event_id),
+            ('range_value', agg.range_value),
+            ('accepted_event_type', agg.accepted_event_type)
+        ) AS t(check_name, v)
+    ) u
+    """,
+    "latest_by_key": """
+    SELECT user_id, event_id, ts, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "revenue_filter": """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.02 AND l_discount <= 0.05
+      AND l_quantity < 24.0
+    """,
+    "shipping_priority": """
+    WITH per_order AS (
+        SELECT o_orderkey, o_orderdate,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-06-01'
+          AND l_shipdate  > TIMESTAMP '1996-06-01'
+        GROUP BY 1, 2
+    )
+    SELECT o_orderkey, o_orderdate, revenue,
+           CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS INTEGER) AS rank
+    FROM per_order
+    QUALIFY rank <= 10
+    """,
     "order_priority": """
     SELECT o_orderpriority, count(*) AS order_count
     FROM orders
@@ -1060,6 +1174,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_json": q_props_json,
     "sessionize": q_sessionize,
     "rollup_lineitem": q_rollup_lineitem,
+    "quality_checks": q_quality_checks,
+    "latest_by_key": q_latest_by_key,
+    "revenue_filter": q_revenue_filter,
+    "shipping_priority": q_shipping_priority,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,

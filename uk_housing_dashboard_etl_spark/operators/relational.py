@@ -151,6 +151,84 @@ def top_customers_by_revenue(
     )
 
 
+def revenue_forecast_filter(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: float = 0.02,
+    disc_hi: float = 0.05,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, the pushdown
+    microbenchmark — every predicate must reach the parquet scan and the
+    result is a single global sum (fully map-side combinable)."""
+    revenue = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-06-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered 3-way join + per-order revenue +
+    deterministic top-k (rounded revenue desc, orderkey asc)."""
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = (
+        lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(round4(_dsum(revenue)).alias("revenue"))
+    )
+    ranked = per_order.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        ),
+    )
+    return ranked.where(F.col("rank") <= k).select(
+        "o_orderkey", "o_orderdate", "revenue", "rank"
+    )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Upsert-style dedup: keep each key's latest row by ``order_col``
+    (deterministic tie-break). The standard CDC-compaction / SCD-1
+    operator — one window shuffle on the key, no join."""
+    order = [F.col(order_col).desc()] + [
+        F.col(c).desc() for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def order_priority_counts(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join, then count by priority."""
     flagged = lineitem.where(F.col("l_returnflag") == "R").select("l_orderkey")
