@@ -409,6 +409,33 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct counts vs exact, per event type (rows-only: sketch
+    internals are engine-specific; error bounds asserted in tests)."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import approx_cardinalities
+
+    return approx_cardinalities(read_table(spark, sf_dir, "events"))
+
+
+def q_sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable rollup: per-day HLL sketches unioned into weekly
+    distinct-user counts (rows-only)."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        mergeable_daily_distinct,
+    )
+
+    return mergeable_daily_distinct(read_table(spark, sf_dir, "events"))
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile estimates vs exact percentiles (rows-only)."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        quantile_sketch_summary,
+    )
+
+    return quantile_sketch_summary(read_table(spark, sf_dir, "events"))
+
+
 # -------------------------------------------- extension: dedup family
 
 
@@ -565,7 +592,7 @@ WITH lookup AS (
     WHERE c_custkey % 7 <> 3
 ), enriched AS (
     SELECT e.ts AS date,
-           CAST(e.event_id AS VARCHAR) AS transaction_id,
+           e.event_id AS transaction_id,
            e.value AS price,
            CAST(e.user_id AS VARCHAR) AS key,
            lower(trim(CAST(e.event_type AS VARCHAR))) AS prop_type,
@@ -1184,6 +1211,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
+    "sketch_cardinalities": q_sketch_cardinalities,
+    "sketch_weekly_distinct": q_sketch_weekly_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,

@@ -1,0 +1,117 @@
+"""Sketch-based approximate aggregation (Apache DataSketches built-ins).
+
+At 100 TB the exact versions of these queries are the expensive ones:
+count-distinct shuffles every distinct value, exact percentiles need
+per-group sorts. Sketches are constant-memory, map-side combinable and
+— critically — MERGEABLE: a day's sketch is computed once and unioned
+into weekly/monthly rollups without rescanning the day.
+
+- ``approx_cardinalities``   : HLL distinct counts next to exact ones
+  (the error actually paid is part of the output).
+- ``mergeable_daily_distinct``: per-day HLL sketches → ``hll_union_agg``
+  weekly rollup, compared against the exact weekly distinct — the
+  pre-aggregation pattern that makes 100 TB dashboards cheap.
+- ``quantile_sketch_summary`` : KLL quantile estimates vs the exact
+  percentiles — the documented degradation path for the weekly mart's
+  A3/A4 when group sorts become the bottleneck.
+
+All rows-only on the driver contract (sketch binaries are
+engine-specific); error bounds are asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_cardinalities(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group exact vs HLL distinct-id counts with relative error."""
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.countDistinct(id_col).alias("exact_distinct"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(id_col), F.lit(lg_k))
+            ).alias("approx_distinct"),
+        )
+        .withColumn(
+            "rel_error",
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+        )
+    )
+
+
+def mergeable_daily_distinct(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Weekly distinct users from MERGED per-day HLL sketches.
+
+    Stage 1 sketches each day once; stage 2 unions day-sketches into
+    weeks — the incremental-rollup shape where yesterday's raw data is
+    never rescanned. Output carries the exact weekly distinct for
+    comparison.
+    """
+    daily = (
+        events.withColumn("day", F.date_trunc("day", F.col(ts_col)))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("day_sketch"))
+    )
+    weekly_sketch = (
+        daily.withColumn("week", F.date_trunc("week", F.col("day")))
+        .groupBy("week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("day_sketch")).alias(
+                "approx_weekly_distinct"
+            )
+        )
+    )
+    weekly_exact = (
+        events.withColumn("week", F.date_trunc("week", F.col(ts_col)))
+        .groupBy("week")
+        .agg(F.countDistinct(id_col).alias("exact_weekly_distinct"))
+    )
+    return weekly_sketch.join(weekly_exact, "week")
+
+
+def quantile_sketch_summary(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile estimates vs exact percentiles.
+
+    The sketch path is one map-side-combinable aggregate — no per-group
+    sort — which is exactly what replaces exact percentiles (A3/A4) when
+    a 100 TB group no longer fits a sort.
+    """
+    return (
+        events.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double({value_col}, {k}), 0.5)"
+            ).alias("approx_median"),
+            F.percentile(value_col, 0.5).alias("exact_median"),
+            F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_sketch_agg_double({value_col}, {k}), 0.9)"
+            ).alias("approx_p90"),
+            F.percentile(value_col, 0.9).alias("exact_p90"),
+        )
+        .withColumn(
+            "median_rel_error",
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median"),
+        )
+    )

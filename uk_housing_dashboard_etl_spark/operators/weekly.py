@@ -57,12 +57,14 @@ def standardize_transactions(df_raw: DataFrame, normalize_key: bool = True) -> D
     else:
         price = coerce_double(F.col(roles["price"]))
     if roles["transaction_id"]:
-        tid = F.col(roles["transaction_id"]).cast("string")
+        # keep the source type: count-distinct over native longs avoids
+        # stringifying every id through the distinct expand at scale
+        tid = F.col(roles["transaction_id"])
     else:
         # P5 surrogate-id fallback: only ever consumed by count-distinct, so
         # non-contiguity is irrelevant; monotonically_increasing_id is
         # partition-parallel (no global coordination).
-        tid = F.monotonically_increasing_id().cast("string")
+        tid = F.monotonically_increasing_id()
     if roles["postcode"]:
         key = normalize_code(F.col(roles["postcode"])) if normalize_key else F.col(
             roles["postcode"]
