@@ -409,6 +409,61 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has none natively): each event annotated with
+    the user's latest at-or-before purchase, via the union + ordered
+    carry-forward window composition."""
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_tie"),
+    )
+    return asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        ts="ts",
+        right_value_cols=["purchase_value", "purchase_ts"],
+        tie_col="purchase_tie",
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via time binning: events landing in
+    the hour after each purchase by the same user, counted per user."""
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import (
+        range_join_binned,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    intervals = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("start"),
+            (F.timestamp_micros(F.unix_micros(F.col("ts")) + F.lit(3600_000000))).alias(
+                "end"
+            ),
+        )
+    )
+    joined = range_join_binned(
+        ev, intervals, ts="ts", start="start", end="end", by=["user_id"]
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("events_in_purchase_hour")
+    )
+
+
 def q_sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct counts vs exact, per event type (rows-only: sketch
     internals are engine-specific; error bounds asserted in tests)."""
@@ -1057,6 +1112,31 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM counts
     QUALIFY rank <= 50
     """,
+    "asof_join": """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    ), purchases AS (
+        SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           p.purchase_value AS asof_purchase_value,
+           p.purchase_ts AS asof_purchase_ts
+    FROM ev e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    "range_join": """
+    WITH intervals AS (
+        SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.user_id, count(*) AS events_in_purchase_hour
+    FROM events e
+    JOIN intervals i
+      ON e.user_id = i.user_id AND e.ts >= i.start_ts AND e.ts < i.end_ts
+    GROUP BY 1
+    """,
     "similarity_topk": f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
@@ -1211,6 +1291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
     "sketch_quantiles": q_sketch_quantiles,
