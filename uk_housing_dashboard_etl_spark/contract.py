@@ -88,6 +88,13 @@ BENCH_EXTRA: list[str] = [
     "sessionize",
     "top_ngrams",
     "week_over_week",
+    "asof_join",
+    "range_join",
+    "latest_by_key",
+    "quality_checks",
+    "revenue_filter",
+    "shipping_priority",
+    "weekly_type_pivot",
 ]
 
 
@@ -406,6 +413,20 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + hash agg per brand."""
     return brand_revenue(
         read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_weekly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: weeks × event types transaction matrix. Explicit
+    pivot values keep it single-pass (no distinct-values pre-query)."""
+    ev = read_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .groupBy("week")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
     )
 
 
@@ -1112,6 +1133,16 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM counts
     QUALIFY rank <= 50
     """,
+    "weekly_type_pivot": """
+    SELECT date_trunc('week', ts) AS week,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
     "asof_join": """
     WITH ev AS (
         SELECT event_id, ts, user_id, event_type, value FROM events
@@ -1291,6 +1322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
+    "weekly_type_pivot": q_weekly_type_pivot,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "sketch_cardinalities": q_sketch_cardinalities,
