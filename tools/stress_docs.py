@@ -1,0 +1,122 @@
+"""Scaling evidence for the training-data operators: fabricated corpora.
+
+Generates N synthetic documents executor-side (~100 words each from a
+1000-word vocabulary, with planted exact-duplicate pairs (ids ≡ 1 mod
+10 copy id-1) and near-duplicate pairs (ids ≡ 2 mod 10 copy id-2 plus
+one extra word)), writes parquet, and times the dedup/text operators.
+Prints one JSON line per size.
+
+Usage: python tools/stress_docs.py [n_docs ...]   (default: 200k 1M)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+    doc_fingerprint,
+    quality_score,
+    text_stats,
+    top_ngrams,
+)
+from uk_housing_dashboard_etl_spark.session import get_spark
+
+OUT = "/tmp/spark_graft_stress_docs"
+
+
+def fabricate_docs(spark, n_docs: int, path: str, words_per_doc: int = 100) -> None:
+    vocab = F.expr(
+        "transform(sequence(1, 1000), v -> concat('w', CAST(v AS STRING)))"
+    )
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 1, F.col("id") - 1)
+        .when(F.col("id") % 10 == 2, F.col("id") - 2)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+        (F.col("id") % 10 == 2).alias("is_near"),
+    )
+    text = F.concat_ws(
+        " ",
+        F.expr(
+            f"transform(sequence(1, {words_per_doc}),"
+            " i -> element_at(__vocab, CAST(abs(xxhash64(seed, i)) % 1000 + 1 AS INT)))"
+        ),
+    )
+    docs = (
+        base.withColumn("__vocab", vocab)
+        .withColumn("__base_text", text)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("is_near"),
+                F.concat(F.col("__base_text"), F.lit(" extraword")),
+            )
+            .otherwise(F.col("__base_text"))
+            .alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    sizes = [int(s) for s in sys.argv[1:]] or [200_000, 1_000_000]
+    spark = get_spark(app_name="stress-docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in sizes:
+        path = f"{OUT}/docs_{n}"
+        fabricate_docs(spark, n, path)
+        docs = spark.read.parquet(path)
+        times: dict[str, float] = {}
+        counts: dict[str, int] = {}
+
+        t0 = time.time()
+        counts["exact_dups"] = exact_dedup(docs).where("is_duplicate").count()
+        times["exact_dedup"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        counts["minhash_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
+        times["minhash_lsh"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        counts["simhash_pairs"] = simhash_pairs(docs, max_hamming=3).count()
+        times["simhash"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        text_stats(docs).count()
+        quality_score(docs).count()
+        doc_fingerprint(docs).count()
+        times["text_analysis"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        top_ngrams(docs, n=2, k=50).count()
+        times["top_ngrams"] = round(time.time() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "docs": n,
+                    "total_sec": round(sum(times.values()), 2),
+                    "stages": times,
+                    "found": counts,
+                }
+            )
+        )
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
