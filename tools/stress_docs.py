@@ -38,9 +38,6 @@ OUT = "/tmp/spark_graft_stress_docs"
 
 
 def fabricate_docs(spark, n_docs: int, path: str, words_per_doc: int = 100) -> None:
-    vocab = F.expr(
-        "transform(sequence(1, 1000), v -> concat('w', CAST(v AS STRING)))"
-    )
     base = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.when(F.col("id") % 10 == 1, F.col("id") - 1)
@@ -49,25 +46,22 @@ def fabricate_docs(spark, n_docs: int, path: str, words_per_doc: int = 100) -> N
         .alias("seed"),
         (F.col("id") % 10 == 2).alias("is_near"),
     )
+    # words synthesized arithmetically ('w' + hash%1000) — a vocab array
+    # column would materialize 1000 strings per row
     text = F.concat_ws(
         " ",
         F.expr(
             f"transform(sequence(1, {words_per_doc}),"
-            " i -> element_at(__vocab, CAST(abs(xxhash64(seed, i)) % 1000 + 1 AS INT)))"
+            " i -> concat('w', CAST(abs(xxhash64(seed, i)) % 1000 AS STRING)))"
         ),
     )
-    docs = (
-        base.withColumn("__vocab", vocab)
-        .withColumn("__base_text", text)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("is_near"),
-                F.concat(F.col("__base_text"), F.lit(" extraword")),
-            )
-            .otherwise(F.col("__base_text"))
-            .alias("text"),
+    docs = base.withColumn("__base_text", text).select(
+        "doc_id",
+        F.when(
+            F.col("is_near"), F.concat(F.col("__base_text"), F.lit(" extraword"))
         )
+        .otherwise(F.col("__base_text"))
+        .alias("text"),
     )
     docs.write.mode("overwrite").parquet(path)
 

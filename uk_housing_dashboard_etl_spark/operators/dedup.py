@@ -57,10 +57,20 @@ def exact_dedup(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _word_shingles(documents: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
+def _word_shingles(
+    documents: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (doc_id, shingle).
 
     Built with sequence/transform/explode — stays in whole-stage codegen.
+    ``distinct=True`` gives set semantics (required for exact Jaccard);
+    MinHash passes ``distinct=False`` because min() over a multiset
+    equals min() over its set — identical signatures without the
+    full-corpus dedup shuffle.
     """
     toks = F.split(_norm_text(F.col(text_col)), r"\s+")
     shingle_expr = F.expr(
@@ -70,11 +80,11 @@ def _word_shingles(documents: DataFrame, text_col: str, id_col: str, n: int = 3)
                i -> concat_ws(' ', slice(__toks, i + 1, {n})))
             END"""
     )
-    return (
+    out = (
         documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .select("doc_id", F.explode(shingle_expr).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -128,9 +138,17 @@ def minhash_signatures(
     set, using xxhash64 with the hash index as a mixed-in seed column.
 
     The k mins are one map-side-combinable groupBy — a single shuffle of
-    (doc_id, k longs) regardless of document size.
+    (doc_id, k longs) regardless of document size. Shingles skip the
+    set-dedup shuffle (min over a multiset equals min over its set);
+    instead the DOCUMENTS are repartitioned up front — shuffling the raw
+    docs is ~100× cheaper than shuffling their exploded shingles, and it
+    restores full-cluster parallelism for the explode+hash stage that
+    would otherwise run at input-split granularity.
     """
-    sh = _word_shingles(documents, text_col, id_col, shingle_n)
+    spark = documents.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    docs = documents.repartition(target, F.col(id_col))
+    sh = _word_shingles(docs, text_col, id_col, shingle_n, distinct=False)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
