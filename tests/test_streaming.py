@@ -113,6 +113,61 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     assert len(third) == 1 and third["transactions"].iloc[0] == 2
 
 
+def test_streaming_dedup_drops_redelivered_keys(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.streaming.dedup_stream import (
+        dedup_documents_stream,
+    )
+
+    d = tmp_path / "doc_landing"
+    ckpt = str(tmp_path / "dd_ckpt")
+    out = str(tmp_path / "dd_out")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        )
+
+    # batch 1: two distinct docs, one exact dup with different whitespace
+    docs(
+        [
+            (1, "hello  world", t0),
+            (2, "HELLO WORLD", t0 + dt.timedelta(minutes=1)),  # dup of 1
+            (3, "another doc", t0 + dt.timedelta(minutes=2)),
+        ]
+    ).write.mode("append").parquet(str(d))
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ingest_ts timestamp"
+        ).parquet(str(d))
+        q = (
+            dedup_documents_stream(stream, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    first = run()
+    assert sorted(first["doc_id"]) == [1, 3]  # normalized dup dropped
+
+    # batch 2: doc 1's content re-delivered within the watermark → dropped;
+    # a genuinely new doc passes
+    docs(
+        [
+            (4, "hello world", t0 + dt.timedelta(minutes=30)),
+            (5, "fresh content", t0 + dt.timedelta(minutes=31)),
+        ]
+    ).write.mode("append").parquet(str(d))
+    second = run()
+    assert sorted(second["doc_id"]) == [1, 3, 5]
+
+
 def test_stateful_anomaly_scores_across_batches(spark, tmp_path):
     d = tmp_path / "stream_in"
     t0 = dt.datetime(2024, 1, 1)
