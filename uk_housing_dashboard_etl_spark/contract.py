@@ -571,6 +571,40 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(corpus, _query_vectors(spark, sf_dir), k=10, bits=4)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: DataFrame-native k-means (iterative Lloyd's — the
+    non-SQL-expressible category) + probed exact rerank (rows-only;
+    recall vs brute force asserted in tests)."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    centroids = kmeans_fit(corpus, k=8, iterations=4)
+    return ivf_topk(
+        ivf_index(corpus, centroids),
+        centroids,
+        _query_vectors(spark, sf_dir),
+        k=10,
+        n_probes=3,
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: LSH-bucketed candidates +
+    exact cosine filter (rows-only; subset-of-exact asserted in tests)."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    return embedding_near_dup_lsh(
+        read_table(spark, sf_dir, "embeddings"), threshold=0.4, bits=3
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding cosine ≥ 0.4 (embedding-space near-dup).
 
@@ -1336,7 +1370,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "similarity_ivf": q_similarity_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "text_stats": q_text_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

@@ -1,0 +1,142 @@
+"""IVF (inverted-file) ANN index: DataFrame-native k-means + probed search.
+
+The second classic ANN family next to LSH: cluster the corpus once
+(Lloyd's iterations — an *iterative* algorithm expressed as repeated
+join/groupBy passes, the driver's non-SQL-expressible category), store
+each vector under its nearest centroid, and search only the query's
+``n_probes`` closest cells.
+
+Implementation is pure DataFrame ops:
+- centroids init: deterministic hash-sample of the corpus (no rand());
+- assign step: broadcast centroids → explode → exact distance → argmin
+  via ``min_by`` (one shuffle per iteration, map-side combinable);
+- update step: element-wise mean of assigned vectors via posexplode +
+  groupBy (dimension-parallel, no Python);
+- search: score only vectors in the probed cells, exact cosine rerank.
+
+Scale notes: k-means cost is iterations × (corpus × k distance evals)
+— with broadcast centroids it is embarrassingly parallel and never
+shuffles the corpus; only (id, cluster) pairs move. The trained index
+is just a column — persist the assigned corpus bucketed by cell and
+probes prune to matching files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.operators.similarity import cosine_expr
+
+
+def _sq_dist(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast centroids, min_by distance."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "vec",
+        "cell",
+        _sq_dist("vec", "centroid").alias("dist"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.min_by("cell", "dist").alias("cell"),
+        F.first("vec").alias("vec"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 16,
+    iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means; returns (cell, centroid array<double>).
+
+    Init picks k deterministic corpus vectors via multiplicative id
+    hashing — reproducible, no collect of data vectors to the driver.
+    """
+    vectors = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    w = Window.orderBy((F.col("vec_id") * F.lit(2654435761)) % F.lit(1_000_000_007))
+    centroids = (
+        vectors.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .select((F.col("__r") - 1).alias("cell"), F.col("vec").alias("centroid"))
+    )
+    for _ in range(iterations):
+        assigned = _assign(vectors, centroids)
+        # element-wise mean per cell: posexplode → (cell, dim) avg → array
+        centroids = (
+            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cell",
+                F.expr("transform(dm, s -> s.m)").alias("centroid"),
+            )
+        )
+    return centroids
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its cell: (vec_id, vec, cell)."""
+    vectors = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _assign(vectors, centroids)
+
+
+def ivf_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine over the query's ``n_probes``
+    nearest cells only."""
+    qs = queries.select(
+        "query_id", F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    q_cells = (
+        qs.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qvec", "cell", _sq_dist("qvec", "centroid").alias("dist")
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .where(F.col("__r") <= n_probes)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = index.join(F.broadcast(q_cells), "cell").select(
+        "query_id",
+        "vec_id",
+        round4(cosine_expr("qvec", "vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

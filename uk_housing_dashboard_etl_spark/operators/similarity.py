@@ -109,6 +109,53 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for :func:`embedding_near_dup`: candidate pairs share a
+    sign-projection LSH bucket (plus Hamming-1 probes on one side), exact
+    cosine filters them. Work drops from N²/2 to same-bucket pairs; high-
+    cosine pairs rarely disagree on more than one hyperplane, so recall
+    at near-dup thresholds stays high (asserted vs all-pairs in tests).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("vec"),
+        _bucket_expr(vec_col, bits).alias("bucket"),
+    )
+    probes = base.select(
+        F.col("vec_id"),
+        F.col("vec"),
+        F.explode(
+            F.expr(
+                f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
+                f" j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"
+            )
+        ).alias("bucket"),
+    )
+    a = probes.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            round4(cosine_expr("vec_a", "vec_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _bucket_expr(vec_col: str, bits: int) -> F.Column:
     """Sign-random-projection bucket id.
 
