@@ -100,6 +100,55 @@ def test_duplicate_clusters_transitive(spark):
     assert out.loc[7, "cluster_id"] == 7
 
 
+def test_connected_components_deep_chain_and_random(spark):
+    """Large-star/small-star must label a 64-node chain in far fewer
+    rounds than its diameter, and agree with union-find on a random
+    graph (shuffled ids so min-labels aren't trivially ordered)."""
+    import random
+
+    from uk_housing_dashboard_etl_spark.operators.dedup import connected_components
+
+    n = 64
+    perm = list(range(n))
+    random.Random(7).shuffle(perm)
+    ids = spark.createDataFrame([(p,) for p in perm], ["doc_id"])
+    chain = [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+    out = (
+        connected_components(ids, pairs, max_iterations=8)
+        .toPandas()
+        .set_index("node")
+    )
+    assert set(out["cluster_id"]) == {0}
+
+    # random sparse graph vs python union-find ground truth
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(120)]
+    parent = list(range(200))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    truth = {}
+    for v in range(200):
+        truth.setdefault(find(v), []).append(v)
+    expect = {v: min(mem) for mem in truth.values() for v in mem}
+    ids2 = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    pairs2 = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = (
+        connected_components(ids2, pairs2)
+        .toPandas()
+        .set_index("node")["cluster_id"]
+        .to_dict()
+    )
+    assert got == expect
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_med):
     emb = read_table(spark, sf_med, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)

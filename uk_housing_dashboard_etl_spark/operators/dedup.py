@@ -221,6 +221,95 @@ def minhash_lsh_pairs(
     )
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round: every node's strictly-larger neighbors are
+    re-pointed at the minimum of its closed neighborhood.
+
+    ``sym`` holds both directions of every edge as (u, v). Implemented
+    as groupBy-min + join (never collect_list), so a billion-degree hub
+    costs one map-side-combinable aggregate, not one giant array row.
+    """
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges_down: DataFrame) -> DataFrame:
+    """One small-star round over downward edges (u > v): each node and
+    its smaller neighbors all re-point at the neighborhood minimum."""
+    mins = edges_down.groupBy("u").agg(F.min("v").alias("m"))
+    joined = edges_down.join(mins, "u")
+    repointed = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select("u", F.col("m").alias("v"))
+    return (
+        repointed.unionByName(self_edge)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14): each node ends up labeled with the minimum id
+    reachable from it.
+
+    Converges in O(log n) rounds regardless of graph shape — a
+    64-node chain resolves in 3 rounds where plain min-label
+    propagation needs 63. Each round is two groupBy-min + join passes
+    (both skew-safe: no collect_list, hubs are plain aggregates that
+    AQE can split), a digest aggregate detects the fixpoint, and
+    ``localCheckpoint`` truncates the iterative lineage so the plan
+    doesn't grow exponentially across rounds.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_digest = None
+    for _ in range(max_iterations):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # large-star emits upward re-pointings (may be u<v); canonicalize
+        # back to downward (u>v) for the small-star pass.
+        grown = _large_star(sym).select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        edges = _small_star(grown).localCheckpoint()
+        digest = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        digest = (digest["n"], digest["h"])
+        if digest == prev_digest:
+            break
+        prev_digest = digest
+    mapping = edges.groupBy("u").agg(F.min("v").alias("root"))
+    return ids.select(F.col(id_col).alias("node")).join(
+        mapping, F.col("node") == F.col("u"), "left"
+    ).select(
+        "node", F.coalesce(F.col("root"), F.col("node")).alias("cluster_id")
+    )
+
+
 def duplicate_clusters(
     ids: DataFrame,
     pairs: DataFrame,
@@ -228,59 +317,17 @@ def duplicate_clusters(
     max_iterations: int = 20,
 ) -> DataFrame:
     """Transitive duplicate clustering: connected components over a
-    near-dup pair graph, via iterative min-label propagation.
+    near-dup pair graph, labeled with the min reachable doc_id plus the
+    cluster size.
 
     ``ids`` is the node set (one column ``id_col``); ``pairs`` has
-    (doc_a, doc_b) edges from any near-dup detector. Every node ends up
-    labeled with the minimum doc_id reachable from it (``cluster_id``).
-
-    Implementation is Pregel-lite: each round joins current labels
-    across edges and takes the min of (own label, neighbors' labels);
-    convergence in ≤ graph-diameter rounds, checked with a cheap
-    aggregate per round. Each round is one shuffle join + one groupBy —
-    at 100 TB-scale graphs the classic optimization is large-star/
-    small-star contraction (fewer rounds on high-degree graphs); dup
-    graphs from LSH are overwhelmingly tiny stars, where plain
-    propagation already converges in 2-3 rounds.
+    (doc_a, doc_b) edges from any near-dup detector. Delegates to
+    :func:`connected_components` (large-star/small-star, O(log n)
+    rounds) so deep duplicate chains — common when boilerplate strings
+    daisy-chain documents — cost the same as the tiny stars LSH
+    usually emits.
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .distinct()
-        .cache()
-    )
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("cluster_id")
-    ).cache()
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(ids, pairs, id_col, max_iterations)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
