@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
 from uk_housing_dashboard_etl_spark.operators.similarity import cosine_expr
 
 
@@ -66,11 +67,12 @@ def kmeans_fit(
     vectors = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    w = Window.orderBy((F.col("vec_id") * F.lit(2654435761)) % F.lit(1_000_000_007))
-    centroids = (
-        vectors.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= k)
-        .select((F.col("__r") - 1).alias("cell"), F.col("vec").alias("centroid"))
+    init_order = [
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1_000_000_007)).asc(),
+        F.col("vec_id").asc(),
+    ]
+    centroids = deterministic_topk(vectors, init_order, k, rank_name="__r").select(
+        (F.col("__r") - 1).alias("cell"), F.col("vec").alias("centroid")
     )
     for _ in range(iterations):
         assigned = _assign(vectors, centroids)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.functions.rounding import dmean, round4
+from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
 
 
 def _dsum(expr) -> F.Column:
@@ -112,10 +113,11 @@ def top_customers_by_revenue(
     """TPC-H Q10 shape + deterministic top-k.
 
     Revenue is rounded BEFORE ranking and ties break on the key, so the
-    cut is stable across engines/partitionings. The rank window is global
-    but runs on the already-aggregated (customer-grain) frame — at 100 TB
-    that frame is dim-sized, and Spark realizes global top-k as a
-    TakeOrdered-style operation rather than a full sort.
+    cut is stable across engines/partitionings. Top-k runs as
+    TakeOrderedAndProject over the customer-grain frame (per-partition
+    k-row heaps — no global sort, no single-partition window; see
+    functions/topk.py), and the rank column is attached over the k
+    survivors only.
     """
     ords = orders.where(
         (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
@@ -129,12 +131,9 @@ def top_customers_by_revenue(
         .groupBy("o_custkey")
         .agg(round4(_dsum(revenue)).alias("revenue"))
     )
-    ranked = per_cust.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
-        ),
-    ).where(F.col("rank") <= k)
+    ranked = deterministic_topk(
+        per_cust, [F.col("revenue").desc(), F.col("o_custkey")], k
+    )
     return (
         ranked.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(
@@ -198,15 +197,10 @@ def shipping_priority(
         .groupBy("o_orderkey", "o_orderdate")
         .agg(round4(_dsum(revenue)).alias("revenue"))
     )
-    ranked = per_order.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        ),
+    ranked = deterministic_topk(
+        per_order, [F.col("revenue").desc(), F.col("o_orderkey")], k
     )
-    return ranked.where(F.col("rank") <= k).select(
-        "o_orderkey", "o_orderdate", "revenue", "rank"
-    )
+    return ranked.select("o_orderkey", "o_orderdate", "revenue", "rank")
 
 
 def latest_by_key(

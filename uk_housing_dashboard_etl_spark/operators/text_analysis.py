@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
 
 # Tiny per-language stopword sets (top function words). Deterministic
 # lexicons, not a model — the point is the *operator shape*: token-set
@@ -132,9 +133,10 @@ def top_ngrams(
     """Corpus-wide top-k word n-grams by frequency (vocab/boilerplate
     analysis). Deterministic cut: rank by (count desc, ngram asc).
 
-    One explode + one hash aggregate (map-side combinable) + a rank over
-    the aggregated (ngram-grain) frame — the same top-k shape as
-    ``top_customers_by_revenue``, applied to text.
+    One explode + one hash aggregate (map-side combinable) + distributed
+    top-k (TakeOrderedAndProject; see functions/topk.py) over the
+    aggregated (ngram-grain) frame — at corpus scale the ngram vocabulary
+    is huge, so the cut must never funnel it through one partition.
     """
     toks = _tokens(text_col)
     grams = F.expr(
@@ -149,12 +151,10 @@ def top_ngrams(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("ngram", "freq", "rank")
+    ranked = deterministic_topk(
+        counts, [F.col("freq").desc(), F.col("ngram")], k
     )
+    return ranked.select("ngram", "freq", "rank")
 
 
 def doc_fingerprint(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
