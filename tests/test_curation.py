@@ -59,3 +59,51 @@ def test_dataset_split_partitions_everything(spark):
     summary = split_summary(big, "doc_id").toPandas().set_index("split")
     assert summary["n_docs"].sum() == 5_000
     assert 0.06 < summary.loc["test", "n_docs"] / 5_000 < 0.14
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim copy: shares every benchmark 3-gram (7 of them)
+            (0, "the quick brown fox jumps over the lazy dog"),
+            # partial leak: "quick brown fox jumps" = two shared 3-grams
+            (1, "she saw a quick brown fox jumps right past"),
+            # clean doc, same vocabulary but no shared 3-gram
+            (2, "dog lazy the over jumps fox brown quick the"),
+            # too short for any 3-gram
+            (3, "hi there"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=3, threshold=3).collect()
+    }
+    assert out[0]["ngram_hits"] == 7 and out[0]["contaminated"]
+    assert out[1]["ngram_hits"] == 2 and not out[1]["contaminated"]
+    assert out[2]["ngram_hits"] == 0 and not out[2]["contaminated"]
+    assert out[3]["ngram_hits"] == 0 and not out[3]["contaminated"]
+    # the benchmark n-gram set must broadcast — the corpus never shuffles
+    plan = (
+        decontaminate(docs, bench, n=3, threshold=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_repeated_grams_count_once(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c a b c")], ["doc_id", "text"]
+    )
+    row = decontaminate(docs, bench, n=3, threshold=1).collect()[0]
+    # "a b c" appears 3x in the doc but is ONE distinct shared gram
+    assert row["ngram_hits"] == 1 and row["contaminated"]

@@ -207,3 +207,25 @@ def test_fingerprint_order_sensitive(spark):
     fp = doc_fingerprint(docs).toPandas().set_index("doc_id").fingerprint
     assert fp[0] == fp[2]
     assert fp[0] != fp[1]
+
+
+def test_repetition_stats_ratios(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
+            (1, "all tokens here are unique"), # 4 bigrams, 4 distinct
+            (2, "word"),                        # no bigram at all
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["total_ngrams"] == 4 and out[0]["distinct_ngrams"] == 1
+    assert out[0]["dup_ngram_ratio"] == 0.75 and out[0]["repetitive"]
+    assert out[0]["dup_token_ratio"] == 0.8
+    assert out[1]["dup_ngram_ratio"] == 0.0 and not out[1]["repetitive"]
+    assert out[2]["total_ngrams"] == 0 and out[2]["dup_ngram_ratio"] == 0.0
+    assert not out[2]["repetitive"]

@@ -95,6 +95,8 @@ BENCH_EXTRA: list[str] = [
     "revenue_filter",
     "shipping_priority",
     "weekly_type_pivot",
+    "decontaminate",
+    "repetition_stats",
 ]
 
 
@@ -664,6 +666,30 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.curation import split_summary
 
     return split_summary(read_table(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage guard: per-doc count of distinct word 3-grams shared
+    with a benchmark set (a deterministic 5% hash-sample stands in for
+    the eval suite), ≥5 shared grams ⇒ contaminated."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        decontaminate,
+        hash_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = hash_sample(docs, "doc_id", percent=5)
+    return decontaminate(docs, bench, n=3, threshold=5)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-2-gram / repeated-token ratios + Gopher-style
+    repetitive flag."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    return repetition_stats(read_table(spark, sf_dir, "documents"))
 
 
 # -------------------------------------------- extension: multimodal
@@ -1287,6 +1313,50 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM documents
     GROUP BY 1
     """,
+    "decontaminate": f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), bench AS (
+        SELECT DISTINCT ngram FROM grams
+        WHERE ((doc_id * 2654435761) % 1000000007) % 100 < 5
+    ), hits AS (
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
+        FROM grams g JOIN bench b USING (ngram)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.ngram_hits, 0) AS ngram_hits,
+           coalesce(h.ngram_hits, 0) >= 5 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    "repetition_stats": f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), ex AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ), agg AS (
+        SELECT doc_id, CAST(count(*) AS INTEGER) AS total_ngrams,
+               CAST(count(DISTINCT ngram) AS INTEGER) AS distinct_ngrams
+        FROM ex GROUP BY 1
+    )
+    SELECT k.doc_id,
+           coalesce(a.total_ngrams, 0) AS total_ngrams,
+           coalesce(a.distinct_ngrams, 0) AS distinct_ngrams,
+           round(CASE WHEN coalesce(a.total_ngrams, 0) = 0 THEN 0.0
+                      ELSE 1.0 - a.distinct_ngrams * 1.0 / a.total_ngrams END, 4)
+               AS dup_ngram_ratio,
+           round(CASE WHEN coalesce(len(k.t), 0) = 0 THEN 0.0
+                      ELSE 1.0 - len(list_distinct(k.t)) * 1.0 / len(k.t) END, 4)
+               AS dup_token_ratio,
+           round(CASE WHEN coalesce(a.total_ngrams, 0) = 0 THEN 0.0
+                      ELSE 1.0 - a.distinct_ngrams * 1.0 / a.total_ngrams END, 4)
+               > 0.2 AS repetitive
+    FROM toks k LEFT JOIN agg a USING (doc_id)
+    """,
     "multimodal_meta": """
     WITH media AS (
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
@@ -1380,6 +1450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "hash_sample": q_hash_sample,
     "dataset_split": q_dataset_split,
+    "decontaminate": q_decontaminate,
+    "repetition_stats": q_repetition_stats,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

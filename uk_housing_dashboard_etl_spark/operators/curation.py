@@ -89,6 +89,62 @@ def dataset_split(
     return df.withColumn("split", split)
 
 
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose text
+    shares ≥ ``threshold`` distinct word ``n``-grams with a benchmark
+    corpus (the standard eval-leakage guard for training-data pipelines;
+    production runs use n≈8-13, short synthetic docs here use n=3).
+
+    Shape: explode each side to its DISTINCT per-doc n-grams, inner-join
+    on ngram, count hits per doc, left-join back onto the candidate set
+    so clean docs report 0. The benchmark n-gram set is a real eval
+    suite — thousands of docs, not corpus-scale — so it broadcasts and
+    the corpus never shuffles; per-doc dedup of n-grams happens map-side
+    inside ``array_distinct`` before the explode.
+    """
+    bench_grams = (
+        _doc_ngrams(benchmark, text_col, id_col, n).select("ngram").distinct()
+    )
+    cand_grams = _doc_ngrams(documents, text_col, id_col, n)
+    hits = (
+        cand_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("ngram_hits"))
+    )
+    cand = documents.select(F.col(id_col).alias("doc_id"))
+    return cand.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("ngram_hits"), F.lit(0)).alias("ngram_hits"),
+        (F.coalesce(F.col("ngram_hits"), F.lit(0)) >= threshold).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _doc_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, ngram) pairs, distinct per doc — whitespace word grams."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"""CASE WHEN size(__toks) < {n} THEN array()
+             ELSE array_distinct(transform(sequence(0, size(__toks) - {n}),
+                                 i -> concat_ws(' ', slice(__toks, i + 1, {n}))))
+            END"""
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.explode(grams).alias("ngram"))
+    )
+
+
 def split_summary(
     df: DataFrame, id_col: str, val_percent: int = 10, test_percent: int = 10
 ) -> DataFrame:

@@ -157,6 +157,51 @@ def top_ngrams(
     return ranked.select("ngram", "freq", "rank")
 
 
+def repetition_stats(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rule):
+    the fraction of repeated word ``n``-grams and repeated tokens inside
+    each document. Highly repetitive docs (boilerplate, keyword spam,
+    degenerate generations) get ``repetitive = true``.
+
+    dup_ngram_ratio = 1 − distinct_ngrams/total_ngrams (0 when a doc has
+    no n-grams); dup_token_ratio likewise over single tokens. Pure
+    row-local array expressions — one scan, zero shuffles, exact integer
+    ratios so the oracle comparison is bit-exact.
+    """
+    toks = _tokens(text_col)
+    grams = F.expr(
+        f"""CASE WHEN size(__toks) < {n} THEN array()
+             ELSE transform(sequence(0, size(__toks) - {n}),
+                            i -> concat_ws(' ', slice(__toks, i + 1, {n})))
+            END"""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).select("doc_id", "__toks", grams.alias("__grams"))
+    n_tokens = F.size(F.col("__toks"))
+    total = F.size(F.col("__grams"))
+    distinct = F.size(F.array_distinct(F.col("__grams")))
+    distinct_toks = F.size(F.array_distinct(F.col("__toks")))
+    dup_ngram = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+    dup_token = F.when(
+        n_tokens > 0, 1.0 - distinct_toks / n_tokens
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        round4(dup_ngram).alias("dup_ngram_ratio"),
+        round4(dup_token).alias("dup_token_ratio"),
+        (round4(dup_ngram) > F.lit(flag_threshold)).alias("repetitive"),
+    )
+
+
 def doc_fingerprint(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-sensitive polynomial rolling hash of the normalized text:
     fold over code points of h → (h·31 + code) mod FP_MOD.
