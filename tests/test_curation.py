@@ -107,3 +107,34 @@ def test_decontaminate_repeated_grams_count_once(spark):
     row = decontaminate(docs, bench, n=3, threshold=1).collect()[0]
     # "a b c" appears 3x in the doc but is ONE distinct shared gram
     assert row["ngram_hits"] == 1 and row["contaminated"]
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    out = stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 20}, default_percent=80
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # hash is uniform-ish: en keeps ~20% of 1000, zh ~80% of 1000
+    assert 120 <= counts["en"] <= 280
+    assert 700 <= counts["zh"] <= 900
+    # deterministic: same ids selected on re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 20}, default_percent=80
+    ).collect())
+    assert ids1 == ids2
+    # strata are subsets of the unstratified sample at the same rate
+    from uk_housing_dashboard_etl_spark.operators.curation import hash_sample
+    flat20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 20).collect()}
+    en_ids = {r["doc_id"] for r in out.where("lang = 'en'").collect()}
+    assert en_ids <= flat20

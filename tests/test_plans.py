@@ -71,3 +71,17 @@ def test_dedup_exact_shuffles_hash_not_text(spark):
         ln for ln in plan.splitlines() if "hashpartitioning" in ln.lower()
     ]
     assert exchange_lines and all("content_hash" in ln for ln in exchange_lines)
+
+
+def test_global_topk_never_single_partition_window(spark):
+    # global top-k must compile to TakeOrderedAndProject (per-partition
+    # k-row heaps), NEVER a row_number window over one partition pulling
+    # the whole frame through a single reducer
+    for name in ["top_customers", "shipping_priority", "top_ngrams"]:
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = plan_of(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan

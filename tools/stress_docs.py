@@ -26,9 +26,14 @@ from uk_housing_dashboard_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from uk_housing_dashboard_etl_spark.operators.curation import (
+    decontaminate,
+    hash_sample,
+)
 from uk_housing_dashboard_etl_spark.operators.text_analysis import (
     doc_fingerprint,
     quality_score,
+    repetition_stats,
     text_stats,
     top_ngrams,
 )
@@ -98,6 +103,20 @@ def main() -> None:
         t0 = time.time()
         top_ngrams(docs, n=2, k=50).count()
         times["top_ngrams"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        repetition_stats(docs).count()
+        times["repetition_stats"] = round(time.time() - t0, 2)
+
+        # benchmark side = 0.1% of the corpus (an eval-suite-sized set)
+        t0 = time.time()
+        bench = hash_sample(docs, "doc_id", percent=1)
+        counts["contaminated"] = (
+            decontaminate(docs, bench, n=3, threshold=5)
+            .where("contaminated")
+            .count()
+        )
+        times["decontaminate"] = round(time.time() - t0, 2)
 
         print(
             json.dumps(

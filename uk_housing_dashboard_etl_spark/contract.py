@@ -97,6 +97,7 @@ BENCH_EXTRA: list[str] = [
     "weekly_type_pivot",
     "decontaminate",
     "repetition_stats",
+    "corpus_cube",
 ]
 
 
@@ -666,6 +667,43 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.curation import split_summary
 
     return split_summary(read_table(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep 25% of dominant 'en' docs, 50% of every
+    other language (deterministic per-stratum hash sampling)."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        read_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "lang",
+        rates={"en": 25},
+        default_percent=50,
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (lang, source) corpus inventory: doc counts + char volumes
+    across the full subtotal lattice (the dataset-card mart)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang", "source", "g_lang", "g_source",
+            "n_docs", "total_chars", "min_chars", "max_chars",
+        )
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1351,23 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM documents
     GROUP BY 1
     """,
+    "stratified_sample": """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 1000000007) % 100 <
+          CASE WHEN lang = 'en' THEN 25 ELSE 50 END
+    """,
+    "corpus_cube": """
+    SELECT lang, source,
+           CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+           CAST(GROUPING(source) AS INTEGER) AS g_source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
     "decontaminate": f"""
     WITH toks AS (
         SELECT doc_id, {_TOKS} AS t FROM documents
@@ -1450,6 +1505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "hash_sample": q_hash_sample,
     "dataset_split": q_dataset_split,
+    "stratified_sample": q_stratified_sample,
+    "corpus_cube": q_corpus_cube,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "multimodal_meta": q_multimodal_meta,

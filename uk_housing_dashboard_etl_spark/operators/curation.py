@@ -70,6 +70,38 @@ def hash_sample(
     return df.where(_hash_pct(id_col) < percent)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_percent: int = 10,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``rates[stratum]``% of
+    each stratum's rows (``default_percent`` for unlisted strata) —
+    the rebalancing primitive for corpus mixing (e.g. downsample the
+    dominant language, keep all of a rare one).
+
+    Same multiplicative id hash as :func:`hash_sample`, so membership is
+    stable as the corpus grows and across engines; the per-stratum
+    threshold is just a CASE expression — a stateless row-local
+    predicate, no shuffle, no sort, at any scale.
+    """
+    threshold: Column | None = None
+    for value in sorted(rates):
+        cond = F.col(strata_col) == value
+        if threshold is None:
+            threshold = F.when(cond, F.lit(rates[value]))
+        else:
+            threshold = threshold.when(cond, F.lit(rates[value]))
+    threshold = (
+        threshold.otherwise(F.lit(default_percent))
+        if threshold is not None
+        else F.lit(default_percent)
+    )
+    return df.where(_hash_pct(id_col) < threshold)
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str,
