@@ -36,10 +36,14 @@ from uk_housing_dashboard_etl_spark.operators import (
 from uk_housing_dashboard_etl_spark.operators.relational import (
     brand_revenue,
     customers_without_orders,
+    idle_capital,
+    large_orders,
     order_priority_counts,
     pricing_summary,
+    promo_revenue,
     revenue_by_nation,
     top_customers_by_revenue,
+    top_supplier,
 )
 from uk_housing_dashboard_etl_spark.operators.dedup import (
     exact_dedup,
@@ -98,6 +102,10 @@ BENCH_EXTRA: list[str] = [
     "decontaminate",
     "repetition_stats",
     "corpus_cube",
+    "promo_revenue",
+    "large_orders",
+    "idle_capital",
+    "top_supplier",
 ]
 
 
@@ -416,6 +424,38 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + hash agg per brand."""
     return brand_revenue(
         read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share (conditional ratio)."""
+    return promo_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered order-grain aggregate joined back
+    to orders/customers."""
+    return large_orders(
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never placed
+    a large order, per nation (scalar subquery + anti join)."""
+    return idle_capital(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) at the global quarterly revenue max."""
+    return top_supplier(
+        read_table(spark, sf_dir, "supplier"), read_table(spark, sf_dir, "lineitem")
     )
 
 
@@ -996,6 +1036,55 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY 1, 2
     """,
+    "promo_revenue": """
+    SELECT round(100.0 * (CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                 / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS promo_revenue_pct,
+           round(CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS promo_revenue,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    "large_orders": """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice, total_qty
+    FROM per_order
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE total_qty > 250.0
+    """,
+    "idle_capital": """
+    WITH avg_bal AS (
+        SELECT (CAST(sum(CAST(round(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+               / count(c_acctbal) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(CAST(sum(CAST(round(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_acctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    GROUP BY 1
+    """,
+    "top_supplier": """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, s_nationkey, total_revenue
+    FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM per_supp)
+    """,
     "revenue_by_nation": """
     SELECT n_name,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
@@ -1481,6 +1570,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority": q_order_priority,
     "customers_without_orders": q_customers_without_orders,
     "brand_revenue": q_brand_revenue,
+    "promo_revenue": q_promo_revenue,
+    "large_orders": q_large_orders,
+    "idle_capital": q_idle_capital,
+    "top_supplier": q_top_supplier,
     "weekly_type_pivot": q_weekly_type_pivot,
     "asof_join": q_asof_join,
     "range_join": q_range_join,

@@ -265,3 +265,131 @@ def brand_revenue(part: DataFrame, lineitem: DataFrame, min_size: int = 10) -> D
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: conditional-numerator ratio over one joined scan.
+
+    Numerator and denominator are both exact integer-unit sums from the
+    SAME aggregate (no second pass, no join of two aggregates), so the
+    percentage is one deterministic double division.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    promo = _dsum(F.when(F.col("p_type") == "PROMO", rev))
+    total = _dsum(rev)
+    return joined.agg(
+        round4(F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+        round4(promo).alias("promo_revenue"),
+        round4(total).alias("total_revenue"),
+    )
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact-grain aggregate, then join the
+    survivors back to their order/customer rows.
+
+    The quantity aggregate runs at order grain BEFORE any join — the
+    HAVING filter kills ~99% of orders, so only the survivors (a
+    dim-sized frame, broadcastable) meet the orders/customer tables.
+    """
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(
+            F.broadcast(per_order), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            round4(F.col("o_totalprice")).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def idle_capital(
+    customer: DataFrame, orders: DataFrame, min_order: float = 300_000.0
+) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS, grouped.
+
+    Customers with above-average positive balance who never placed a
+    large (> ``min_order``) order, summarized per nation. The scalar
+    average broadcasts (1-row cross join); the anti join expresses
+    NOT EXISTS without materializing order rows — the big-order filter
+    pushes to the orders scan before the anti join's build side.
+    """
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        dmean(F.col("c_acctbal")).alias("__avg_bal")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    idle = rich.join(
+        orders.where(F.col("o_totalprice") > min_order).select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        round4(_dsum(F.col("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-of-aggregate — supplier(s) whose
+    quarterly revenue equals the global maximum.
+
+    Revenue is rounded before the max/equality so the comparison is on
+    engine-identical doubles; the 1-row max broadcasts back onto the
+    supplier-grain frame (no global sort, no window).
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(round4(_dsum(rev)).alias("total_revenue"))
+    )
+    max_rev = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "s_nationkey", "total_revenue")
+    )
