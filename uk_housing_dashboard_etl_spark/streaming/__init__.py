@@ -1,6 +1,10 @@
 from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
     weekly_stream,
     run_stream_once,
+    run_stream_to_parquet,
+)
+from uk_housing_dashboard_etl_spark.streaming.session_stream import (
+    session_stream,
 )
 
-__all__ = ["weekly_stream", "run_stream_once"]
+__all__ = ["weekly_stream", "run_stream_once", "run_stream_to_parquet", "session_stream"]

@@ -74,16 +74,52 @@ def weekly_stream(
     )
 
 
-def run_stream_once(stream_df: DataFrame, query_name: str = "weekly_stream") -> DataFrame:
+def run_stream_once(
+    stream_df: DataFrame,
+    query_name: str = "weekly_stream",
+    output_mode: str = "complete",
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Drain all currently-available input (Trigger.AvailableNow — the
     daily-batch cadence) into an in-memory sink and return the result as
-    a batch DataFrame."""
-    q = (
+    a batch DataFrame.
+
+    ``output_mode='append'`` + a ``checkpoint`` path is the session-window
+    pattern: append only emits a window once the watermark passes its
+    end, which for availableNow means on a LATER run — state carries
+    across runs through the checkpoint, exactly like a daily relaunch.
+    """
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.start()
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drain available input into an append-only parquet sink.
+
+    The durable variant of :func:`run_stream_once`: the file sink is
+    fault-tolerant, so a LATER run with the same checkpoint resumes the
+    stream's state — the pattern session windows need (append mode emits
+    a session only once the watermark passes its end, i.e. typically on
+    a subsequent daily run). The memory sink cannot recover a
+    checkpoint; this one can.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
