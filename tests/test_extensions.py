@@ -229,3 +229,38 @@ def test_repetition_stats_ratios(spark):
     assert out[1]["dup_ngram_ratio"] == 0.0 and not out[1]["repetitive"]
     assert out[2]["total_ngrams"] == 0 and out[2]["dup_ngram_ratio"] == 0.0
     assert not out[2]["repetitive"]
+
+
+def test_filter_funnel_reasons(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        filter_funnel,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and it is a truly fine "
+        "day for all of us to wander in the old park that sits by the "
+        "river while we talk of many things and watch the world go by"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                   # passes every rule
+            (1, "tiny doc"),                             # too_short
+            (2, "zzz qqq www eee rrr ttt yyy uuu iii"),  # low_quality (no stopwords)
+            (3, "the cat " * 40),                        # repetitive bigrams
+            # wrong_lang: long varied Spanish — unique fillers between
+            # stopwords keep every bigram distinct and quality above bar
+            (4, " ".join(
+                f"{s} w{i}" for i, s in enumerate(
+                    ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"] * 4
+                )
+            )),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in filter_funnel(docs).collect()}
+    assert out[0]["keep"] and out[0]["drop_reason"] is None
+    assert out[1]["drop_reason"] == "too_short"
+    assert out[2]["drop_reason"] == "low_quality"
+    assert out[3]["drop_reason"] == "repetitive"
+    assert out[4]["drop_reason"] == "wrong_lang"
+    assert not any(out[i]["keep"] for i in (1, 2, 3, 4))

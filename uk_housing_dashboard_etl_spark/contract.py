@@ -106,6 +106,7 @@ BENCH_EXTRA: list[str] = [
     "large_orders",
     "idle_capital",
     "top_supplier",
+    "filter_funnel",
 ]
 
 
@@ -758,6 +759,16 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = hash_sample(docs, "doc_id", percent=5)
     return decontaminate(docs, bench, n=3, threshold=5)
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop funnel: length, quality, repetition and
+    language rules in one row-local pass; first failing rule recorded."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        filter_funnel,
+    )
+
+    return filter_funnel(read_table(spark, sf_dir, "documents"))
 
 
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,6 +1543,49 @@ _lang_case = "CASE " + " ".join(
     + f" THEN '{lang}'"
     for lang in ["en", "de", "es", "fr", "zh"]
 ) + " END"
+_lang_score_t = {
+    lang: "len(list_filter(t, x -> x IN ("
+    + ", ".join("'" + w + "'" for w in ws)
+    + ")))"
+    for lang, ws in STOPWORDS.items()
+}
+_lang_case_t = "CASE " + " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"({_lang_score_t[lang]}) >= ({_lang_score_t[other]})"
+        for other in ["en", "de", "es", "fr", "zh"]
+        if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in ["en", "de", "es", "fr", "zh"]
+) + " END"
+_EXTENSION_ORACLES["filter_funnel"] = f"""
+    WITH s AS (
+        SELECT doc_id, text, {_TOKS} AS t FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
+                   + 0.3 * least(1.0, len(t) / 100.0)
+                   + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4) AS quality,
+               round(CASE WHEN len(t) < 2 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) * 1.0
+                                     / (len(t) - 1) END, 4) AS dup_ngram_ratio,
+               {_lang_case_t} AS predicted_lang
+        FROM s
+    ), d AS (
+        SELECT *,
+               CASE WHEN n_tokens < 5 THEN 'too_short'
+                    WHEN quality < 0.5 THEN 'low_quality'
+                    WHEN dup_ngram_ratio > 0.2 THEN 'repetitive'
+                    WHEN predicted_lang NOT IN ('en') THEN 'wrong_lang'
+                    ELSE NULL END AS drop_reason
+        FROM m
+    )
+    SELECT doc_id, n_tokens, quality, dup_ngram_ratio, predicted_lang,
+           drop_reason, drop_reason IS NULL AS keep
+    FROM d
+    """
 _EXTENSION_ORACLES["lang_id"] = (
     "SELECT doc_id, "
     + ", ".join(
@@ -1602,6 +1656,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_cube": q_corpus_cube,
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "filter_funnel": q_filter_funnel,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

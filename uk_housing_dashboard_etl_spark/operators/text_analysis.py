@@ -219,3 +219,83 @@ def doc_fingerprint(documents: DataFrame, text_col: str = "text", id_col: str = 
     return documents.select(
         F.col(id_col).alias("doc_id"), norm.alias("__norm")
     ).select("doc_id", fp.alias("fingerprint"))
+
+
+def filter_funnel(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    max_dup_ngram: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The curation keep/drop funnel (C4/Gopher-style): length, quality,
+    repetition and language rules evaluated in ONE pass, with the first
+    failing rule recorded as ``drop_reason``.
+
+    Everything is row-local column math (no joins between the metric
+    marts, no shuffle at any corpus size); rule thresholds compare
+    4dp-rounded values so the decision is bit-identical across engines.
+    """
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = n_chars - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    quality = round4(
+        F.lit(0.4) * F.least(F.lit(1.0), (stop_hits / n_tokens) * 5)
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), (punct / n_chars) * 10))
+    )
+    grams = F.expr(
+        """CASE WHEN size(__toks) < 2 THEN array()
+             ELSE transform(sequence(0, size(__toks) - 2),
+                            i -> concat_ws(' ', slice(__toks, i + 1, 2)))
+            END"""
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias(text_col),
+        toks.alias("__toks"),
+    ).select("doc_id", text_col, "__toks", grams.alias("__grams"))
+    total = F.size(F.col("__grams"))
+    dup = round4(
+        F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total
+        ).otherwise(F.lit(0.0))
+    )
+
+    def _hits(words: list[str]) -> F.Column:
+        # one-param lambda only: F.filter treats a 2nd param as the index
+        return F.size(F.filter(F.col("__toks"), lambda t: t.isin(words)))
+
+    scores = {lang: _hits(ws) for lang, ws in STOPWORDS.items()}
+    pred = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+
+    n_toks2 = F.size(F.col("__toks"))
+    drop_reason = (
+        F.when(n_toks2 < min_tokens, F.lit("too_short"))
+        .when(quality < F.lit(min_quality), F.lit("low_quality"))
+        .when(dup > F.lit(max_dup_ngram), F.lit("repetitive"))
+        .when(~pred.isin(*langs), F.lit("wrong_lang"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    # recompute quality/stop exprs against base's text column
+    return base.select(
+        "doc_id",
+        n_toks2.alias("n_tokens"),
+        quality.alias("quality"),
+        dup.alias("dup_ngram_ratio"),
+        pred.alias("predicted_lang"),
+        drop_reason.alias("drop_reason"),
+        drop_reason.isNull().alias("keep"),
+    )
