@@ -1,0 +1,100 @@
+"""Incremental weekly-mart maintenance (the daily-batch loop, done right).
+
+The reference re-downloads and recomputes the WORLD every day
+(ref ``.github/workflows/daily-etl.yml:9-12`` + ``etl/etl_main.py:331``).
+At 100 TB that is the single worst cost in the system: a day's new
+sales touch one or two Monday-week buckets, yet the full-history mart
+is rebuilt from scratch.
+
+This operator maintains the mart incrementally:
+
+1. append the day's cleaned increment to a raw zone PARTITIONED BY
+   week (`week_key=YYYY-MM-DD` directory per Monday);
+2. recompute the mart ONLY for the weeks the increment touched — the
+   zone read filters on the partition column with literal values, so
+   the scan prunes to those directories (verify `PartitionFilters` in
+   the plan; everything else is never read);
+3. splice: old mart minus affected weeks, union the recomputed rows.
+
+Exact percentiles (A3/A4) cannot be merged from partial aggregates, so
+per-week FULL recompute is the correct exact strategy — but only for
+the ~1-2 affected weeks, reading days × LAs of data instead of years.
+
+The affected-week list is collected to the driver: a daily increment
+touches O(1) weeks (it is a date range, not a key set), so the literal
+IN-list is tiny and buys STATIC partition pruning.
+
+Writing: the new mart is materialized (localCheckpoint) before
+overwriting its own input path — fine single-cluster; a production
+deployment would put a table format (Iceberg/Delta) or versioned
+directories under this exact dataflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.weekly import weekly_mart
+
+WEEK_KEY_FMT = "yyyy-MM-dd"
+
+
+def _with_week_key(enriched: DataFrame) -> DataFrame:
+    return enriched.withColumn(
+        "week_key",
+        F.date_format(F.date_trunc("week", F.col("date")), WEEK_KEY_FMT),
+    )
+
+
+def append_increment(enriched_increment: DataFrame, zone_path: str) -> list[str]:
+    """Append a cleaned increment to the week-partitioned raw zone;
+    returns the affected week keys (the increment's distinct weeks)."""
+    inc = _with_week_key(enriched_increment)
+    inc.write.mode("append").partitionBy("week_key").parquet(zone_path)
+    return [
+        r["week_key"]
+        for r in inc.select("week_key").distinct().collect()
+        if r["week_key"] is not None
+    ]
+
+
+def recompute_weeks(
+    spark: SparkSession, zone_path: str, week_keys: list[str]
+) -> DataFrame:
+    """Exact mart rows for the given weeks, reading ONLY their zone
+    partitions (static pruning via the literal IN-list)."""
+    affected = spark.read.parquet(zone_path).where(
+        F.col("week_key").isin(week_keys)
+    )
+    return weekly_mart(affected.drop("week_key"))
+
+
+def merge_mart(old_mart: DataFrame | None, recomputed: DataFrame, week_keys: list[str]) -> DataFrame:
+    """Splice recomputed weeks into the existing mart."""
+    if old_mart is None:
+        return recomputed
+    keep = old_mart.where(
+        ~F.date_format(F.col("week"), WEEK_KEY_FMT).isin(week_keys)
+    )
+    return keep.unionByName(recomputed)
+
+
+def daily_increment(
+    spark: SparkSession,
+    enriched_increment: DataFrame,
+    zone_path: str,
+    mart_path: str,
+) -> DataFrame:
+    """One daily tick: zone append → affected-week recompute → mart
+    splice → write. Returns the new mart (also persisted at
+    ``mart_path``)."""
+    weeks = append_increment(enriched_increment, zone_path)
+    recomputed = recompute_weeks(spark, zone_path, weeks)
+    try:
+        old = spark.read.parquet(mart_path)
+    except Exception:
+        old = None
+    new_mart = merge_mart(old, recomputed, weeks).localCheckpoint()
+    new_mart.write.mode("overwrite").parquet(mart_path)
+    return new_mart
