@@ -264,3 +264,27 @@ def test_filter_funnel_reasons(spark):
     assert out[3]["drop_reason"] == "repetitive"
     assert out[4]["drop_reason"] == "wrong_lang"
     assert not any(out[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [0.5, -0.25, 0.125, 0.0]),
+            (1, [1.0, 1.0, -1.0, 0.5]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector: all-zero codes
+            (3, [-0.003, 0.001, 0.002, -0.0005]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(vecs).collect()}
+    for vid, r in out.items():
+        assert all(-127 <= c <= 127 for c in r["codes"]), vid
+        # symmetric quantization: |error| <= scale / (2*levels) + rounding slack
+        assert r["max_err"] <= r["scale"] / (2 * 127) + 1e-4, vid
+    assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["max_err"] == 0.0
+    # the largest-magnitude component always maps to ±levels
+    assert 127 in [abs(c) for c in out[0]["codes"]]

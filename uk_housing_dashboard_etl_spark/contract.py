@@ -107,6 +107,8 @@ BENCH_EXTRA: list[str] = [
     "idle_capital",
     "top_supplier",
     "filter_funnel",
+    "embedding_quantize",
+    "token_histogram",
 ]
 
 
@@ -759,6 +761,42 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = hash_sample(docs, "doc_id", percent=5)
     return decontaminate(docs, bench, n=3, threshold=5)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-style symmetric quantization of the embedding store; code
+    sums/extrema + max dequant error verify code-level parity without
+    list-typed hash compares."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        "max_err",
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("sum_codes"),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram (width-10 bins): the dataset-card
+    length distribution."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    binned = docs.select(
+        (F.floor(F.size(toks) / 10) * 10).alias("bin_start"),
+        F.size(toks).alias("__n"),
+    )
+    return binned.groupBy("bin_start").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+    )
 
 
 def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,6 +1489,35 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM documents
     GROUP BY 1
     """,
+    "embedding_quantize": """
+    WITH q AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id, embedding, scale,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS INTEGER)) AS codes
+        FROM q
+    )
+    SELECT vec_id,
+           round(scale, 4) AS scale,
+           round(list_max(list_transform(generate_series(1, len(embedding)),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale / 127))), 4) AS max_err,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_min(codes) AS INTEGER) AS min_code,
+           CAST(list_max(codes) AS INTEGER) AS max_code
+    FROM c
+    """,
+    "token_histogram": f"""
+    WITH t AS (
+        SELECT CAST(floor(len({_TOKS}) / 10) * 10 AS BIGINT) AS bin_start,
+               len({_TOKS}) AS n
+        FROM documents
+    )
+    SELECT bin_start, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
     "stratified_sample": """
     SELECT doc_id, lang, n_chars
     FROM documents
@@ -1657,6 +1724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "repetition_stats": q_repetition_stats,
     "filter_funnel": q_filter_funnel,
+    "embedding_quantize": q_embedding_quantize,
+    "token_histogram": q_token_histogram,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

@@ -230,3 +230,43 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric int8-style quantization: per-vector scale = max |x|,
+    code_i = halfup(x_i / scale · levels) ∈ [-levels, levels].
+
+    The storage path for petabyte embedding stores — 4-8× smaller than
+    float32, dequantize as ``code · scale / levels``. Row-local array
+    math (no shuffle); half-up rounding uses the same floor(x+0.5)
+    formula as functions/rounding so codes are bit-identical across
+    engines. Emits the max dequantization error per vector so callers
+    can assert the quality envelope.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    # zero vectors quantize to all-zero codes (scale 0 must not divide)
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            vec, lambda x: F.floor(x / scale * levels + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    dequant_err = F.array_max(
+        F.zip_with(
+            vec,
+            codes,
+            lambda x, c: F.abs(x - c.cast("double") * scale / levels),
+        )
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        round4(scale).alias("scale"),
+        codes.alias("codes"),
+        round4(dequant_err).alias("max_err"),
+    )
