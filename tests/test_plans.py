@@ -85,3 +85,42 @@ def test_global_topk_never_single_partition_window(spark):
 def test_decontaminate_broadcasts_benchmark(spark):
     plan = plan_of(spark, "decontaminate")
     assert "BroadcastHashJoin" in plan
+
+
+def test_nation_pair_trade_double_role_dims_broadcast(spark):
+    plan = plan_of(spark, "nation_pair_trade")
+    # supplier→nation and customer→nation role joins both broadcast;
+    # the lineitem scan only reads the 5 referenced columns
+    assert plan.count("BroadcastHashJoin") >= 2
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_partkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_late_shipments_pushes_nothing_but_prunes(spark):
+    plan = plan_of(spark, "late_shipments")
+    # the lateness predicate spans both join sides, so it must appear as
+    # a post-join Filter, never lost; scans stay pruned to 2-3 columns
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_quantity" not in read_schema and "l_extendedprice" not in read_schema
+    assert "HashAggregate" in plan
+
+
+def test_order_count_distribution_keeps_outer_join(spark):
+    plan = plan_of(spark, "order_count_distribution")
+    # the zero-order bucket requires the outer join to survive
+    # optimization (no rewrite to inner)
+    assert "LeftOuter" in plan
+
+
+def test_slow_suppliers_single_order_shuffle(spark):
+    plan = plan_of(spark, "slow_suppliers")
+    # groupBy(orderkey, suppkey) + both window passes must reuse ONE
+    # hash partitioning by l_orderkey (the explicit repartition); only
+    # the final nation-grain agg may add its own tiny exchange
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+
+
+def test_small_qty_revenue_broadcasts_thresholds(spark):
+    plan = plan_of(spark, "small_qty_revenue")
+    # per-part avg-qty thresholds join back by broadcast (dim-sized)
+    assert "BroadcastHashJoin" in plan

@@ -36,12 +36,23 @@ from uk_housing_dashboard_etl_spark.operators import (
 from uk_housing_dashboard_etl_spark.operators.relational import (
     brand_revenue,
     customers_without_orders,
+    disjunctive_revenue,
     idle_capital,
+    important_parts,
     large_orders,
+    late_shipments,
+    market_share,
+    min_cost_supplier,
+    nation_pair_trade,
+    order_count_distribution,
     order_priority_counts,
     pricing_summary,
+    product_profit,
     promo_revenue,
     revenue_by_nation,
+    slow_suppliers,
+    small_qty_revenue,
+    supplier_variety,
     top_customers_by_revenue,
     top_supplier,
 )
@@ -109,6 +120,12 @@ BENCH_EXTRA: list[str] = [
     "filter_funnel",
     "embedding_quantize",
     "token_histogram",
+    "nation_pair_trade",
+    "late_shipments",
+    "order_count_distribution",
+    "disjunctive_revenue",
+    "small_qty_revenue",
+    "slow_suppliers",
 ]
 
 
@@ -459,6 +476,106 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) at the global quarterly revenue max."""
     return top_supplier(
         read_table(spark, sf_dir, "supplier"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue by (supp nation, cust nation,
+    ship year); the nation dim joined twice under different roles."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "customer", "supplier", "nation"]}
+    return nation_pair_trade(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's yearly share of a region's market,
+    numerator and denominator from one conditional-sum pass."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "customer", "supplier", "nation", "region",
+          "part"]}
+    return market_share(
+        t["lineitem"], t["orders"], t["customer"], t["supplier"],
+        t["nation"], t["region"], t["part"],
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year (supply
+    cost proxied from p_retailprice — no partsupp in the testdata)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "part", "supplier", "nation"]}
+    return product_profit(
+        t["lineitem"], t["orders"], t["part"], t["supplier"], t["nation"]
+    )
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: critical/other priority counts of late lines
+    (shipped > 90 days after order) per ship year."""
+    return late_shipments(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "orders")
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer-join histogram of orders per customer,
+    zero-order customers included."""
+    return order_count_distribution(
+        read_table(spark, sf_dir, "customer"), read_table(spark, sf_dir, "orders")
+    )
+
+
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part class (the
+    part↔supplier relation derived from lineitem; no partsupp)."""
+    return supplier_variety(
+        read_table(spark, sf_dir, "part"), read_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue in below-20%-of-avg-quantity lines; the
+    correlated avg becomes an aggregate + broadcast join-back."""
+    return small_qty_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions predicate across both join
+    sides."""
+    return disjunctive_revenue(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
+def q_slow_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-laggard supplier per multi-supplier order,
+    EXISTS/NOT EXISTS as window counts (one shuffle)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "supplier", "nation"]}
+    return slow_suppliers(t["lineitem"], t["supplier"], t["nation"])
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts above a fraction of one region's shipped
+    value (HAVING vs scalar subquery as 1-row broadcast)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "supplier", "nation", "region"]}
+    return important_parts(
+        t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional source per part (mean shipped
+    unit price as the offer; min-over-window keeps ties)."""
+    t = {n: read_table(spark, sf_dir, n) for n in
+         ["lineitem", "supplier", "nation", "region"]}
+    return min_cost_supplier(
+        t["lineitem"], t["supplier"], t["nation"], t["region"]
     )
 
 
@@ -1254,6 +1371,168 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     WHERE p_size >= 10
     GROUP BY 1
     """,
+    "nation_pair_trade": """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND sn.n_name <> cn.n_name
+    GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           round(COALESCE(CAST(sum(CAST(round(CASE WHEN n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 0.0)
+                 / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS mkt_share,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'STANDARD'
+      AND EXISTS (SELECT 1 FROM customer c
+                  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                  WHERE c.c_custkey = o_custkey AND r2.r_name = 'ASIA')
+    GROUP BY 1
+    """,
+    "product_profit": """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+    "late_shipments": """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS critical_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS other_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    "order_count_distribution": """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                   WHERE o_orderstatus <> 'P') o
+               ON c_custkey = o_custkey
+        GROUP BY 1
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY 1
+    """,
+    "supplier_variety": """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 15
+    GROUP BY 1, 2, 3
+    """,
+    "small_qty_revenue": """
+    WITH brand_lines AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'
+    ), thresholds AS (
+        SELECT l_partkey AS t_partkey,
+               round((CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                     / count(l_quantity), 4) AS avg_qty
+        FROM brand_lines GROUP BY 1
+    )
+    SELECT round((CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM brand_lines JOIN thresholds ON l_partkey = t_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "disjunctive_revenue": """
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "slow_suppliers": """
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+        FROM lineitem GROUP BY 1, 2
+    ), marked AS (
+        SELECT l_orderkey, l_suppkey, last_ship,
+               max(last_ship) OVER w AS order_last,
+               count(*) OVER w AS n_suppliers
+        FROM per_supp
+        WINDOW w AS (PARTITION BY l_orderkey)
+    ), flagged AS (
+        SELECT *,
+               sum(CASE WHEN last_ship = order_last THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey) AS n_at_last
+        FROM marked
+    )
+    SELECT n_name AS nation, s_name, count(*) AS numwait
+    FROM flagged
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_suppliers >= 2 AND last_ship = order_last AND n_at_last = 1
+    GROUP BY 1, 2
+    """,
+    "important_parts": """
+    WITH per_part AS (
+        SELECT l_partkey,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1
+    ), total AS (
+        SELECT CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS t
+        FROM per_part
+    )
+    SELECT l_partkey, value
+    FROM per_part, total
+    WHERE value > 0.001 * t
+    """,
+    "min_cost_supplier": """
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey, s_name, n_name AS supp_nation,
+               round((CAST(sum(CAST(round(l_extendedprice / l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                     / count(l_extendedprice / l_quantity), 4) AS unit_price
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT l_partkey, l_suppkey, s_name, supp_nation, unit_price
+    FROM offers
+    QUALIFY unit_price = min(unit_price) OVER (PARTITION BY l_partkey)
+    """,
 }
 
 ORACLES.update(_RELATIONAL_ORACLES)
@@ -1695,6 +1974,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_orders": q_large_orders,
     "idle_capital": q_idle_capital,
     "top_supplier": q_top_supplier,
+    "nation_pair_trade": q_nation_pair_trade,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "late_shipments": q_late_shipments,
+    "order_count_distribution": q_order_count_distribution,
+    "supplier_variety": q_supplier_variety,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "slow_suppliers": q_slow_suppliers,
+    "important_parts": q_important_parts,
+    "min_cost_supplier": q_min_cost_supplier,
     "weekly_type_pivot": q_weekly_type_pivot,
     "asof_join": q_asof_join,
     "range_join": q_range_join,

@@ -393,3 +393,433 @@ def top_supplier(
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "s_nationkey", "total_revenue")
     )
+
+
+def nation_pair_trade(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation,
+    customer nation, ship year).
+
+    The nation dim is joined TWICE under different roles — the classic
+    self-aliased dimension. Both role joins broadcast (supplier and
+    nation are tiny); only lineitem⋈orders and the order→customer hop
+    shuffle, and AQE picks broadcast for the customer side when the
+    filtered build fits. Group-by cardinality is |nations|² × years, so
+    the aggregate is map-side-combine friendly at any scale.
+    """
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_nation = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_5",
+    region_name: str = "ASIA",
+    part_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market per year.
+
+    Numerator (target-nation supplier revenue) and denominator are the
+    SAME aggregate pass — a conditional sum, never two joined aggregates
+    (the cross-engine float-difference trap). All dims reduce before
+    touching lineitem; the share division happens on two already-exact
+    integer-unit sums.
+    """
+    asia_cust = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    typed_parts = part.where(F.col("p_type") == part_type).select("p_partkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_partkey",
+                        "l_extendedprice", "l_discount")
+        .join(F.broadcast(typed_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    target_rev = _dsum(F.when(F.col("supp_nation") == target_nation, revenue))
+    total_rev = _dsum(revenue)
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            round4(F.coalesce(target_rev, F.lit(0.0)) / total_rev).alias("mkt_share"),
+            round4(total_rev).alias("total_revenue"),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part_type: str = "ECONOMY",
+    cost_rate: float = 0.1,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year).
+
+    The testdata has no partsupp table, so supply cost is proxied as
+    ``cost_rate · p_retailprice · l_quantity`` — same plan shape as
+    canonical Q9 (fact ⋈ two dims ⋈ orders, then a wide-key agg),
+    different constant. Profit terms quantize per-row to 1e-4 units
+    before the sum, so partitioning never shifts the totals.
+    """
+    typed = part.where(F.col("p_type") == part_type).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(cost_rate) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount")
+        .join(F.broadcast(typed), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(_dsum(profit).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+def late_shipments(
+    lineitem: DataFrame, orders: DataFrame, grace_days: int = 90
+) -> DataFrame:
+    """TPC-H Q12 shape: lateness-conditional priority counts per year.
+
+    The testdata lineitem has no commit/receipt dates or shipmode
+    (reference schema stops at shipdate), so "late" is adapted to
+    ``l_shipdate > o_orderdate + grace_days`` and the Q12 CASE-count
+    split (critical vs non-critical priority) is kept verbatim. One
+    fact-fact equi-join, one low-cardinality agg.
+    """
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {grace_days} DAYS"
+    )
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).alias("critical_lines"),
+            F.sum(F.when(critical, 0).otherwise(1)).alias("other_lines"),
+        )
+    )
+
+
+def order_count_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_status: str = "P"
+) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts.
+
+    The left OUTER join keeps zero-order customers (the bucket Q13
+    exists to expose); the canonical comment-pattern exclusion becomes
+    an order-status exclusion. Two shuffles by design: fact-sized
+    groupBy(custkey), then a tiny groupBy(n_orders).
+    """
+    kept = orders.where(F.col("o_orderstatus") != exclude_status).select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(kept, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def supplier_variety(
+    part: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#1",
+    min_size: int = 1,
+    max_size: int = 15,
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute class.
+
+    No partsupp table exists, so the part↔supplier relation is derived
+    from shipped lineitems. countDistinct expands to the standard
+    two-phase expand/agg plan; the part filter prunes the broadcast
+    build side before the fact scan is touched.
+    """
+    dims = part.where(
+        (F.col("p_brand") != exclude_brand)
+        & F.col("p_size").between(min_size, max_size)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#3",
+    qty_frac: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in below-average-quantity orders.
+
+    The correlated scalar subquery (per-part avg quantity) becomes an
+    aggregate + broadcast join-back — one pass over the brand-filtered
+    lines to build thresholds, one to apply them. The threshold is
+    rounded to 4dp BEFORE the comparison so the quantity cut is
+    bit-identical across engines.
+    """
+    brand_parts = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        round4(dmean(F.col("l_quantity"))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.lit(qty_frac) * F.col("avg_qty"))
+        .agg(
+            round4(_dsum(F.col("l_extendedprice")) / F.lit(years)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions join predicate.
+
+    Catalyst extracts the common join key and pushes the residual
+    disjunction to the joined rows; each branch pairs a part predicate
+    (brand + size band) with a lineitem predicate (quantity band), so
+    neither side's filter alone is selective — the point of Q19.
+    """
+    dims = part.select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
+    branch = lambda b, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.where(
+        branch("Brand#12", 1, 5, 1, 11)
+        | branch("Brand#23", 1, 10, 10, 20)
+        | branch("Brand#15", 1, 15, 20, 30)
+    ).agg(
+        round4(_dsum(revenue)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def slow_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q21 shape: the sole laggard supplier per multi-supplier order.
+
+    Adapted to the reference schema (no commit/receipt dates): a
+    supplier "kept the order waiting" when its latest shipment is the
+    order's latest AND no other supplier ships that late — the EXISTS /
+    NOT EXISTS pair re-expressed as window counts over the order, which
+    costs ONE shuffle by l_orderkey instead of two self-joins.
+
+    The explicit repartition by l_orderkey makes the (orderkey, suppkey)
+    groupBy and both window passes share a single exchange: partitioning
+    by a prefix of the grouping keys satisfies the aggregate's
+    distribution, and Catalyst won't pick that narrower key on its own.
+    """
+    per_supp = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_supp.withColumn("order_last", F.max("last_ship").over(w))
+        .withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_at_last",
+            F.sum(
+                F.when(F.col("last_ship") == F.col("order_last"), 1).otherwise(0)
+            ).over(w),
+        )
+        .where(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("last_ship") == F.col("order_last"))
+            & (F.col("n_at_last") == 1)
+        )
+    )
+    return (
+        flagged.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    frac: float = 0.001,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of shipped value.
+
+    partsupp-free adaptation: per-part shipped value from one region's
+    suppliers, kept when above ``frac`` of the regional total. The
+    HAVING-vs-scalar-subquery becomes a 1-row broadcast cross join; both
+    sides of the comparison derive from the same rounded per-part
+    values, so the cut is engine-stable.
+    """
+    region_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(round4(_dsum(revenue)).alias("value"))
+    )
+    total = per_part.agg(
+        (F.sum(F.round(F.col("value") * 10000.0).cast("bigint")).cast("double")
+         / 10000.0).alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.lit(frac) * F.col("__total"))
+        .select("l_partkey", "value")
+    )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional source per part.
+
+    partsupp-free adaptation: a supplier's offer price for a part is its
+    mean shipped unit price (extendedprice/quantity); the correlated
+    min-cost subquery becomes min-over-window + equality, keeping ties
+    exactly like canonical Q2. Unit prices are rounded before the min
+    so tie sets match across engines.
+    """
+    region_supp = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == region_name)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"))
+    )
+    offers = (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "supp_nation")
+        .agg(
+            round4(
+                dmean(F.col("l_extendedprice") / F.col("l_quantity"))
+            ).alias("unit_price")
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("__min_price", F.min("unit_price").over(w))
+        .where(F.col("unit_price") == F.col("__min_price"))
+        .select("l_partkey", "l_suppkey", "s_name", "supp_nation", "unit_price")
+    )
