@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
 from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
-from uk_housing_dashboard_etl_spark.operators.similarity import cosine_expr
+from uk_housing_dashboard_etl_spark.operators.similarity import (
+    cosine_prenorm_expr,
+    norm_expr,
+)
 
 
 def _sq_dist(a: str, b: str) -> F.Column:
@@ -116,11 +119,15 @@ def ivf_topk(
     nearest cells only."""
     qs = queries.select(
         "query_id", F.col(vec_col).cast("array<double>").alias("qvec")
-    )
+    ).withColumn("nq", norm_expr("qvec"))
     q_cells = (
         qs.crossJoin(F.broadcast(centroids))
         .select(
-            "query_id", "qvec", "cell", _sq_dist("qvec", "centroid").alias("dist")
+            "query_id",
+            "qvec",
+            "nq",
+            "cell",
+            _sq_dist("qvec", "centroid").alias("dist"),
         )
         .withColumn(
             "__r",
@@ -129,12 +136,18 @@ def ivf_topk(
             ),
         )
         .where(F.col("__r") <= n_probes)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "nq", "cell")
     )
-    scored = index.join(F.broadcast(q_cells), "cell").select(
-        "query_id",
-        "vec_id",
-        round4(cosine_expr("qvec", "vec")).alias("score"),
+    scored = (
+        index.withColumn("nv", norm_expr("vec"))
+        .join(F.broadcast(q_cells), "cell")
+        .select(
+            "query_id",
+            "vec_id",
+            round4(cosine_prenorm_expr("qvec", "vec", "nq", "nv")).alias(
+                "score"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
     return (

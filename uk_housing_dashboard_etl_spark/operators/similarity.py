@@ -48,6 +48,23 @@ def cosine_expr(a: str, b: str) -> F.Column:
     return F.expr(f"({dot}) / (({na}) * ({nb}))")
 
 
+def norm_expr(a: str) -> F.Column:
+    """L2 norm of an array<double> column (sequential fold, deterministic)."""
+    return F.expr(_NORM.format(a=a))
+
+
+def cosine_prenorm_expr(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
+    """Cosine with both norms precomputed as scalar columns.
+
+    Evaluates exactly ``dot(a, b) / (norm_a * norm_b)`` — the same
+    expression tree as :func:`cosine_expr` — but the O(dim) norm folds
+    run once per row on each join side instead of once per PAIR inside
+    the join, cutting the interpreted higher-order-function work of a
+    Q×N cross join by ~3× (dot only, not dot + two norms)."""
+    dot = _DOT.format(a=a, b=b)
+    return F.expr(f"({dot}) / ({norm_a} * {norm_b})")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -63,14 +80,14 @@ def brute_force_topk(
     """
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
-    )
+    ).withColumn("nv", norm_expr("vec"))
     qs = queries.select(
         F.col("query_id"), _as_double(vec_col).alias("qvec")
-    )
+    ).withColumn("nq", norm_expr("qvec"))
     scored = corpus.crossJoin(F.broadcast(qs)).select(
         "query_id",
         "vec_id",
-        round4(cosine_expr("qvec", "vec")).alias("score"),
+        round4(cosine_prenorm_expr("qvec", "vec", "nq", "nv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("vec_id")
@@ -95,15 +112,25 @@ def embedding_near_dup(
     """
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
+    ).withColumn("nv", norm_expr("vec"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nv").alias("norm_a"),
     )
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nv").alias("norm_b"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            round4(cosine_expr("vec_a", "vec_b")).alias("cosine"),
+            round4(
+                cosine_prenorm_expr("vec_a", "vec_b", "norm_a", "norm_b")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -126,10 +153,11 @@ def embedding_near_dup_lsh(
         F.col(id_col).alias("vec_id"),
         _as_double(vec_col).alias("vec"),
         _bucket_expr(vec_col, bits).alias("bucket"),
-    )
+    ).withColumn("nv", norm_expr("vec"))
     probes = base.select(
         F.col("vec_id"),
         F.col("vec"),
+        F.col("nv"),
         F.explode(
             F.expr(
                 f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
@@ -138,10 +166,16 @@ def embedding_near_dup_lsh(
         ).alias("bucket"),
     )
     a = probes.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nv").alias("norm_a"),
+        "bucket",
     )
     b = base.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nv").alias("norm_b"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -150,7 +184,9 @@ def embedding_near_dup_lsh(
         .select(
             "id_a",
             "id_b",
-            round4(cosine_expr("vec_a", "vec_b")).alias("cosine"),
+            round4(
+                cosine_prenorm_expr("vec_a", "vec_b", "norm_a", "norm_b")
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -199,26 +235,28 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("vec_id"),
         _as_double(vec_col).alias("vec"),
         _bucket_expr(vec_col, bits).alias("bucket"),
-    )
+    ).withColumn("nv", norm_expr("vec"))
     qs = queries.select(
         "query_id",
         _as_double(vec_col).alias("qvec"),
         _bucket_expr(vec_col, bits).alias("bucket"),
-    )
+    ).withColumn("nq", norm_expr("qvec"))
     if multi_probe:
         probe_set = F.expr(
             f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
             f" j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"
         )
         qs = qs.select(
-            "query_id", "qvec", F.explode(probe_set).alias("bucket")
+            "query_id", "qvec", "nq", F.explode(probe_set).alias("bucket")
         )
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .select(
             "query_id",
             "vec_id",
-            round4(cosine_expr("qvec", "vec")).alias("score"),
+            round4(cosine_prenorm_expr("qvec", "vec", "nq", "nv")).alias(
+                "score"
+            ),
         )
         .dropDuplicates(["query_id", "vec_id"])
     )
