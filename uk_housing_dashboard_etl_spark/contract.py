@@ -126,6 +126,10 @@ BENCH_EXTRA: list[str] = [
     "disjunctive_revenue",
     "small_qty_revenue",
     "slow_suppliers",
+    "knn_classify",
+    "embedding_centroids",
+    "conversion_funnel",
+    "weekly_retention",
 ]
 
 
@@ -774,6 +778,51 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold chosen to produce verifiable pairs on the synthetic
     embeddings (max pairwise cosine ≈ 0.51)."""
     return embedding_near_dup(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote (auto-labeling): exact cosine top-10 against the
+    labeled corpus, majority label wins, smaller label breaks ties."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import knn_classify
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 100)
+    qs = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return knn_classify(corpus, qs, k=10)
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, one row per (label, dimension) —
+    integer-unit sums so the mean is combine-order independent."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import label_centroids
+
+    return label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------ extension: funnels / cohorts
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict sequential conversion funnel over events — one shuffle
+    total (per-user ordered fold), vs the naive per-step join cascade."""
+    from uk_housing_dashboard_etl_spark.operators.funnel import funnel_steps
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_steps(ev, FUNNEL_STEPS)
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week cohort retention (distinct actives self-joined on
+    the following week, co-partitioned on the same key)."""
+    from uk_housing_dashboard_etl_spark.operators.funnel import weekly_retention
+
+    ev = read_table(spark, sf_dir, "events")
+    return weekly_retention(ev)
 
 
 # ------------------------------------------ extension: text analysis
@@ -1705,6 +1754,74 @@ _EXTENSION_ORACLES: dict[str, str] = {
     FROM a JOIN b ON id_a < id_b
     WHERE round({_cos_sql('ea', 'eb')}, 4) >= 0.4
     """,
+    "knn_classify": f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 100
+    ), c AS (
+        SELECT vec_id, label, embedding AS ce FROM embeddings WHERE vec_id >= 100
+    ), scored AS (
+        SELECT query_id, vec_id, label, round({_cos_sql('qe', 'ce')}, 4) AS score
+        FROM c CROSS JOIN q
+    ), topk AS (
+        SELECT query_id, label FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS r
+            FROM scored
+        ) WHERE r <= 10
+    ), votes AS (
+        SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, label) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+    "embedding_centroids": """
+    SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+           round(CAST(sum(CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 / (10000.0 * count(*)), 4) AS centroid,
+           count(*) AS n_vectors
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    "conversion_funnel": """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'view' GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS event_type, count(*) AS users FROM s1
+    UNION ALL SELECT 2, 'view', count(*) FROM s2
+    UNION ALL SELECT 3, 'click', count(*) FROM s3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+    """,
+    "weekly_retention": """
+    WITH active AS (
+        SELECT DISTINCT date_trunc('week', ts) AS week, user_id FROM events
+    )
+    SELECT a.week, count(*) AS active_users,
+           count(b.user_id) AS retained_users,
+           round(count(b.user_id) / count(*), 4) AS retention_rate
+    FROM active a LEFT JOIN active b
+      ON b.user_id = a.user_id AND b.week = a.week + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
     "text_stats": f"""
     SELECT doc_id,
            length(text) AS n_chars,
@@ -2016,6 +2133,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel": q_filter_funnel,
     "embedding_quantize": q_embedding_quantize,
     "token_histogram": q_token_histogram,
+    "knn_classify": q_knn_classify,
+    "embedding_centroids": q_embedding_centroids,
+    "conversion_funnel": q_conversion_funnel,
+    "weekly_retention": q_weekly_retention,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,

@@ -270,6 +270,70 @@ def lsh_bucketed_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor label vote — auto-labeling / label propagation.
+
+    For each query vector: exact cosine top-k against the labeled corpus
+    (via :func:`brute_force_topk`, so the candidate cut is deterministic),
+    then majority vote over neighbor labels, ties broken by the smaller
+    label. Returns (query_id, predicted_label, votes).
+
+    Scale path: swap the brute-force stage for :func:`lsh_bucketed_topk`
+    or IVF (operators/ivf.py) — the vote is the same groupBy either way.
+    """
+    topk = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("label")
+    )
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid, one output row per (label, dimension).
+
+    The mean is computed on half-up-rounded 1e-4 integer units summed as
+    BIGINT, so the result is independent of partitioning/combine order
+    and bit-identical across engines (same rule as ``relational._dsum``).
+    posexplode keeps everything JVM-side; the shuffle key (label, dim) is
+    perfectly uniform, so this scales as a plain partial+final hash agg.
+    """
+    e = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    scaled = F.floor(F.col("x") * 10000.0 + F.lit(0.5)).cast("long")
+    return e.groupBy("label", "dim").agg(
+        round4(F.sum(scaled) / (10000.0 * F.count(F.lit(1)))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 def quantize_embeddings(
     embeddings: DataFrame,
     id_col: str = "vec_id",
