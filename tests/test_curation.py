@@ -138,3 +138,38 @@ def test_stratified_sample_rates_and_stability(spark):
     flat20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 20).collect()}
     en_ids = {r["doc_id"] for r in out.where("lang = 'en'").collect()}
     assert en_ids <= flat20
+
+
+def test_curate_corpus_filters_then_dedups(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import curate_corpus
+
+    good = (
+        "the value of a table is that it holds the data and the rows for "
+        "all to scan and it is a fast plan"
+    )
+    docs = spark.createDataFrame(
+        [
+            # two exact dups (after whitespace normalization) + one unique
+            (0, good, "en", "s1"),
+            (1, good + " ", "en", "s1"),
+            (2, good + " again", "en", "s1"),
+            # fails the funnel (too short) -> never reaches dedup
+            (3, "tiny", "en", "s1"),
+            # different group entirely kept
+            (4, good, "en", "s2"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["n_kept"], r["n_final"], r["tokens_final"]
+        )
+        for r in curate_corpus(docs).collect()
+    }
+    n_good = len(good.split())
+    # s1: 4 docs in, 3 past filters, dedup folds 0/1 -> 2 survivors
+    assert out[("en", "s1")] == (4, 3, 2, n_good + n_good + 1)
+    # s2: the same text is NOT a duplicate across this run's kept set?
+    # doc 4 is an exact dup of doc 0 (dedup is corpus-wide, not per
+    # group): only the canonical doc 0 survives
+    assert out[("en", "s2")] == (1, 1, 0, 0)

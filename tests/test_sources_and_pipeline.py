@@ -94,3 +94,32 @@ def test_write_csv_artifact_roundtrip(spark, tmp_path):
     write_csv_artifact(df, path)
     back = spark.read.option("header", True).csv(path)
     assert back.count() == 5 and back.columns == ["x"]
+
+
+def test_orc_and_jsonl_roundtrip(spark, sf_small, tmp_path):
+    from uk_housing_dashboard_etl_spark.sources.readers import read_table
+    from uk_housing_dashboard_etl_spark.sources.sinks import (
+        read_orc,
+        write_jsonl,
+        write_orc,
+    )
+
+    ev = read_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    orc_path = str(tmp_path / "ev_orc")
+    write_orc(ev, orc_path, partition_by=["event_type"])
+    back = read_orc(spark, orc_path)
+    assert back.count() == ev.count()
+    # partitioned layout: per-type filter answered from one directory
+    assert back.where("event_type = 'click'").count() == ev.where(
+        "event_type = 'click'"
+    ).count()
+
+    jl_path = str(tmp_path / "ev_jsonl")
+    write_jsonl(ev, jl_path, compression=None)
+    back_j = spark.read.json(jl_path)
+    assert back_j.count() == ev.count()
+    assert {r["event_id"] for r in back_j.select("event_id").collect()} == {
+        r["event_id"] for r in ev.select("event_id").collect()
+    }

@@ -130,6 +130,7 @@ BENCH_EXTRA: list[str] = [
     "embedding_centroids",
     "conversion_funnel",
     "weekly_retention",
+    "curate_corpus",
 ]
 
 
@@ -799,6 +800,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.similarity import label_centroids
 
     return label_centroids(read_table(spark, sf_dir, "embeddings"))
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation mart: filter funnel -> exact dedup keeping the
+    canonical doc -> per-(lang, source) dataset-card inventory."""
+    from uk_housing_dashboard_etl_spark.operators.curation import curate_corpus
+
+    return curate_corpus(read_table(spark, sf_dir, "documents"))
 
 
 # ------------------------------------------ extension: funnels / cohorts
@@ -2022,8 +2031,9 @@ _lang_case_t = "CASE " + " ".join(
     + f" THEN '{lang}'"
     for lang in ["en", "de", "es", "fr", "zh"]
 ) + " END"
-_EXTENSION_ORACLES["filter_funnel"] = f"""
-    WITH s AS (
+# shared funnel CTE chain (s -> m -> d), reused by the end-to-end
+# curate_corpus oracle below
+_FUNNEL_CTES = f"""s AS (
         SELECT doc_id, text, {_TOKS} AS t FROM documents
     ), m AS (
         SELECT doc_id,
@@ -2044,10 +2054,34 @@ _EXTENSION_ORACLES["filter_funnel"] = f"""
                     WHEN predicted_lang NOT IN ('en') THEN 'wrong_lang'
                     ELSE NULL END AS drop_reason
         FROM m
-    )
+    )"""
+
+_EXTENSION_ORACLES["filter_funnel"] = f"""
+    WITH {_FUNNEL_CTES}
     SELECT doc_id, n_tokens, quality, dup_ngram_ratio, predicted_lang,
            drop_reason, drop_reason IS NULL AS keep
     FROM d
+    """
+
+_EXTENSION_ORACLES["curate_corpus"] = f"""
+    WITH {_FUNNEL_CTES}, fv AS (
+        SELECT doc_id, n_tokens, drop_reason IS NULL AS keep FROM d
+    ), ded AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5({_NORM_TEXT})) = doc_id AS is_canon
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM fv WHERE keep)
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE keep) AS n_kept,
+           count(*) FILTER (WHERE coalesce(is_canon, false)) AS n_final,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE coalesce(is_canon, false)), 0) AS BIGINT)
+             AS tokens_final
+    FROM documents
+    JOIN fv USING (doc_id)
+    LEFT JOIN ded USING (doc_id)
+    GROUP BY 1, 2
     """
 _EXTENSION_ORACLES["lang_id"] = (
     "SELECT doc_id, "
@@ -2133,6 +2167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel": q_filter_funnel,
     "embedding_quantize": q_embedding_quantize,
     "token_histogram": q_token_histogram,
+    "curate_corpus": q_curate_corpus,
     "knn_classify": q_knn_classify,
     "embedding_centroids": q_embedding_centroids,
     "conversion_funnel": q_conversion_funnel,

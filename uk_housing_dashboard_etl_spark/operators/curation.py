@@ -186,3 +186,57 @@ def split_summary(
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def curate_corpus(
+    documents: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end curation mart: keep/drop filter funnel, then exact
+    dedup keeping each group's canonical (minimum-id) document, then the
+    per-(lang, source) corpus inventory a dataset card reports.
+
+    Output per group: ``n_docs`` (input), ``n_kept`` (past the filters),
+    ``n_final`` (after dedup), ``tokens_final`` (token budget of the
+    surviving corpus).
+
+    Scale shape: the funnel is row-local; the dedup shuffle keys on the
+    32-char content hash of only the KEPT docs; the two doc_id joins are
+    co-partitioned on the same key; the final rollup is one partial+final
+    hash agg on a low-cardinality key. Nothing ever shuffles document
+    bodies except the hash computation's input scan.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import exact_dedup
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import filter_funnel
+
+    verdict = filter_funnel(documents, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id"), F.col("n_tokens"), F.col("keep")
+    )
+    kept = documents.join(
+        verdict.where(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    canon = (
+        exact_dedup(kept, text_col=text_col, id_col=id_col)
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canon"),
+        )
+    )
+    enriched = (
+        documents.select(F.col(id_col).alias("doc_id"), *group_cols)
+        .join(verdict, "doc_id")
+        .join(canon, "doc_id", "left")
+        .withColumn("final", F.coalesce(F.col("is_canon"), F.lit(False)))
+    )
+    return enriched.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("final"), 1)).alias("n_final"),
+        F.sum(F.when(F.col("final"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_final"
+        ),
+    )

@@ -33,6 +33,32 @@ def write_partitioned_parquet(df: DataFrame, path: str, partition_by: list[str])
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Columnar interchange beyond parquet: ORC (built into Spark, also
+    predicate-pushdown + column-pruning capable) for consumers in the
+    Hive/Presto ecosystem."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Line-delimited JSON export — the lingua franca for corpus handoff
+    to tokenizer/training jobs. One file per partition; gzip by default
+    (splittability doesn't matter for a handoff artifact)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def serialize_for_sheet(df: DataFrame) -> DataFrame:
     """P12: NaN/null→"" and every column cast to string — the reference's
     Google Sheets serialization (ref ``etl/etl_main.py:292``)."""
