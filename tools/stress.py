@@ -30,6 +30,10 @@ from uk_housing_dashboard_etl_spark.operators import (
     standardize_transactions,
     weekly_mart,
 )
+from uk_housing_dashboard_etl_spark.operators.funnel import (
+    funnel_steps,
+    weekly_retention,
+)
 from uk_housing_dashboard_etl_spark.operators.sessionize import session_stats
 from uk_housing_dashboard_etl_spark.session import get_spark
 
@@ -96,6 +100,14 @@ def run_suite(spark, path: str) -> dict[str, float]:
     t0 = time.time()
     session_stats(ev, tie_cols=["event_id"]).count()
     times["sessionize"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    funnel_steps(ev, ["signup", "view", "click", "purchase"]).count()
+    times["funnel"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    weekly_retention(ev).count()
+    times["retention"] = round(time.time() - t0, 2)
     return times
 
 

@@ -27,6 +27,7 @@ from uk_housing_dashboard_etl_spark.operators.dedup import (
     simhash_pairs,
 )
 from uk_housing_dashboard_etl_spark.operators.curation import (
+    curate_corpus,
     decontaminate,
     hash_sample,
 )
@@ -117,6 +118,22 @@ def main() -> None:
             .count()
         )
         times["decontaminate"] = round(time.time() - t0, 2)
+
+        # end-to-end curation mart (funnel -> dedup -> inventory);
+        # synthetic lang/source tags so the rollup has real key groups
+        tagged = docs.select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")).alias(
+                "lang"
+            ),
+            F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string")).alias(
+                "source"
+            ),
+        )
+        t0 = time.time()
+        counts["curated_groups"] = curate_corpus(tagged).count()
+        times["curate_corpus"] = round(time.time() - t0, 2)
 
         print(
             json.dumps(
