@@ -202,3 +202,54 @@ def test_weekly_matches_pandas_golden(spark):
     for c in ["price_mean", "price_median", "price_p10", "price_p90"]:
         np.testing.assert_allclose(got[c], exp[c], rtol=1e-9)
     assert (got["week"].to_numpy() == exp["week"].to_numpy()).all()
+
+
+def test_robust_anomalies_constant_and_outlier(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.anomaly import robust_anomalies
+
+    def wk(i):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(weeks=i)
+
+    rows = (
+        # constant group: MAD 0 -> rz exactly 0.0, never a flag
+        [(wk(i), "FLAT", 7) for i in range(6)]
+        # stable group with one huge outlier week
+        + [(wk(i), "SPIKE", 10 + (i % 2)) for i in range(8)]
+        + [(wk(8), "SPIKE", 1000)]
+    )
+    df = spark.createDataFrame(
+        rows, "week timestamp, local_authority string, transactions long"
+    )
+    out = robust_anomalies(df)
+    flat = out.where("local_authority = 'FLAT'").collect()
+    assert all(r["robust_z"] == 0.0 and not r["anomaly_robust"] for r in flat)
+    spike = {r["week"]: r for r in out.where("local_authority = 'SPIKE'").collect()}
+    assert spike[wk(8)]["anomaly_robust"]
+    # the outlier must NOT drag the baseline: median stays ~10.x
+    assert spike[wk(8)]["med"] <= 11.0
+    normal_flags = [r["anomaly_robust"] for w, r in spike.items() if w != wk(8)]
+    assert not any(normal_flags)
+
+
+def test_modal_type_tie_breaks_lexicographically(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.relational import modal_type_per_la
+
+    ts = dt.datetime(2024, 1, 3)
+    df = spark.createDataFrame(
+        [
+            (ts, "LA1", "terraced"), (ts, "LA1", "terraced"),
+            (ts, "LA1", "detached"), (ts, "LA1", "detached"),
+            (ts, "LA1", "flat"),
+            (ts, "LA2", "flat"),
+            (ts, None, "flat"),
+        ],
+        "date timestamp, local_authority string, prop_type string",
+    )
+    out = {r["local_authority"]: (r["modal_type"], r["n_sales"])
+           for r in modal_type_per_la(df).collect()}
+    # 2-2 tie between detached and terraced -> lexicographically smaller
+    assert out == {"LA1": ("detached", 2), "LA2": ("flat", 1)}

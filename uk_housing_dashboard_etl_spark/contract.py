@@ -131,6 +131,9 @@ BENCH_EXTRA: list[str] = [
     "conversion_funnel",
     "weekly_retention",
     "curate_corpus",
+    "robust_anomalies",
+    "top_parts_per_nation",
+    "modal_type",
 ]
 
 
@@ -802,6 +805,41 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(read_table(spark, sf_dir, "embeddings"))
 
 
+def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly flags on the weekly mart (outlier-
+    resistant companion to the reference's mean/stddev z-score)."""
+    from uk_housing_dashboard_etl_spark.operators.anomaly import robust_anomalies
+
+    return robust_anomalies(
+        _weekly(spark, sf_dir).select("week", "local_authority", "transactions")
+    )
+
+
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: each nation's 3 highest-revenue parts (rank window
+    over the aggregated frame, ties broken on the part key)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        top_parts_per_nation,
+    )
+
+    return top_parts_per_nation(
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+        k=3,
+    )
+
+
+def q_modal_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-LA mode of property type (count desc, then
+    lexicographic tie-break — not the engine's arbitrary mode())."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        modal_type_per_la,
+    )
+
+    return modal_type_per_la(_enriched(spark, sf_dir))
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation mart: filter funnel -> exact dedup keeping the
     canonical doc -> per-(lang, source) dataset-card inventory."""
@@ -1120,6 +1158,58 @@ ORACLES: dict[str, str] = {
     FROM enriched
     WHERE local_authority IS NOT NULL AND prop_type IS NOT NULL
     GROUP BY 1, 2, 3
+    """,
+    "robust_anomalies": _BASE
+    + """
+    , med AS (
+        SELECT local_authority, median(CAST(transactions AS DOUBLE)) AS med
+        FROM weekly GROUP BY 1
+    ), madt AS (
+        SELECT w.local_authority,
+               median(abs(CAST(w.transactions AS DOUBLE) - m.med)) AS mad
+        FROM weekly w JOIN med m USING (local_authority) GROUP BY 1
+    )
+    SELECT w.week, w.local_authority, w.transactions,
+           round(m.med, 4) AS med, round(d.mad, 4) AS mad,
+           round(CASE WHEN d.mad = 0.0 THEN 0.0
+                      ELSE 0.6745 * (CAST(w.transactions AS DOUBLE) - m.med) / d.mad
+                 END, 4) AS robust_z,
+           abs(round(CASE WHEN d.mad = 0.0 THEN 0.0
+                      ELSE 0.6745 * (CAST(w.transactions AS DOUBLE) - m.med) / d.mad
+                 END, 4)) > 3.5 AS anomaly_robust
+    FROM weekly w
+    JOIN med m USING (local_authority)
+    JOIN madt d USING (local_authority)
+    """,
+    "modal_type": _BASE
+    + """
+    , tcounts AS (
+        SELECT local_authority, prop_type, count(*) AS n
+        FROM enriched
+        WHERE local_authority IS NOT NULL AND prop_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT local_authority, prop_type AS modal_type, n AS n_sales FROM (
+        SELECT local_authority, prop_type, n,
+               row_number() OVER (PARTITION BY local_authority
+                    ORDER BY n DESC, prop_type) AS r
+        FROM tcounts
+    ) WHERE r = 1
+    """,
+    "top_parts_per_nation": """
+    WITH per_part AS (
+        SELECT n_name, l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT n_name, l_partkey, revenue,
+           CAST(row_number() OVER (PARTITION BY n_name
+                ORDER BY revenue DESC, l_partkey) AS INTEGER) AS rank
+    FROM per_part
+    QUALIFY rank <= 3
     """,
     "coverage_report": _BASE
     + """
@@ -2167,6 +2257,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_funnel": q_filter_funnel,
     "embedding_quantize": q_embedding_quantize,
     "token_histogram": q_token_histogram,
+    "robust_anomalies": q_robust_anomalies,
+    "top_parts_per_nation": q_top_parts_per_nation,
+    "modal_type": q_modal_type,
     "curate_corpus": q_curate_corpus,
     "knn_classify": q_knn_classify,
     "embedding_centroids": q_embedding_centroids,

@@ -45,3 +45,46 @@ def detect_anomalies(windows_df: DataFrame, z_thresh: float = 3.0) -> DataFrame:
             "anomaly_rolling_trans", F.abs(F.col("z_rolling_trans")) > F.lit(z_thresh)
         )
     )
+
+
+def robust_anomalies(
+    weekly: DataFrame,
+    value_col: str = "transactions",
+    group_col: str = "local_authority",
+    thresh: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust anomaly flags — the outlier-resistant companion
+    to the reference's mean/stddev z-score (ref ``etl/etl_main.py:260-282``):
+    one extreme week cannot drag the baseline the way it drags a mean.
+
+    robust_z = 0.6745 * (x - median) / MAD, 0.0 when MAD == 0 (constant
+    group), flag at |rz| > thresh (3.5 is the Iglewicz-Hoaglin cut).
+
+    Scale shape: two tiny per-group exact-percentile aggregates (group
+    cardinality = #LAs, not #rows) broadcast-joined back — the mart
+    itself never re-shuffles, unlike a window formulation which would
+    exchange the whole frame by group.
+    """
+    x = F.col(value_col).cast("double")
+    med = weekly.groupBy(group_col).agg(
+        F.percentile(x, F.lit(0.5)).alias("med")
+    )
+    with_med = weekly.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(F.abs(x - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    out = with_med.join(F.broadcast(mad), group_col)
+    rz = F.when(F.col("mad") == 0.0, F.lit(0.0)).otherwise(
+        F.lit(0.6745) * (x - F.col("med")) / F.col("mad")
+    )
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    return out.select(
+        "week",
+        group_col,
+        value_col,
+        round4(F.col("med")).alias("med"),
+        round4(F.col("mad")).alias("mad"),
+        round4(rz).alias("robust_z"),
+        (F.abs(round4(rz)) > F.lit(thresh)).alias("anomaly_robust"),
+    )

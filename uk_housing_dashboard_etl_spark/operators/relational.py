@@ -823,3 +823,70 @@ def min_cost_supplier(
         .where(F.col("unit_price") == F.col("__min_price"))
         .select("l_partkey", "l_suppkey", "s_name", "supp_nation", "unit_price")
     )
+
+
+def top_parts_per_nation(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Grouped top-k: each nation's k highest-revenue parts.
+
+    The rank window runs on the AGGREGATED (nation, part) frame — a few
+    hundred rows per nation at any fact-table size — never on lineitem
+    itself, so the partitioned row_number is a cheap post-agg step, not a
+    wide exchange. Revenue sums in exact 1e-4 integer units (``_dsum``)
+    so the rank order is engine- and partitioning-independent; ties break
+    on the part key.
+    """
+    per_part = (
+        lineitem.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("n_name", "l_partkey", "revenue", "rank")
+    )
+
+
+def modal_type_per_la(enriched: DataFrame) -> DataFrame:
+    """Deterministic per-group mode: each LA's most common property type
+    (count desc, then lexicographically smallest type — never the
+    engine's arbitrary ``mode()`` tie pick). Runs on the (LA, type)
+    aggregate, so the argmax window touches #LAs × #types rows."""
+    counts = (
+        enriched.where(
+            F.col("local_authority").isNotNull() & F.col("prop_type").isNotNull()
+        )
+        .groupBy("local_authority", "prop_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("local_authority").orderBy(
+        F.col("n").desc(), F.col("prop_type")
+    )
+    return (
+        counts.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            "local_authority",
+            F.col("prop_type").alias("modal_type"),
+            F.col("n").alias("n_sales"),
+        )
+    )
