@@ -288,3 +288,23 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     assert out[2]["codes"] == [0, 0, 0, 0] and out[2]["max_err"] == 0.0
     # the largest-magnitude component always maps to ±levels
     assert 127 in [abs(c) for c in out[0]["codes"]]
+
+
+def test_extract_features_normalized_and_deterministic(near_dup_docs):
+    from uk_housing_dashboard_etl_spark.operators.multimodal import extract_features
+
+    media = attach_binary_payload(near_dup_docs)
+    out = extract_features(media, fake=True, dim=16)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:bigint,format:string,feature:array<float>,"
+        "feat_norm:float>"
+    )
+    pdf = out.toPandas().set_index("doc_id").sort_index()
+    assert all(len(f) == 16 for f in pdf.feature)
+    # L1-normalized histogram: components sum to 1 for non-empty payloads
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in pdf.feature)
+    # deterministic: identical payloads -> identical features
+    assert list(pdf.loc[0, "feature"]) == list(pdf.loc[1, "feature"])
+    # the stubbed model path raises where the forward pass would run
+    with pytest.raises(Exception, match="NotImplementedError|vision model"):
+        extract_features(media, fake=False).collect()

@@ -80,7 +80,11 @@ from uk_housing_dashboard_etl_spark.operators.text_analysis import (
     quality_score,
     text_stats,
 )
-from uk_housing_dashboard_etl_spark.functions.rounding import round4, round4_sql
+from uk_housing_dashboard_etl_spark.functions.rounding import (
+    dmean_sql,
+    round4,
+    round4_sql,
+)
 from uk_housing_dashboard_etl_spark.sources.readers import read_table
 
 ROUND_DP = 4
@@ -134,6 +138,8 @@ BENCH_EXTRA: list[str] = [
     "robust_anomalies",
     "top_parts_per_nation",
     "modal_type",
+    "price_deciles",
+    "lapsed_parts",
 ]
 
 
@@ -805,6 +811,26 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(read_table(spark, sf_dir, "embeddings"))
 
 
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count decile banding per LA (deterministic ntile over a
+    total order), rolled to per-(LA, decile) count + mean price."""
+    from uk_housing_dashboard_etl_spark.operators.relational import price_deciles
+
+    return price_deciles(_enriched(spark, sf_dir))
+
+
+def q_lapsed_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT-shape churn report: parts shipped in 1996H1 but not
+    1996H2, counted per brand."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        lapsed_parts_by_brand,
+    )
+
+    return lapsed_parts_by_brand(
+        read_table(spark, sf_dir, "lineitem"), read_table(spark, sf_dir, "part")
+    )
+
+
 def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust anomaly flags on the weekly mart (outlier-
     resistant companion to the reference's mean/stddev z-score)."""
@@ -1049,6 +1075,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media, fake=True)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (stubbed
+    vision kernel, real mapInPandas plumbing; no SQL oracle)."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return extract_features(media, fake=True)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride frame sampling fan-out over binary payloads (JVM-side)."""
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
@@ -1195,6 +1232,35 @@ ORACLES: dict[str, str] = {
                     ORDER BY n DESC, prop_type) AS r
         FROM tcounts
     ) WHERE r = 1
+    """,
+    "price_deciles": _BASE
+    + f"""
+    , dd AS (
+        SELECT local_authority, price, transaction_id,
+               CAST(ntile(10) OVER (PARTITION BY local_authority
+                    ORDER BY price, transaction_id) AS INTEGER) AS decile
+        FROM enriched
+        WHERE price IS NOT NULL AND local_authority IS NOT NULL
+    )
+    SELECT local_authority, decile, count(*) AS n,
+           round({dmean_sql('price')}, 4) AS avg_price
+    FROM dd GROUP BY 1, 2
+    """,
+    "lapsed_parts": """
+    WITH h1 AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+    ), h2 AS (
+        SELECT DISTINCT l_partkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), lapsed AS (
+        SELECT l_partkey FROM h1 EXCEPT SELECT l_partkey FROM h2
+    )
+    SELECT p_brand, count(*) AS lapsed_parts
+    FROM lapsed JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
     """,
     "top_parts_per_nation": """
     WITH per_part AS (
@@ -2258,6 +2324,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize": q_embedding_quantize,
     "token_histogram": q_token_histogram,
     "robust_anomalies": q_robust_anomalies,
+    "price_deciles": q_price_deciles,
+    "lapsed_parts": q_lapsed_parts,
     "top_parts_per_nation": q_top_parts_per_nation,
     "modal_type": q_modal_type,
     "curate_corpus": q_curate_corpus,
@@ -2267,5 +2335,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_retention": q_weekly_retention,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
 }

@@ -150,3 +150,64 @@ def media_metadata(media: DataFrame) -> DataFrame:
         F.min("n_bytes").alias("min_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("feat_norm", FloatType()),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame, fake: bool = True, dim: int = 16
+) -> DataFrame:
+    """Feature extraction over binary payloads — the embedding stage of a
+    multimodal pipeline (a real deployment would run CLIP/ViT here).
+
+    With ``fake=True`` the "model" is a deterministic L1-normalized byte
+    histogram folded to ``dim`` buckets (so tests can assert exact
+    values); with ``fake=False`` it raises at the exact call site a
+    vision model forward pass would occupy. Arrow-batched
+    ``mapInPandas`` either way — the plumbing (schema, batch shape,
+    partition parallelism) is the real article, only the kernel is
+    stubbed. Output vectors feed straight into operators/similarity.py.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "vision model not available in this environment; "
+                    "plug model.encode(decode(payload)) here"
+                )
+            feats = [_fake_feature(bytes(p), dim) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pdf["format"],
+                    "feature": feats,
+                    "feat_norm": [
+                        float(sum(x * x for x in f) ** 0.5) for f in feats
+                    ],
+                }
+            )
+            out["feat_norm"] = out["feat_norm"].astype("float32")
+            yield out
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in embedding: L1-normalized folded byte
+    histogram."""
+    if not payload:
+        return [0.0] * dim
+    hist = [0] * dim
+    for b in payload:
+        hist[b % dim] += 1
+    total = float(len(payload))
+    return [h / total for h in hist]

@@ -890,3 +890,70 @@ def modal_type_per_la(enriched: DataFrame) -> DataFrame:
             F.col("n").alias("n_sales"),
         )
     )
+
+
+def price_deciles(enriched: DataFrame) -> DataFrame:
+    """Equal-count decile banding of sale prices within each LA
+    (ntile(10) over a total order — (price, transaction_id) — so bucket
+    assignment is deterministic), rolled up to per-(LA, decile) counts
+    and integer-unit mean price.
+
+    Scale note: ntile needs the full per-LA sort; the grain is LA
+    partitions (bounded, 100s), so the exchange is the same one the
+    weekly mart already pays. For a truly skewed giant group, switch to
+    percentile-boundary assignment (two tiny aggregates + broadcast
+    compare) — same output, no per-group sort.
+    """
+    base = enriched.where(
+        F.col("price").isNotNull() & F.col("local_authority").isNotNull()
+    )
+    w = Window.partitionBy("local_authority").orderBy(
+        F.col("price"), F.col("transaction_id")
+    )
+    return (
+        base.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("local_authority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round4(dmean(F.col("price"))).alias("avg_price"),
+        )
+    )
+
+
+def lapsed_parts_by_brand(
+    lineitem: DataFrame,
+    part: DataFrame,
+    active_from: str = "1996-01-01",
+    active_to: str = "1996-07-01",
+    lapsed_from: str = "1996-07-01",
+    lapsed_to: str = "1997-01-01",
+) -> DataFrame:
+    """Set-difference shape: parts shipped in the first window but NOT in
+    the second, counted per brand (churned-SKU report).
+
+    ``subtract`` is EXCEPT DISTINCT — Catalyst plans it as an aggregate +
+    left-anti hash join on the already-distinct (small) key sets, never
+    a lineitem-vs-lineitem join.
+    """
+
+    def _shipped(frm: str, to: str) -> DataFrame:
+        return (
+            lineitem.where(
+                (F.col("l_shipdate") >= F.lit(frm).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(to).cast("timestamp"))
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    lapsed = _shipped(active_from, active_to).subtract(
+        _shipped(lapsed_from, lapsed_to)
+    )
+    return (
+        lapsed.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("lapsed_parts"))
+    )
