@@ -202,35 +202,34 @@ def curate_corpus(
     ``n_final`` (after dedup), ``tokens_final`` (token budget of the
     surviving corpus).
 
-    Scale shape: the funnel is row-local; the dedup shuffle keys on the
-    32-char content hash of only the KEPT docs; the two doc_id joins are
-    co-partitioned on the same key; the final rollup is one partial+final
-    hash agg on a low-cardinality key. Nothing ever shuffles document
-    bodies except the hash computation's input scan.
+    Scale shape: ONE scan of the corpus, zero joins. The funnel verdict,
+    group keys, and content hash are computed row-locally in the same
+    projection (``filter_funnel(carry_cols=...)``), then a single window
+    over the 32-char content hash finds each duplicate group's canonical
+    kept doc — partitioning by the hash of ALL docs is uniform (dropped
+    docs land in their own hash groups), so there is no null-key skew —
+    and the final rollup is one partial+final hash agg. The join
+    formulation this replaces scanned the corpus three times.
     """
-    from uk_housing_dashboard_etl_spark.operators.dedup import exact_dedup
+    from pyspark.sql import Window
+
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
     from uk_housing_dashboard_etl_spark.operators.text_analysis import filter_funnel
 
-    verdict = filter_funnel(documents, text_col=text_col, id_col=id_col).select(
-        F.col("doc_id"), F.col("n_tokens"), F.col("keep")
+    hashed = documents.withColumn(
+        "__chash", F.md5(_norm_text(F.col(text_col)))
     )
-    kept = documents.join(
-        verdict.where(F.col("keep")).select(F.col("doc_id").alias(id_col)),
-        id_col,
-        "left_semi",
+    verdict = filter_funnel(
+        hashed,
+        text_col=text_col,
+        id_col=id_col,
+        carry_cols=(*group_cols, "__chash"),
     )
-    canon = (
-        exact_dedup(kept, text_col=text_col, id_col=id_col)
-        .select(
-            "doc_id",
-            (F.col("doc_id") == F.col("canonical_id")).alias("is_canon"),
-        )
-    )
-    enriched = (
-        documents.select(F.col(id_col).alias("doc_id"), *group_cols)
-        .join(verdict, "doc_id")
-        .join(canon, "doc_id", "left")
-        .withColumn("final", F.coalesce(F.col("is_canon"), F.lit(False)))
+    canon_id = F.min(
+        F.when(F.col("keep"), F.col("doc_id"))
+    ).over(Window.partitionBy("__chash"))
+    enriched = verdict.withColumn(
+        "final", F.col("keep") & (F.col("doc_id") == canon_id)
     )
     return enriched.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -229,6 +229,7 @@ def filter_funnel(
     min_quality: float = 0.5,
     max_dup_ngram: float = 0.2,
     langs: tuple[str, ...] = ("en",),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The curation keep/drop funnel (C4/Gopher-style): length, quality,
     repetition and language rules evaluated in ONE pass, with the first
@@ -237,6 +238,9 @@ def filter_funnel(
     Everything is row-local column math (no joins between the metric
     marts, no shuffle at any corpus size); rule thresholds compare
     4dp-rounded values so the decision is bit-identical across engines.
+    ``carry_cols`` are passed through untouched so composed pipelines
+    (see ``curation.curate_corpus``) can stay single-scan instead of
+    joining the verdict back to the source table.
     """
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
@@ -258,7 +262,8 @@ def filter_funnel(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias(text_col),
         toks.alias("__toks"),
-    ).select("doc_id", text_col, "__toks", grams.alias("__grams"))
+        *carry_cols,
+    ).select("doc_id", text_col, "__toks", grams.alias("__grams"), *carry_cols)
     total = F.size(F.col("__grams"))
     dup = round4(
         F.when(
@@ -298,4 +303,5 @@ def filter_funnel(
         pred.alias("predicted_lang"),
         drop_reason.alias("drop_reason"),
         drop_reason.isNull().alias("keep"),
+        *carry_cols,
     )
