@@ -124,3 +124,40 @@ def test_small_qty_revenue_broadcasts_thresholds(spark):
     plan = plan_of(spark, "small_qty_revenue")
     # per-part avg-qty thresholds join back by broadcast (dim-sized)
     assert "BroadcastHashJoin" in plan
+
+
+def exec_plan_of(spark, name: str) -> str:
+    """Raw executed-plan tree (inline operator args, unlike formatted
+    mode which moves them to a detail section)."""
+    df = contract.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curate_corpus_single_scan_no_joins(spark):
+    plan = exec_plan_of(spark, "curate_corpus")
+    # one corpus scan, verdict + hash in the same projection, canonical
+    # pick via window — no join operator anywhere
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_robust_anomalies_single_group_exchange(spark):
+    plan = exec_plan_of(spark, "robust_anomalies")
+    # med and MAD are stacked Window aggregates over ONE la-partitioning:
+    # exactly one exchange hashpartitions on local_authority alone
+    la_only = [
+        seg for seg in plan.split("Exchange hashpartitioning(")[1:]
+        if seg.split(")")[0].count("#") == 1
+        and "local_authority" in seg.split(")")[0]
+    ]
+    assert len(la_only) == 1
+
+
+def test_price_deciles_window_and_agg_share_partitioning(spark):
+    plan = exec_plan_of(spark, "price_deciles")
+    # the ntile window shuffles on la; the (la, decile) groupBy must ride
+    # that same partitioning (subset rule), adding no second exchange
+    segs = [
+        s.split(")")[0] for s in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert segs and not any("decile" in s for s in segs)
