@@ -8,6 +8,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.streaming import run_stream_once, weekly_stream
@@ -273,3 +274,88 @@ def test_session_stream_append_and_checkpoint_recovery(spark, tmp_path):
     }
     want = {k: v["n_events"] for k, v in rows.items() if k[0] != 9}
     assert got == want
+
+
+def test_funnel_stream_state_across_batches_matches_batch_fold(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.operators.funnel import funnel_steps
+    from uk_housing_dashboard_etl_spark.streaming import funnel_stream
+
+    d = str(tmp_path / "fun_landing")
+    ckpt = str(tmp_path / "fun_ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    steps = ["view", "cart", "buy"]
+
+    # user 1 reaches cart; user 2 views only; user 3's cart arrives at the
+    # SAME ts as its view — strict ordering must refuse the advance
+    batch1 = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + m, 1, "cart", 0.0, ""),
+        (3, t0, 2, "view", 0.0, ""),
+        (4, t0, 3, "view", 0.0, ""),
+        (5, t0, 3, "cart", 0.0, ""),
+    ]
+    batch2 = [
+        (6, t0 + 5 * m, 1, "buy", 0.0, ""),  # completes from carried state
+        (7, t0 + 5 * m, 2, "cart", 0.0, ""),
+        (8, t0 + 6 * m, 3, "cart", 0.0, ""),  # now strictly later -> advances
+    ]
+
+    out = str(tmp_path / "fun_out")
+
+    def run(name):
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(d)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            funnel_stream(stream, steps)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # stage is monotone per user: the row with the max stage is current
+        return {
+            r["user"]: (r["stage"], r["reached_at"])
+            for r in spark.read.parquet(out)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user").orderBy(F.desc("stage"))
+                ),
+            )
+            .where("rn = 1")
+            .collect()
+        }
+
+    _events(spark, batch1).write.mode("append").parquet(d)
+    first = run("t_fun1")
+    assert first == {1: (2, t0 + m), 2: (1, t0), 3: (1, t0)}
+
+    # same checkpoint: only batch 2 is processed, state recovered
+    _events(spark, batch2).write.mode("append").parquet(d)
+    second = run("t_fun2")
+    assert second == {
+        1: (3, t0 + 5 * m),
+        2: (2, t0 + 5 * m),
+        3: (2, t0 + 6 * m),
+    }
+
+    # stage-reach counts equal the batch one-shuffle fold over all events
+    batch = {
+        r["step"]: r["users"]
+        for r in funnel_steps(_events(spark, batch1 + batch2), steps).collect()
+    }
+    reached = {u: s for u, (s, _) in second.items()}
+    want = {
+        i + 1: sum(1 for s in reached.values() if s >= i + 1)
+        for i in range(len(steps))
+    }
+    assert batch == want
