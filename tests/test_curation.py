@@ -173,3 +173,44 @@ def test_curate_corpus_filters_then_dedups(spark):
     # doc 4 is an exact dup of doc 0 (dedup is corpus-wide, not per
     # group): only the canonical doc 0 survives
     assert out[("en", "s2")] == (1, 1, 0, 0)
+
+
+def test_source_cap_two_phase_prune_is_exact_on_skew(spark):
+    """The salted pre-prune must keep EXACTLY the rows a plain per-source
+    window would: one mega-source (80 docs), one small (3), cap=5."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from uk_housing_dashboard_etl_spark.operators.curation import source_cap
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    words = "the value of a table is that it holds data for all to scan"
+    docs = spark.createDataFrame(
+        [
+            # varying quality: longer repetitions of the stopword-rich text
+            (i, " ".join([words] * (1 + i % 7)), "en", "mega" if i < 80 else "small")
+            for i in range(83)
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = source_cap(docs, cap=5, salt_buckets=4)
+
+    plain = (
+        quality_score(docs, keep_cols=("source",))
+        .withColumn(
+            "source_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("quality").desc(), F.col("doc_id")
+                )
+            ),
+        )
+        .where(F.col("source_rank") <= 5)
+        .select("doc_id", "source", "quality", "source_rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # quota respected: 5 from the mega source, all 3 from the small one
+    sizes = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"mega": 5, "small": 3}

@@ -359,3 +359,55 @@ def test_funnel_stream_state_across_batches_matches_batch_fold(spark, tmp_path):
         for i in range(len(steps))
     }
     assert batch == want
+
+
+def test_attribution_stream_joins_within_window_across_batches(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.streaming import attribution_stream
+
+    d = str(tmp_path / "attr_landing")
+    ckpt = str(tmp_path / "attr_ckpt")
+    out = str(tmp_path / "attr_out")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    # batch 1: two views; user 2's purchase lands 90 min after its view
+    # (outside the 1h attribution window -> must NOT join)
+    batch1 = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0, 2, "view", 0.0, ""),
+        (3, t0 + 90 * m, 2, "purchase", 50.0, ""),
+    ]
+    # batch 2: user 1's purchase 30 min after the batch-1 view — the
+    # view is buffered in join state, so the match crosses batches
+    batch2 = [
+        (4, t0 + 30 * m, 1, "purchase", 99.0, ""),
+        (5, t0 + 31 * m, 3, "purchase", 7.0, ""),  # no view at all
+    ]
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(d)
+        q = (
+            attribution_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    _events(spark, batch1).write.mode("append").parquet(d)
+    run()
+    _events(spark, batch2).write.mode("append").parquet(d)
+    got = run()
+    # exactly one attributed purchase: user 1, 99.0, across batches
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["user_id"], r["value"]) == (1, 99.0)
+    assert r["view_ts"].to_pydatetime() == t0
+    assert r["buy_ts"].to_pydatetime() == t0 + 30 * m

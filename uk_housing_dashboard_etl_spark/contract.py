@@ -140,6 +140,8 @@ BENCH_EXTRA: list[str] = [
     "modal_type",
     "price_deciles",
     "lapsed_parts",
+    "source_cap",
+    "weekly_unpivot",
 ]
 
 
@@ -607,6 +609,16 @@ def q_weekly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weekly_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot round-trip: melt the weeks × types matrix back to long via
+    ``DataFrame.unpivot`` — zero-filled combinations preserved, so the
+    long form is the densified week × type grid."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return q_weekly_type_pivot(spark, sf_dir).unpivot(
+        ["week"], types, "event_type", "transactions"
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has none natively): each event annotated with
     the user's latest at-or-before purchase, via the union + ordered
@@ -872,6 +884,14 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.curation import curate_corpus
 
     return curate_corpus(read_table(spark, sf_dir, "documents"))
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota (Dolma/C4-style domain cap): top-10 docs per
+    source by quality, salted two-phase exact top-k for skew safety."""
+    from uk_housing_dashboard_etl_spark.operators.curation import source_cap
+
+    return source_cap(read_table(spark, sf_dir, "documents"), cap=10)
 
 
 # ------------------------------------------ extension: funnels / cohorts
@@ -2248,6 +2268,41 @@ _EXTENSION_ORACLES["lang_id"] = (
     + f", {_lang_case} AS predicted_lang FROM documents"
 )
 
+_EXTENSION_ORACLES["source_cap"] = f"""
+    WITH s AS (
+        SELECT doc_id, source, text, {_TOKS} AS t FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
+                   + 0.3 * least(1.0, len(t) / 100.0)
+                   + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4) AS quality
+        FROM s
+    ), r AS (
+        SELECT doc_id, source, quality,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER) AS source_rank
+        FROM q
+    )
+    SELECT doc_id, source, quality, source_rank FROM r WHERE source_rank <= 10
+    """
+
+_EXTENSION_ORACLES["weekly_unpivot"] = """
+    WITH wk AS (
+        SELECT date_trunc('week', ts) AS week, event_type FROM events
+    ), weeks AS (
+        SELECT DISTINCT week FROM wk
+    ), types(event_type) AS (
+        VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')
+    ), cnt AS (
+        SELECT week, event_type, count(*) AS transactions
+        FROM wk GROUP BY 1, 2
+    )
+    SELECT w.week, t.event_type,
+           CAST(coalesce(c.transactions, 0) AS BIGINT) AS transactions
+    FROM weeks w
+    CROSS JOIN types t
+    LEFT JOIN cnt c ON c.week = w.week AND c.event_type = t.event_type
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -2326,6 +2381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_anomalies": q_robust_anomalies,
     "price_deciles": q_price_deciles,
     "lapsed_parts": q_lapsed_parts,
+    "source_cap": q_source_cap,
+    "weekly_unpivot": q_weekly_unpivot,
     "top_parts_per_nation": q_top_parts_per_nation,
     "modal_type": q_modal_type,
     "curate_corpus": q_curate_corpus,

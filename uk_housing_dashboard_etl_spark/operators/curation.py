@@ -188,6 +188,64 @@ def split_summary(
     )
 
 
+def source_cap(
+    documents: DataFrame,
+    cap: int = 25,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-source quota (the Dolma/C4 per-domain cap): keep at most
+    ``cap`` docs per source, preferring higher ``quality_score``, doc_id
+    ascending as the deterministic tie-break. Returns
+    (doc_id, source, quality, source_rank).
+
+    Exact two-phase top-k for skew safety: phase 1 ranks within
+    (source, salt) — a deterministic hash salt, ``salt_buckets`` ways —
+    and keeps ``cap`` per salted subgroup, which provably preserves every
+    global top-``cap`` row (rank within a subset never exceeds rank
+    within the whole). Phase 2 ranks the ≤ cap·salt_buckets survivors
+    per source. A 100M-page mega-domain therefore never funnels its full
+    row set through one task's window sort — the big sort is sharded
+    ``salt_buckets`` ways and the final exact window touches only
+    cap·salt_buckets rows per source.
+    """
+    from pyspark.sql import Window
+
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    scored = quality_score(
+        documents, id_col=id_col, keep_cols=(source_col,)
+    ).select("doc_id", F.col(source_col).alias("source"), "quality")
+    salt = ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(1_000_000_007)) % F.lit(
+        salt_buckets
+    )
+    w1 = Window.partitionBy("source", "__salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    pruned = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .drop("__salt", "__r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        pruned.withColumn("source_rank", F.row_number().over(w2))
+        .where(F.col("source_rank") <= cap)
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.col("source_rank").cast("int").alias("source_rank"),
+        )
+    )
+
+
 def curate_corpus(
     documents: DataFrame,
     group_cols: tuple[str, ...] = ("lang", "source"),

@@ -68,12 +68,19 @@ def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
-def quality_score(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Composite quality heuristic in [0,1]:
     0.4·stopword_signal + 0.3·length_signal + 0.3·(1 − punct_noise).
 
     Built from the UNROUNDED ratios (rounding only the final score) so the
-    composite is exact integer-ratio math until the last step."""
+    composite is exact integer-ratio math until the last step.
+    ``keep_cols`` carries extra pass-through columns (e.g. ``source``)
+    so composing operators stay single-scan instead of joining back."""
     toks = _tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -90,6 +97,7 @@ def quality_score(documents: DataFrame, text_col: str = "text", id_col: str = "d
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),
         round4(score).alias("quality"),
+        *keep_cols,
     )
 
 

@@ -9,6 +9,9 @@ from uk_housing_dashboard_etl_spark.streaming.session_stream import (
 from uk_housing_dashboard_etl_spark.streaming.funnel_stream import (
     funnel_stream,
 )
+from uk_housing_dashboard_etl_spark.streaming.attribution_stream import (
+    attribution_stream,
+)
 
 __all__ = [
     "weekly_stream",
@@ -16,4 +19,5 @@ __all__ = [
     "run_stream_to_parquet",
     "session_stream",
     "funnel_stream",
+    "attribution_stream",
 ]
