@@ -84,3 +84,42 @@ def test_period_over_period_longer_lag(spark):
     )
     assert out.loc[2, "transactions_prev"] == 10
     assert out.loc[3, "transactions_pct_change"] == 100.0
+
+
+def test_interpolate_gaps_inside_only_with_time_weighting(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        interpolate_gaps,
+    )
+
+    w = lambda k: dt.datetime(2024, 1, 1) + dt.timedelta(weeks=k)
+    dense = spark.createDataFrame(
+        [
+            # LA "A": value at weeks 0 and 3, nulls between -> 1/3, 2/3 blends
+            (w(0), "A", 1, 30.0),
+            (w(1), "A", 0, None),
+            (w(2), "A", 0, None),
+            (w(3), "A", 1, 60.0),
+            # LA "B": leading + trailing nulls stay null (limit_area=inside)
+            (w(0), "B", 0, None),
+            (w(1), "B", 1, 10.0),
+            (w(2), "B", 0, None),
+        ],
+        "week timestamp, local_authority string, transactions long, price_mean double",
+    )
+    got = {
+        (r["local_authority"], r["week"]): (r["price_interp"], r["is_interpolated"])
+        for r in interpolate_gaps(dense).collect()
+    }
+    assert got[("A", w(1))] == (40.0, True)
+    assert got[("A", w(2))] == (50.0, True)
+    assert got[("A", w(0))] == (30.0, False)
+    assert got[("B", w(0))] == (None, False)  # boundary gap: no left neighbor
+    assert got[("B", w(2))] == (None, False)  # boundary gap: no right neighbor
+
+    # one exchange only: both ignore-nulls windows share the (la, week) sort
+    plan = interpolate_gaps(dense)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -142,6 +142,9 @@ BENCH_EXTRA: list[str] = [
     "lapsed_parts",
     "source_cap",
     "weekly_unpivot",
+    "repeat_customers",
+    "supplier_percentile",
+    "gap_interpolation",
 ]
 
 
@@ -257,6 +260,17 @@ def q_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grid_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: densified weeks × LAs grid with zero-filled transactions."""
     return _round(densify_weekly_grid(_weekly(spark, sf_dir)), WEEKLY_ROUND)
+
+
+def q_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill of the densified weekly price series: nearest
+    non-null neighbors via ignore-nulls windows sharing one exchange,
+    time-axis blend on exact epoch-µs integers."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        interpolate_gaps,
+    )
+
+    return interpolate_gaps(densify_weekly_grid(_weekly(spark, sf_dir)))
 
 
 def q_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,6 +898,26 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.curation import curate_corpus
 
     return curate_corpus(read_table(spark, sf_dir, "documents"))
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers ordering in both 1995 and 1996 — each side
+    partial-distincts map-side before the exchange."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        repeat_customers,
+    )
+
+    return repeat_customers(read_table(spark, sf_dir, "orders"))
+
+
+def q_supplier_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percent_rank/cume_dist over per-supplier revenue — the
+    total-order window runs on the aggregated dimension-sized frame."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        supplier_percentile,
+    )
+
+    return supplier_percentile(read_table(spark, sf_dir, "lineitem"))
 
 
 def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,6 +2302,45 @@ _EXTENSION_ORACLES["lang_id"] = (
     + f", {_lang_case} AS predicted_lang FROM documents"
 )
 
+_EXTENSION_ORACLES["gap_interpolation"] = _BASE + """
+    , f AS (
+        SELECT week, local_authority, transactions, price_mean,
+               last_value(price_mean IGNORE NULLS) OVER (PARTITION BY local_authority ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+               last_value(CASE WHEN price_mean IS NOT NULL THEN week END IGNORE NULLS) OVER (PARTITION BY local_authority ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_wk,
+               first_value(price_mean IGNORE NULLS) OVER (PARTITION BY local_authority ORDER BY week ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+               first_value(CASE WHEN price_mean IS NOT NULL THEN week END IGNORE NULLS) OVER (PARTITION BY local_authority ORDER BY week ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_wk
+        FROM dense
+    )
+    SELECT week, local_authority, transactions,
+           CASE WHEN price_mean IS NOT NULL THEN round(price_mean, 4)
+                WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+                ELSE round(prev_val + (next_val - prev_val) * ((epoch_us(week) - epoch_us(prev_wk)) / (epoch_us(next_wk) - epoch_us(prev_wk))), 4)
+           END AS price_interp,
+           (price_mean IS NULL AND prev_val IS NOT NULL AND next_val IS NOT NULL) AS is_interpolated
+    FROM f
+    """
+
+_EXTENSION_ORACLES["repeat_customers"] = """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """
+
+_EXTENSION_ORACLES["supplier_percentile"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT l_suppkey, revenue,
+           round(percent_rank() OVER (ORDER BY revenue DESC, l_suppkey), 4) AS revenue_pct_rank,
+           round(cume_dist() OVER (ORDER BY revenue DESC, l_suppkey), 4) AS revenue_cume_dist
+    FROM rev
+    """
+
 _EXTENSION_ORACLES["source_cap"] = f"""
     WITH s AS (
         SELECT doc_id, source, text, {_TOKS} AS t FROM documents
@@ -2383,6 +2456,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lapsed_parts": q_lapsed_parts,
     "source_cap": q_source_cap,
     "weekly_unpivot": q_weekly_unpivot,
+    "repeat_customers": q_repeat_customers,
+    "supplier_percentile": q_supplier_percentile,
+    "gap_interpolation": q_gap_interpolation,
     "top_parts_per_nation": q_top_parts_per_nation,
     "modal_type": q_modal_type,
     "curate_corpus": q_curate_corpus,

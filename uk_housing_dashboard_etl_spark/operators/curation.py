@@ -205,10 +205,16 @@ def source_cap(
     and keeps ``cap`` per salted subgroup, which provably preserves every
     global top-``cap`` row (rank within a subset never exceeds rank
     within the whole). Phase 2 ranks the ≤ cap·salt_buckets survivors
-    per source. A 100M-page mega-domain therefore never funnels its full
-    row set through one task's window sort — the big sort is sharded
-    ``salt_buckets`` ways and the final exact window touches only
-    cap·salt_buckets rows per source.
+    per source.
+
+    Verified plan (Spark 4): each exchange is preceded by a Partial
+    ``WindowGroupLimit``, so map tasks already emit ≤ cap rows per key —
+    a PLAIN row_number top-k is therefore also skew-bounded, but its
+    final per-source task still receives cap × (map task count) rows,
+    which grows with cluster size (1M rows at cap=10 on 100k input
+    splits). The salt phase pins that final input at cap·salt_buckets
+    (160 rows) no matter how wide the scan, at the price of one extra
+    tiny exchange. FileScan prunes to (doc_id, text, source).
     """
     from pyspark.sql import Window
 

@@ -957,3 +957,48 @@ def lapsed_parts_by_brand(
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("lapsed_parts"))
     )
+
+
+def repeat_customers(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """INTERSECT set op: customers who ordered in BOTH years.
+
+    Verified plan: Catalyst compiles ``intersect`` to a LeftSemi join
+    (broadcast here — one year of custkeys is dim-sized) followed by a
+    partial+final distinct, so the exchange carries unique custkeys, not
+    orders. The year filter is written as a timestamp RANGE, not
+    ``year(col) = y`` — a function over the column would evaluate
+    row-by-row post-scan, while the range lands in the parquet scan's
+    PushedFilters and prunes row groups by min/max stats.
+    """
+    def _year(y: int) -> DataFrame:
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return _year(y1).intersect(_year(y2))
+
+
+def supplier_percentile(lineitem: DataFrame) -> DataFrame:
+    """percent_rank + cume_dist over per-supplier revenue.
+
+    The total-order window is the one construct that genuinely needs a
+    single-partition sort — so it runs on the AGGREGATED frame (one row
+    per supplier: dimension cardinality, not fact cardinality). Revenue
+    is the deterministic integer-unit sum rounded to 4dp BEFORE ranking,
+    with suppkey as tie-break, so ranks are engine-independent; the
+    rank ratios are exact rationals evaluated identically in IEEE
+    double. Never apply a global rank window to the raw fact table.
+    """
+    rev = lineitem.groupBy("l_suppkey").agg(
+        round4(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
+    return rev.select(
+        "l_suppkey",
+        "revenue",
+        round4(F.percent_rank().over(w)).alias("revenue_pct_rank"),
+        round4(F.cume_dist().over(w)).alias("revenue_cume_dist"),
+    )

@@ -46,3 +46,61 @@ def period_over_period(
             )
         )
     return out
+
+
+def interpolate_gaps(
+    dense_weekly: DataFrame,
+    value_col: str = "price_mean",
+    key_col: str = "local_authority",
+    ts_col: str = "week",
+) -> DataFrame:
+    """Linear interpolation of null gaps in a densified per-key series.
+
+    For each null row: find the nearest non-null value before and after
+    (ignore-nulls last/first over the same (key, week) sort) and
+    interpolate linearly on the TIME axis — exact integer epoch-µs
+    deltas, so the blend fraction is the same IEEE double in any engine.
+    Boundary gaps (no neighbor on one side) stay null, matching pandas
+    ``Series.interpolate(limit_area='inside')``.
+
+    Scale: both ignore-nulls windows share the one
+    (partitionBy key, orderBy ts) exchange — forward and backward frames
+    are two passes over the same sorted partition, no second shuffle.
+    The input is the mart-sized grid, not the fact table.
+    """
+    v = F.col(value_col)
+    ts = F.col(ts_col)
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked_ts = F.when(v.isNotNull(), ts)
+    prev_val = F.last(v, ignorenulls=True).over(wp)
+    prev_ts = F.last(marked_ts, ignorenulls=True).over(wp)
+    next_val = F.first(v, ignorenulls=True).over(wn)
+    next_ts = F.first(marked_ts, ignorenulls=True).over(wn)
+    frac = (F.unix_micros(ts) - F.unix_micros(prev_ts)) / (
+        F.unix_micros(next_ts) - F.unix_micros(prev_ts)
+    )
+    interp = (
+        F.when(v.isNotNull(), round4(v))
+        .when(
+            prev_val.isNull() | next_val.isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(round4(prev_val + (next_val - prev_val) * frac))
+    )
+    return dense_weekly.select(
+        ts.alias("week"),
+        F.col(key_col).alias("local_authority"),
+        "transactions",
+        interp.alias("price_interp"),
+        (v.isNull() & prev_val.isNotNull() & next_val.isNotNull()).alias(
+            "is_interpolated"
+        ),
+    )
