@@ -166,6 +166,37 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_med):
     assert (merged.score_e == merged.score_a).all()
 
 
+def test_arrow_topk_bit_identical_to_jvm_fold(spark, sf_med):
+    # The vectorized path must reproduce the interpreted fold EXACTLY —
+    # per-dimension sequential accumulation, same rounding, same
+    # tie-break — or the DuckDB oracle hash breaks. Full-row equality,
+    # not approx.
+    from uk_housing_dashboard_etl_spark.operators.similarity import arrow_topk
+
+    emb = read_table(spark, sf_med, "embeddings")
+    queries = emb.where(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sorted(map(tuple, brute_force_topk(emb, queries, k=7).collect()))
+    arrow = sorted(map(tuple, arrow_topk(emb, queries, k=7).collect()))
+    assert exact == arrow
+    # carry_cols rides corpus columns through both paths identically
+    lab = emb.withColumn("label", (F.col("vec_id") % 3).cast("int"))
+    e2 = sorted(
+        map(
+            tuple,
+            brute_force_topk(lab, queries, k=5, carry_cols=("label",)).collect(),
+        )
+    )
+    a2 = sorted(
+        map(
+            tuple,
+            arrow_topk(lab, queries, k=5, carry_cols=("label",)).collect(),
+        )
+    )
+    assert e2 == a2
+
+
 def test_decode_images_schema_and_determinism(near_dup_docs):
     media = attach_binary_payload(near_dup_docs)
     out = decode_images(media, fake=True, thumb=4)
