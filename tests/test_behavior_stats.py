@@ -1,0 +1,155 @@
+"""Semantic tests for the behavior + stats operator batch: edge cases the
+sf-data oracle diff can't isolate (timestamp ties, gap weeks, empty
+predecessors, subtotal rows)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.behavior import (
+    cumulative_users,
+    event_transitions,
+    first_last_touch,
+)
+from uk_housing_dashboard_etl_spark.operators.stats import (
+    corr_stats,
+    grouping_sets_summary,
+    price_histogram,
+)
+from uk_housing_dashboard_etl_spark.operators.timeseries import rolling_time_range
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=t, user_id=u, event_type=e, value=v, props=None)
+         for (i, t, u, e, v) in rows],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)  # a Monday
+
+
+def test_cumulative_users_counts_each_user_once(spark):
+    rows = [
+        (1, T0, 1, "a", 1.0),
+        (2, T0 + dt.timedelta(days=14), 1, "b", 1.0),  # returning, not new
+        (3, T0 + dt.timedelta(days=14), 2, "a", 1.0),
+        (4, T0 + dt.timedelta(days=15), 3, "a", 1.0),
+        (5, T0 + dt.timedelta(days=28), None, "a", 1.0),  # null user dropped
+    ]
+    out = {r["week"].date(): (r["new_users"], r["cumulative_users"])
+           for r in cumulative_users(_ev(spark, rows)).collect()}
+    assert out == {
+        dt.date(2024, 1, 1): (1, 1),
+        dt.date(2024, 1, 15): (2, 3),
+    }
+
+
+def test_event_transitions_excludes_first_event_and_breaks_ties(spark):
+    rows = [
+        (2, T0, 1, "b", 1.0),   # same ts — event_id orders a(1) before b(2)
+        (1, T0, 1, "a", 1.0),
+        (3, T0 + dt.timedelta(hours=1), 1, "c", 1.0),
+        (9, T0, 2, "solo", 1.0),  # single-event user: no transitions
+    ]
+    got = {(r["prev_type"], r["next_type"]): r["transitions"]
+           for r in event_transitions(_ev(spark, rows)).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_first_last_touch_tie_break_and_exact_sum(spark):
+    rows = [
+        (2, T0, 7, "second", 0.1),
+        (1, T0, 7, "first", 0.2),   # ts tie: event_id 1 wins "first"
+        (3, T0 + dt.timedelta(days=1), 7, "last", 0.3),
+    ]
+    r = first_last_touch(_ev(spark, rows), deterministic_sum=True).collect()[0]
+    assert (r["first_type"], r["last_type"]) == ("first", "last")
+    assert r["n_events"] == 3
+    assert abs(r["total_value"] - 0.6) < 1e-12  # exact unit sum, no fp drift
+
+
+def test_corr_stats_matches_closed_form(spark):
+    df = spark.createDataFrame(
+        [("A", "x", 1.0, 10.0), ("A", "x", 2.0, 20.0), ("A", "x", 3.0, 31.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double",
+    )
+    r = corr_stats(df).collect()[0]
+    xs, ys = [1.0, 2.0, 3.0], [10.0, 20.0, 31.0]
+    mx, my = sum(xs) / 3, sum(ys) / 3
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / 2
+    sx = math.sqrt(sum((x - mx) ** 2 for x in xs) / 2)
+    sy = math.sqrt(sum((y - my) ** 2 for y in ys) / 2)
+    assert abs(r["qty_price_covar"] - cov) < 1e-9
+    assert abs(r["qty_price_corr"] - cov / (sx * sy)) < 1e-9
+
+
+def test_price_histogram_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(24999.99,), (25000.0,), (49999.0,), (50000.0,), (None,)],
+        "o_totalprice double",
+    )
+    got = {r["bucket"]: (r["n_orders"], r["bucket_lo"])
+           for r in price_histogram(df).collect()}
+    assert got == {0: (1, 0.0), 1: (2, 25000.0), 2: (1, 50000.0)}
+
+
+def test_grouping_sets_has_exactly_three_granularities(spark):
+    df = spark.createDataFrame(
+        [("A", "F", 1.0, 10.0), ("A", "O", 2.0, 20.0), ("B", "F", 3.0, 30.0)],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double",
+    )
+    rows = grouping_sets_summary(df).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # gid 0 = (rf, ls) detail, 1 = rf subtotal, 3 = grand total
+    assert set(by_gid) == {0, 1, 3}
+    assert len(by_gid[0]) == 3 and len(by_gid[1]) == 2 and len(by_gid[3]) == 1
+    grand = by_gid[3][0]
+    assert grand["n"] == 3 and abs(grand["sum_qty"] - 6.0) < 1e-12
+
+
+def test_range_rolling_honors_gaps_without_densify(spark):
+    # weeks 0, 1, and 6 — the 28-day frame at week 6 must NOT see weeks 0/1
+    weekly = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "LA1", 10, 100.0),
+            (dt.datetime(2024, 1, 8), "LA1", 20, 200.0),
+            (dt.datetime(2024, 2, 12), "LA1", 5, 50.0),
+        ],
+        "week timestamp, local_authority string, transactions bigint, "
+        "price_mean double",
+    )
+    out = {r["week"].date(): (r["range_trans"], r["weeks_present"])
+           for r in rolling_time_range(weekly, days=28).collect()}
+    assert out[dt.date(2024, 1, 8)] == (30, 2)   # week 0 within 28 days
+    assert out[dt.date(2024, 2, 12)] == (5, 1)   # 35/42 days back: excluded
+
+
+def test_active_suppliers_semi_join_no_duplicates(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import active_suppliers
+
+    supplier = spark.createDataFrame(
+        [(1, "s1", 10), (2, "s2", 10)],
+        "s_suppkey bigint, s_name string, s_nationkey bigint",
+    )
+    nation = spark.createDataFrame(
+        [(10, "N")], "n_nationkey bigint, n_name string"
+    )
+    li = spark.createDataFrame(
+        [(1, dt.datetime(1998, 5, 1)), (1, dt.datetime(1998, 6, 1)),
+         (2, dt.datetime(1997, 1, 1))],
+        "l_suppkey bigint, l_shipdate timestamp",
+    )
+    rows = active_suppliers(supplier, nation, li).collect()
+    # supplier 1 has TWO recent shipments but appears once (semi join)
+    assert [(r["s_suppkey"], r["nation"]) for r in rows] == [(1, "N")]

@@ -145,6 +145,14 @@ BENCH_EXTRA: list[str] = [
     "repeat_customers",
     "supplier_percentile",
     "gap_interpolation",
+    "cumulative_users",
+    "event_transitions",
+    "first_last_touch",
+    "corr_stats",
+    "price_histogram",
+    "grouping_sets",
+    "range_rolling",
+    "active_suppliers",
 ]
 
 
@@ -2376,6 +2384,184 @@ _EXTENSION_ORACLES["weekly_unpivot"] = """
     LEFT JOIN cnt c ON c.week = w.week AND c.event_type = t.event_type
     """
 
+# ------------------------------------------------- behavior / stats batch
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new-user + running cumulative distinct-user adoption curve."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import cumulative_users
+
+    return cumulative_users(read_table(spark, sf_dir, "events"))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type bigram (Markov transition) counts across user journeys."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import event_transitions
+
+    return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+def q_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last-touch attribution summary (min_by/max_by)."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import first_last_touch
+
+    out = first_last_touch(
+        read_table(spark, sf_dir, "events"), deterministic_sum=True
+    )
+    return _round(out, ["total_value"])
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion/association stats per (returnflag, linestatus)."""
+    from uk_housing_dashboard_etl_spark.operators.stats import corr_stats
+
+    return _round(
+        corr_stats(read_table(spark, sf_dir, "lineitem")),
+        ["qty_price_corr", "qty_price_covar", "qty_stddev", "price_stddev"],
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (exact integer bucketing)."""
+    from uk_housing_dashboard_etl_spark.operators.stats import price_histogram
+
+    return price_histogram(read_table(spark, sf_dir, "orders"))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice ((rf,ls),(rf),()) with grouping_id."""
+    from uk_housing_dashboard_etl_spark.operators.stats import grouping_sets_summary
+
+    return grouping_sets_summary(read_table(spark, sf_dir, "lineitem"))
+
+
+def q_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling aggregates over the SPARSE weekly mart (no
+    densification needed — the frame is on the time axis)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import rolling_time_range
+
+    return rolling_time_range(_weekly(spark, sf_dir), days=28)
+
+
+def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) shape: suppliers with recent shipments."""
+    from uk_housing_dashboard_etl_spark.operators.relational import active_suppliers
+
+    return active_suppliers(
+        read_table(spark, sf_dir, "supplier"),
+        read_table(spark, sf_dir, "nation"),
+        read_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_EXTENSION_ORACLES["cumulative_users"] = """
+    WITH fw AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS week
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    ), nw AS (
+        SELECT week, count(*) AS new_users FROM fw GROUP BY 1
+    )
+    SELECT week, new_users,
+           CAST(sum(new_users) OVER (ORDER BY week
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM nw
+    """
+
+_EXTENSION_ORACLES["event_transitions"] = """
+    WITH seq AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT prev_type, next_type, count(*) AS transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+_EXTENSION_ORACLES["first_last_touch"] = """
+    WITH e AS (
+        SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), ranked AS (
+        SELECT user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn_asc,
+               row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn_desc
+        FROM e
+    ), agg AS (
+        SELECT user_id,
+               min(ts) AS first_ts, max(ts) AS last_ts,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE)
+                     / 10000.0, 4) AS total_value
+        FROM e GROUP BY 1
+    )
+    SELECT a.user_id,
+           f.event_type AS first_type, l.event_type AS last_type,
+           a.first_ts, a.last_ts, a.n_events, a.total_value
+    FROM agg a
+    JOIN ranked f ON f.user_id = a.user_id AND f.rn_asc = 1
+    JOIN ranked l ON l.user_id = a.user_id AND l.rn_desc = 1
+    """
+
+_EXTENSION_ORACLES["corr_stats"] = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_quantity), 4) AS qty_stddev,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev
+    FROM lineitem
+    GROUP BY 1, 2
+    """
+
+_EXTENSION_ORACLES["price_histogram"] = """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           floor(o_totalprice / 25000.0) * 25000.0 AS bucket_lo
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY 1, 5
+    """
+
+_EXTENSION_ORACLES["grouping_sets"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+_EXTENSION_ORACLES["range_rolling"] = _BASE + """
+    SELECT week, local_authority, transactions,
+           CAST(sum(transactions) OVER w AS BIGINT) AS range_trans,
+           round((CAST(sum(CAST(round(price_mean * 10000.0) AS BIGINT))
+                       OVER w AS DOUBLE) / 10000.0)
+                 / count(price_mean) OVER w, 4) AS range_price_mean,
+           count(*) OVER w AS weeks_present
+    FROM weekly
+    WINDOW w AS (PARTITION BY local_authority ORDER BY week
+                 RANGE BETWEEN INTERVAL 28 DAYS PRECEDING AND CURRENT ROW)
+    """
+
+_EXTENSION_ORACLES["active_suppliers"] = """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_suppkey = s.s_suppkey
+          AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+    )
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -2470,4 +2656,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
+    "cumulative_users": q_cumulative_users,
+    "event_transitions": q_event_transitions,
+    "first_last_touch": q_first_last_touch,
+    "corr_stats": q_corr_stats,
+    "price_histogram": q_price_histogram,
+    "grouping_sets": q_grouping_sets,
+    "range_rolling": q_range_rolling,
+    "active_suppliers": q_active_suppliers,
 }

@@ -1,0 +1,106 @@
+"""Behavioral analytics over the events fact table: adoption curves,
+transition matrices, and first/last-touch attribution.
+
+Beyond-reference surface (the reference's fact table is sales events;
+these are the standard questions a product/ops team asks of any event
+stream the reference's weekly mart cannot answer). All three operators
+are pure DataFrame compositions — no UDFs, no collects.
+
+Scale notes:
+- ``cumulative_users``: the distinct-first-week trick turns "running
+  COUNT(DISTINCT user) per week" (quadratic state, or an expensive
+  exact distinct-window) into one groupBy(user) + one groupBy(week) +
+  one tiny running-sum window over |weeks| rows. Two shuffles on the
+  fact table, then window state that is O(weeks), not O(users).
+- ``event_transitions``: one (user_id) shuffle shared by the lag window,
+  then a partial-aggregated groupBy on the (prev, next) pair — the
+  transition matrix is |types|² rows, so the final agg is tiny.
+- ``first_last_touch``: single (user_id) shuffle; first/last/sum/count
+  all ride the same unbounded frame over one sort, and min_by/max_by
+  on a (ts, event_id) struct keeps ties deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cumulative_users(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Weekly new-user and running cumulative distinct-user counts.
+
+    A user is "new" in the Monday-start week of their first event.
+    ``cumulative_users`` at week w = COUNT(DISTINCT user_id) over all
+    events with week <= w — computed as a running sum of new-user counts,
+    which is exact because first weeks partition the user set.
+    """
+    first_week = (
+        events.na.drop(subset=["user_id", ts_col])
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("week"))
+    )
+    new_by_week = first_week.groupBy("week").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    return new_by_week.select(
+        "week",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Event-type bigram (Markov transition) counts per user journey.
+
+    For each user's events ordered by (ts, event_id) — event_id breaks
+    timestamp ties deterministically — count each consecutive
+    (prev_type, next_type) pair across all users. The first event of a
+    user has no predecessor and is excluded (matches SQL lag semantics).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.na.drop(subset=["user_id"]).select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        pairs.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("transitions"))
+    )
+
+
+def first_last_touch(
+    events: DataFrame, deterministic_sum: bool = False
+) -> DataFrame:
+    """Per-user journey summary: first/last event type, span, volume.
+
+    first/last are ordered by (ts, event_id) — deterministic under
+    timestamp ties. Realized with min_by/max_by over a struct key, which
+    aggregates with partial combine (no window sort needed).
+
+    ``deterministic_sum`` sums ``value`` in exact 1e-4-unit integers so
+    the total is partitioning/engine independent (oracle mode); plain
+    double sum otherwise.
+    """
+    if deterministic_sum:
+        tv = (
+            F.sum(F.round(F.col("value") * F.lit(10000.0)).cast("bigint"))
+            .cast("double")
+            / F.lit(10000.0)
+        )
+    else:
+        tv = F.sum("value")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.na.drop(subset=["user_id", "ts"])
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", key).alias("first_type"),
+            F.max_by("event_type", key).alias("last_type"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+            tv.alias("total_value"),
+        )
+    )

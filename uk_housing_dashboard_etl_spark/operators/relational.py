@@ -1002,3 +1002,32 @@ def supplier_percentile(lineitem: DataFrame) -> DataFrame:
         round4(F.percent_rank().over(w)).alias("revenue_pct_rank"),
         round4(F.cume_dist().over(w)).alias("revenue_cume_dist"),
     )
+
+
+def active_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    since: str = "1998-01-01",
+) -> DataFrame:
+    """Suppliers with at least one shipment since the cutoff — LEFT SEMI
+    join shape (EXISTS), enriched with nation via broadcast.
+
+    Semi join is the right physical shape: Spark probes the (suppkey)
+    build side without materializing any lineitem columns, and the fact
+    side carries only l_suppkey post-pushdown. A naive inner-join +
+    distinct would shuffle every matching lineitem row first; the semi
+    join short-circuits on first match. The shipdate filter pushes to
+    the parquet scan.
+    """
+    recent = lineitem.filter(
+        F.col("l_shipdate") >= F.lit(since).cast("timestamp")
+    ).select("l_suppkey")
+    return (
+        supplier.join(recent, supplier.s_suppkey == recent.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )

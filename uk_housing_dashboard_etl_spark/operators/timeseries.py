@@ -48,6 +48,45 @@ def period_over_period(
     return out
 
 
+def rolling_time_range(
+    weekly: DataFrame, days: int = 28
+) -> DataFrame:
+    """Time-RANGE rolling aggregates over the SPARSE weekly mart.
+
+    The reference's k-row rolling (ref ``etl/etl_main.py:247-251``) is only
+    time-correct because the grid is densified first (J2). RANGE frames
+    make densification unnecessary: the frame is ``[week - days, week]``
+    on the time axis, so missing weeks simply contribute nothing. At
+    100 TB this skips materializing the weeks × LAs grid entirely —
+    the window input is |observed weekly rows|, and both rolling columns
+    share one (la, week-ordered) exchange.
+
+    ``rolling_price_mean`` uses the same exact integer-unit trick as
+    ``rolling.rolling_windows``: window sums over doubles are
+    combine-order dependent across engines; sums of 1e-4-unit integers
+    are not.
+    """
+    w = (
+        Window.partitionBy("local_authority")
+        .orderBy(F.unix_date(F.to_date("week")))
+        .rangeBetween(-days, 0)
+    )
+    pm_units = F.round(F.col("price_mean") * F.lit(10000.0)).cast("bigint")
+    rpm = (
+        F.sum(pm_units).over(w).cast("double")
+        / F.lit(10000.0)
+        / F.count("price_mean").over(w)
+    )
+    return weekly.select(
+        "week",
+        "local_authority",
+        "transactions",
+        F.sum("transactions").over(w).alias("range_trans"),
+        round4(rpm).alias("range_price_mean"),
+        F.count("*").over(w).alias("weeks_present"),
+    )
+
+
 def interpolate_gaps(
     dense_weekly: DataFrame,
     value_col: str = "price_mean",
