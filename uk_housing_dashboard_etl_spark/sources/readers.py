@@ -36,6 +36,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # week bucketing / collected timestamps must be tz-independent and
         # match the DuckDB oracle's naive-timestamp semantics
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # pyarrow writes timestamp[us] with no tz; Spark 3.5+ would infer
+        # TIMESTAMP_NTZ, which unix_micros()/ts arithmetic reject. Read as
+        # plain TIMESTAMP (session tz = UTC above → same instants as the
+        # DuckDB oracle's naive timestamps).
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(path)
@@ -44,6 +49,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    # Belt-and-braces: if the session conf could not be set (or the session
+    # was built before this call with NTZ inference on), cast any NTZ
+    # column to TIMESTAMP so downstream unix_micros()/interval math works.
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 
