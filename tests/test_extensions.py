@@ -339,3 +339,31 @@ def test_extract_features_normalized_and_deterministic(near_dup_docs):
     # the stubbed model path raises where the forward pass would run
     with pytest.raises(Exception, match="NotImplementedError|vision model"):
         extract_features(media, fake=False).collect()
+
+
+def test_simhash_pigeonhole_guarantee(spark):
+    """Round-1 verdict §wrong.3: a distance-5 pair differing in all four
+    16-bit chunks was silently missed under chunks=4 + max_hamming=8.
+    chunks now derives from max_hamming so the guarantee always holds."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    # b differs from a in bits {0, 1, 16, 32, 48}: Hamming distance 5,
+    # with a differing bit inside EVERY one of the old 4 x 16-bit chunks.
+    a_sig = 0
+    b_sig = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 32) | (1 << 48)
+    sig = spark.createDataFrame([(0, a_sig), (1, b_sig)], ["doc_id", "simhash"])
+
+    # the old buggy parameterization (guarantee broken) must now refuse
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs_from_signatures(sig, max_hamming=5, chunks=4)
+
+    # the derived default (6 chunks for max_hamming=5) finds the pair
+    found = simhash_pairs_from_signatures(sig, max_hamming=5).toPandas()
+    assert set(zip(found.doc_a, found.doc_b)) == {(0, 1)}
+    assert found.hamming.iloc[0] == 5
+
+    # tighter radius still correctly excludes it (filter, not recall loss)
+    none = simhash_pairs_from_signatures(sig, max_hamming=3).toPandas()
+    assert len(none) == 0

@@ -697,30 +697,67 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct counts vs exact, per event type (rows-only: sketch
-    internals are engine-specific; error bounds asserted in tests)."""
+    """HLL distinct counts checked against exact, per event type.
+
+    Sketch estimates are engine-specific, so the driver-checkable output
+    is the exact count plus a ``within_5pct`` flag computed from the HLL
+    estimate Spark-side; the oracle asserts the flag is TRUE. If the
+    sketch ever drifts outside its error envelope the flag flips false
+    and the driver's value-hash comparison goes red.
+    """
     from uk_housing_dashboard_etl_spark.operators.sketches import approx_cardinalities
 
-    return approx_cardinalities(read_table(spark, sf_dir, "events"))
+    out = approx_cardinalities(read_table(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        "exact_distinct",
+        (F.col("rel_error") <= 0.05).alias("within_5pct"),
+    )
 
 
 def q_sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable rollup: per-day HLL sketches unioned into weekly
-    distinct-user counts (rows-only)."""
+    distinct-user counts, checked against the exact weekly distinct via a
+    ``within_5pct`` flag (see q_sketch_cardinalities)."""
     from uk_housing_dashboard_etl_spark.operators.sketches import (
         mergeable_daily_distinct,
     )
 
-    return mergeable_daily_distinct(read_table(spark, sf_dir, "events"))
+    out = mergeable_daily_distinct(read_table(spark, sf_dir, "events"))
+    return out.select(
+        "week",
+        "exact_weekly_distinct",
+        (
+            F.abs(
+                F.col("approx_weekly_distinct") - F.col("exact_weekly_distinct")
+            )
+            / F.col("exact_weekly_distinct")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile estimates vs exact percentiles (rows-only)."""
+    """KLL quantile estimates checked against exact percentiles via
+    within-bound flags; exact percentiles are driver-compared 4dp."""
     from uk_housing_dashboard_etl_spark.operators.sketches import (
         quantile_sketch_summary,
     )
 
-    return quantile_sketch_summary(read_table(spark, sf_dir, "events"))
+    out = quantile_sketch_summary(read_table(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        round4(F.col("exact_median")).alias("exact_median"),
+        round4(F.col("exact_p90")).alias("exact_p90"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= 0.05 * F.abs(F.col("exact_median")) + 1e-9
+        ).alias("median_within_5pct"),
+        (
+            F.abs(F.col("approx_p90") - F.col("exact_p90"))
+            <= 0.05 * F.abs(F.col("exact_p90")) + 1e-9
+        ).alias("p90_within_5pct"),
+    )
 
 
 # -------------------------------------------- extension: dedup family
@@ -2474,7 +2511,7 @@ _EXTENSION_ORACLES["event_transitions"] = """
         SELECT lag(event_type) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev_type,
                event_type AS next_type
-        FROM events WHERE user_id IS NOT NULL
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     )
     SELECT prev_type, next_type, count(*) AS transitions
     FROM seq WHERE prev_type IS NOT NULL
@@ -2560,6 +2597,37 @@ _EXTENSION_ORACLES["active_suppliers"] = """
         WHERE l.l_suppkey = s.s_suppkey
           AND l.l_shipdate >= TIMESTAMP '1998-01-01'
     )
+    """
+
+# Sketch family: the oracle can't reproduce HLL/KLL estimates, but it CAN
+# assert the exact side bit-for-bit and that Spark's within-bound flags all
+# read TRUE — a sketch drifting outside its envelope now hash-mismatches.
+_EXTENSION_ORACLES["sketch_cardinalities"] = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """
+
+_EXTENSION_ORACLES["sketch_weekly_distinct"] = """
+    SELECT date_trunc('week', ts) AS week,
+           COUNT(DISTINCT user_id) AS exact_weekly_distinct,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY 1
+    """
+
+_EXTENSION_ORACLES["sketch_quantiles"] = """
+    SELECT event_type,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+               AS exact_median,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4)
+               AS exact_p90,
+           TRUE AS median_within_5pct,
+           TRUE AS p90_within_5pct
+    FROM events
+    GROUP BY event_type
     """
 
 ORACLES.update(_EXTENSION_ORACLES)

@@ -59,7 +59,10 @@ def event_transitions(events: DataFrame) -> DataFrame:
     user has no predecessor and is excluded (matches SQL lag semantics).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = events.na.drop(subset=["user_id"]).select(
+    # ts-null rows are dropped (not ordered): Spark sorts NULLS FIRST and
+    # DuckDB NULLS LAST, so keeping them would make transition counts
+    # engine-dependent. The oracle applies the same filter.
+    pairs = events.na.drop(subset=["user_id", "ts"]).select(
         F.lag("event_type").over(w).alias("prev_type"),
         F.col("event_type").alias("next_type"),
     )

@@ -372,24 +372,60 @@ def simhash_pairs(
     documents: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = 8,
-    chunks: int = 4,
+    max_hamming: int = 3,
+    chunks: int | None = None,
+    bits: int = 63,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Pigeonhole banding: split the 63-bit hash into ``chunks`` 16-bit
-    chunks; any pair within distance < chunks must agree on ≥1 chunk, so
-    candidates come from per-chunk equality joins, then the exact
-    ``bit_count(xor)`` filter runs only on candidates.
+    Pigeonhole banding: split the ``bits``-bit hash into ``chunks``
+    equal-width chunks. A pair at Hamming distance d can differ in at most
+    d chunks, so whenever ``chunks > max_hamming`` every qualifying pair
+    must agree on ≥1 chunk — candidates come from per-chunk equality
+    joins, then the exact ``bit_count(xor)`` filter runs only on
+    candidates. ``chunks`` defaults to ``max_hamming + 1`` (the minimum
+    that makes the guarantee exact); passing fewer raises rather than
+    silently dropping recall.
+
+    Scale note: chunk width is ``ceil(bits / chunks)``, so bucket
+    selectivity is ``2^width``. The default (max_hamming=3 → 4 chunks of
+    16 bits, 65 536 buckets per chunk) buckets well at corpus scale;
+    raising ``max_hamming`` narrows chunks exponentially (8 → 9×7-bit
+    chunks = 128 buckets) and candidate volume approaches all-pairs —
+    prefer MinHash-LSH when you need a looser similarity net.
     """
-    sig = simhash_signatures(documents, text_col, id_col)
+    sig = simhash_signatures(documents, text_col, id_col, bits=bits)
+    return simhash_pairs_from_signatures(sig, max_hamming, chunks, bits)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    chunks: int | None = None,
+    bits: int = 63,
+) -> DataFrame:
+    """Banded Hamming join over a ``(doc_id, simhash)`` signature frame.
+
+    Split out from :func:`simhash_pairs` so the pigeonhole guarantee can be
+    tested on explicitly-constructed signatures.
+    """
+    if chunks is None:
+        chunks = max_hamming + 1
+    if chunks <= max_hamming:
+        raise ValueError(
+            f"chunks={chunks} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need chunks > max_hamming (pigeonhole)"
+        )
+    width = -(-bits // chunks)  # ceil: last chunk may be narrower
+    mask = (1 << width) - 1
     chunked = sig.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {chunks - 1}),"
-                f" c -> struct(c AS chunk, shiftright(simhash, CAST(c * 16 AS INT)) & 65535 AS val))"
+                f" c -> struct(c AS chunk,"
+                f" shiftright(simhash, CAST(c * {width} AS INT)) & {mask} AS val))"
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))

@@ -15,8 +15,10 @@ into weekly/monthly rollups without rescanning the day.
   percentiles — the documented degradation path for the weekly mart's
   A3/A4 when group sorts become the bottleneck.
 
-All rows-only on the driver contract (sketch binaries are
-engine-specific); error bounds are asserted in tests.
+Driver contract: the sketch estimates themselves are engine-specific, so
+the contract queries expose the exact values plus within-bound flags the
+DuckDB oracle asserts TRUE — estimates drifting outside the envelope go
+red. Tighter error bounds are additionally asserted in tests.
 """
 
 from __future__ import annotations

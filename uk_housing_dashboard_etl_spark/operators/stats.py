@@ -16,6 +16,8 @@ replicates each input row once per matching set at the partial-agg stage
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,18 +64,26 @@ def grouping_sets_summary(lineitem: DataFrame) -> DataFrame:
     from genuine NULL group keys.
     """
     spark = SparkSession.getActiveSession() or lineitem.sparkSession
-    lineitem.createOrReplaceTempView("__gs_lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
-               count(*) AS n,
-               CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
-                   / 10000.0 AS sum_qty,
-               CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
-                   / 10000.0 AS sum_price
-        FROM __gs_lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_returnflag), ())
-        """
-    )
+    # per-call unique view name: a fixed name would race when two threads
+    # call this concurrently on the same session with different inputs
+    view = f"__gs_lineitem_{uuid.uuid4().hex}"
+    lineitem.createOrReplaceTempView(view)
+    try:
+        # spark.sql analyzes eagerly — the view resolves to this input's
+        # plan here, so dropping it afterwards is safe even pre-action
+        return spark.sql(
+            f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_price
+            FROM {view}
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
