@@ -2,12 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 The Spark-side plumbing — schemas, partitioning, ``mapInPandas`` batch
-shapes, deterministic fan-out — is real and tested. The actual codec
-calls (PIL/ffmpeg/torchaudio) are NOT available in this container, so
-decode is stubbed: ``fake=True`` produces a deterministic synthetic
-payload derived from the content hash (stable across runs/executors);
-``fake=False`` raises ``NotImplementedError`` at the exact call site a
-codec would occupy.
+shapes, deterministic fan-out — is real and tested. Codec status:
+
+- PNG decode is REAL: a pure stdlib-zlib + numpy decoder
+  (``functions/png_codec.py``, 8-bit gray/RGB/RGBA, all five scanline
+  filters) runs inside the Arrow batches when ``fake=False``.
+- JPEG/webp genuinely require native libs (libjpeg/libwebp) absent from
+  this container, so those payloads raise ``NotImplementedError`` at the
+  exact call site the codec would occupy.
+- ``fake=True`` (default for the driver contract, whose payloads are
+  text bytes, not images) derives a deterministic synthetic decode from
+  the payload bytes — stable across runs/executors.
 
 Scale notes: binary payloads never pass through Python row-at-a-time —
 ``mapInPandas`` moves Arrow record batches; metadata-only operations
@@ -68,27 +73,56 @@ def decode_images(media: DataFrame, fake: bool = True, thumb: int = 4) -> DataFr
     """Decode binary payloads to (width, height, pixel array) via
     ``mapInPandas`` — Arrow batches in, Arrow batches out.
 
-    With ``fake=True`` the "decoder" derives a ``thumb×thumb`` grayscale
-    thumbnail deterministically from the payload bytes; with
-    ``fake=False`` it raises where PIL/libjpeg would be invoked.
+    With ``fake=False`` PNG payloads are decoded FOR REAL (pure-Python
+    codec, see ``functions/png_codec.py``): ``width``/``height`` are the
+    image's true dimensions and ``pixels`` is the ``thumb×thumb``
+    nearest-neighbor grayscale thumbnail in [0, 1]. JPEG/webp raise
+    ``NotImplementedError`` (native codec required). With ``fake=True``
+    the "decoder" derives the thumbnail deterministically from the raw
+    payload bytes — the driver-contract mode, since the contract's
+    payloads are text bytes.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from uk_housing_dashboard_etl_spark.functions import png_codec
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "image codec not available in this environment; "
-                    "plug PIL.Image.open(io.BytesIO(payload)) here"
+            widths: list[int] = []
+            heights: list[int] = []
+            pixels: list[list[float]] = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                if fake:
+                    widths.append(thumb)
+                    heights.append(thumb)
+                    pixels.append(_fake_pixels(raw, thumb * thumb))
+                    continue
+                fmt = png_codec.sniff_format(raw)
+                if fmt != "png":
+                    raise NotImplementedError(
+                        f"{fmt} decode requires a native codec (libjpeg/"
+                        "libwebp) not present in this environment; only "
+                        "png decodes in pure Python"
+                    )
+                img = png_codec.decode_png(raw)
+                gray = png_codec.to_grayscale(img)
+                widths.append(img.shape[1])
+                heights.append(img.shape[0])
+                pixels.append(
+                    [
+                        float(x)
+                        for x in png_codec.resize_nearest(
+                            gray, thumb, thumb
+                        ).ravel()
+                    ]
                 )
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "format": pdf["format"],
-                    "width": thumb,
-                    "height": thumb,
-                    "pixels": [
-                        _fake_pixels(bytes(p), thumb * thumb) for p in pdf["payload"]
-                    ],
+                    "width": widths,
+                    "height": heights,
+                    "pixels": pixels,
                 }
             )
             out["width"] = out["width"].astype("int32")
@@ -170,21 +204,27 @@ def extract_features(
 
     With ``fake=True`` the "model" is a deterministic L1-normalized byte
     histogram folded to ``dim`` buckets (so tests can assert exact
-    values); with ``fake=False`` it raises at the exact call site a
-    vision model forward pass would occupy. Arrow-batched
-    ``mapInPandas`` either way — the plumbing (schema, batch shape,
-    partition parallelism) is the real article, only the kernel is
-    stubbed. Output vectors feed straight into operators/similarity.py.
+    values). With ``fake=False`` PNG payloads get a REAL image feature:
+    the decoded grayscale intensity histogram over ``dim`` buckets,
+    L1-normalized — a classical vision descriptor computed from actual
+    pixels (swap in a CLIP/ViT forward pass at the same call site for a
+    learned embedding); non-PNG formats raise (native codec required).
+    Arrow-batched ``mapInPandas`` either way — schema, batch shape and
+    partition parallelism are identical in both modes. Output vectors
+    feed straight into operators/similarity.py.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from uk_housing_dashboard_etl_spark.functions import png_codec
+
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "vision model not available in this environment; "
-                    "plug model.encode(decode(payload)) here"
-                )
-            feats = [_fake_feature(bytes(p), dim) for p in pdf["payload"]]
+            if fake:
+                feats = [_fake_feature(bytes(p), dim) for p in pdf["payload"]]
+            else:
+                feats = [
+                    _intensity_histogram(bytes(p), dim, png_codec)
+                    for p in pdf["payload"]
+                ]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -211,3 +251,19 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
         hist[b % dim] += 1
     total = float(len(payload))
     return [h / total for h in hist]
+
+
+def _intensity_histogram(payload: bytes, dim: int, png_codec) -> list[float]:
+    """Real image feature: L1-normalized grayscale intensity histogram
+    over the decoded pixels (PNG only — other formats need native libs)."""
+    import numpy as np
+
+    fmt = png_codec.sniff_format(payload)
+    if fmt != "png":
+        raise NotImplementedError(
+            f"{fmt} feature extraction requires a native codec not present "
+            "in this environment; only png decodes in pure Python"
+        )
+    gray = png_codec.to_grayscale(png_codec.decode_png(payload))
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 1.0 + 1e-9))
+    return [float(h) / gray.size for h in hist]
