@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from uk_housing_dashboard_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_signatures,
     simhash_pairs,
+    simhash_signatures,
 )
 from uk_housing_dashboard_etl_spark.operators.curation import (
     curate_corpus,
@@ -72,6 +74,56 @@ def fabricate_docs(spark, n_docs: int, path: str, words_per_doc: int = 100) -> N
     docs.write.mode("overwrite").parquet(path)
 
 
+def _pairs_in_buckets(bucketed, keys: list[str]) -> int:
+    """Sum of C(size, 2) over buckets — the candidate join volume the
+    banded path actually pays, to compare against N·(N-1)/2 all-pairs."""
+    row = (
+        bucketed.groupBy(*keys)
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")))
+        .collect()[0][0]
+    )
+    return int(row or 0)
+
+
+def minhash_candidate_volume(docs, num_hashes=16, bands=4) -> int:
+    """Band-bucket collision volume under the exact production banding."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    entries = sig.select(
+        F.explode(F.array(*band_structs)).alias("be")
+    ).select("be.band", "be.bucket")
+    return _pairs_in_buckets(entries, ["band", "bucket"])
+
+
+def simhash_candidate_volume(docs, max_hamming=3) -> int:
+    """Chunk-bucket collision volume under the production pigeonhole
+    banding (chunks = max_hamming + 1)."""
+    chunks = max_hamming + 1
+    width = -(-63 // chunks)
+    mask = (1 << width) - 1
+    sig = simhash_signatures(docs)
+    entries = sig.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> struct(c AS chunk,"
+                f" shiftright(simhash, CAST(c * {width} AS INT)) & {mask} AS val))"
+            )
+        ).alias("ch")
+    ).select("ch.chunk", "ch.val")
+    return _pairs_in_buckets(entries, ["chunk", "val"])
+
+
 def main() -> None:
     sizes = [int(s) for s in sys.argv[1:]] or [200_000, 1_000_000]
     spark = get_spark(app_name="stress-docs")
@@ -94,6 +146,19 @@ def main() -> None:
         t0 = time.time()
         counts["simhash_pairs"] = simhash_pairs(docs, max_hamming=3).count()
         times["simhash"] = round(time.time() - t0, 2)
+
+        # candidate-join volume vs all-pairs: the pruning factor that
+        # decides whether the banded paths survive 100 TB
+        all_pairs = n * (n - 1) // 2
+        mh_cand = minhash_candidate_volume(docs)
+        sh_cand = simhash_candidate_volume(docs)
+        counts["candidate_volume"] = {
+            "all_pairs": all_pairs,
+            "minhash_banded": mh_cand,
+            "simhash_banded": sh_cand,
+            "minhash_pruning_x": round(all_pairs / max(mh_cand, 1), 1),
+            "simhash_pruning_x": round(all_pairs / max(sh_cand, 1), 1),
+        }
 
         t0 = time.time()
         text_stats(docs).count()
