@@ -367,3 +367,48 @@ def test_simhash_pigeonhole_guarantee(spark):
     # tighter radius still correctly excludes it (filter, not recall loss)
     none = simhash_pairs_from_signatures(sig, max_hamming=3).toPandas()
     assert len(none) == 0
+
+
+def test_tfidf_top_terms_ranks_salient_words(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common unique0 common"),
+            (1, "common unique1 unique1"),
+            (2, "common filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).toPandas()
+    top = out[out["rank"] == 1].set_index("doc_id")["term"]
+    # 'common' appears in every doc -> idf = ln(1) = 0; unique terms win
+    assert top.loc[0] == "unique0"
+    assert top.loc[1] == "unique1"
+    import math
+
+    row = out[(out.doc_id == 1) & (out.term == "unique1")].iloc[0]
+    assert row.tf == 2
+    assert abs(row.tfidf - round(2 * math.log(3 / 1), 4)) < 1e-9
+
+
+def test_ngram_novelty_fraction(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),        # trigrams: 'a b c', 'b c d'
+            (1, "a b c x"),        # trigrams: 'a b c', 'b c x'
+            (2, "zz"),             # < 3 tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = ngram_novelty(docs, n=3).toPandas().set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1]
+    # 'a b c' is shared (df=2); the other trigram of each doc is unique
+    assert out.loc[0, "n_ngrams"] == 2 and out.loc[0, "novel_ngrams"] == 1
+    assert out.loc[1, "novelty"] == 0.5

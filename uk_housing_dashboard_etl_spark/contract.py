@@ -1027,6 +1027,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(read_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (deterministic 4dp-then-rank cut)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of trigrams unique to that doc across the corpus."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        ngram_novelty,
+    )
+
+    return ngram_novelty(read_table(spark, sf_dir, "documents"), n=3)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/IPv4 → typed tags) + per-doc counts."""
     from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
@@ -2599,6 +2617,58 @@ _EXTENSION_ORACLES["active_suppliers"] = """
     )
     """
 
+_EXTENSION_ORACLES["tfidf_top_terms"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
+    """
+
+_EXTENSION_ORACLES["ngram_novelty"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        FROM documents
+    ), grams AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ), df AS (
+        SELECT shingle, count(*) AS df FROM grams GROUP BY 1
+    )
+    SELECT g.doc_id,
+           count(*) AS n_ngrams,
+           sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS novel_ngrams,
+           round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM grams g JOIN df USING (shingle)
+    GROUP BY 1
+    """
+
 # Sketch family: the oracle can't reproduce HLL/KLL estimates, but it CAN
 # assert the exact side bit-for-bit and that Spark's within-bound flags all
 # read TRUE — a sketch drifting outside its envelope now hash-mismatches.
@@ -2697,6 +2767,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
     "sketch_quantiles": q_sketch_quantiles,
+    # --- new in round 2 (text curation) ---
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "ngram_novelty": q_ngram_novelty,
     # --- proven green in CORRECTNESS_r01.json (§2 core + relational) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

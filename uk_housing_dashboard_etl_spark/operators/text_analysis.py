@@ -313,3 +313,89 @@ def filter_funnel(
         drop_reason.isNull().alias("keep"),
         *carry_cols,
     )
+
+
+def tfidf_top_terms(
+    documents: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic keyword/salience
+    extractor a curation pipeline uses to profile a corpus.
+
+    tf = term count within the doc, idf = ln(N / df) with df = number of
+    docs containing the term. Scores are rounded to 4dp BEFORE ranking
+    (with a term-asc tie-break) so the cut is deterministic and matches
+    the DuckDB oracle bit-for-bit.
+
+    Plan shape: one explode → (doc, term) count (map-side combinable) →
+    term-keyed df aggregate joined back ON TERM (co-partitioned with the
+    tf shuffle, no extra exchange) → per-doc window top-k. N is a 1-row
+    broadcast, never a driver collect. The shuffled payload is (doc_id,
+    term, count) — never document bodies.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            round4(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word n-grams
+    that appear in NO other document (global df = 1).
+
+    High-novelty docs carry fresh content; low-novelty docs are
+    boilerplate/template — the cheap corpus-level signal between exact
+    dedup (too strict) and MinHash (pairwise). Docs with fewer than ``n``
+    tokens have no n-grams and are excluded (matches the oracle).
+
+    Plan: distinct shingles per doc → shingle-keyed global df (map-side
+    combinable) → doc-keyed ratio aggregate. Both shuffles carry
+    (doc_id, shingle) — at petabyte scale you would pre-hash the shingle
+    to a long (xxhash64) to shrink the exchange; kept as strings here for
+    bit-exact oracle parity.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _word_shingles
+
+    sh = _word_shingles(documents, text_col, id_col, n, distinct=True)
+    w = Window.partitionBy("shingle")
+    tagged = sh.select(
+        "doc_id", (F.count(F.lit(1)).over(w) == 1).alias("is_novel")
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.col("is_novel").cast("int")).alias("novel_ngrams"),
+        round4(
+            F.sum(F.col("is_novel").cast("int"))
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty"),
+    )
