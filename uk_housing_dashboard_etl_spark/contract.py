@@ -92,6 +92,9 @@ WINDOWS = [4, 12]
 
 # extra bench-suite members appended as they land (bench.py reads this)
 BENCH_EXTRA: list[str] = [
+    "tfidf_top_terms",
+    "ngram_novelty",
+    "sketch_cardinalities",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
