@@ -856,6 +856,111 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _topk_recall_gate(exact: DataFrame, approx: DataFrame, min_recall: float) -> DataFrame:
+    """Per-query recall of an ANN result vs the exact top-k, as an
+    oracle-checkable flag: the DuckDB side asserts ``recall_ok`` TRUE for
+    every query id, so an ANN regression below ``min_recall`` turns the
+    driver's value-hash comparison red (same pattern as the sketch
+    within-bound gates)."""
+    e = exact.select("query_id", "vec_id")
+    a = approx.select("query_id", "vec_id")
+    n_e = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        a.join(e, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return n_e.join(hits, "query_id", "left").select(
+        "query_id",
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+            >= min_recall
+        ).alias("recall_ok"),
+    )
+
+
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the LSH ANN path: per-query recall vs exact
+    brute force ≥ 0.3 (measured 0.4-0.7 per query on this data)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qs = _query_vectors(spark, sf_dir)
+    return _topk_recall_gate(
+        brute_force_topk(corpus, qs, k=10),
+        lsh_bucketed_topk(corpus, qs, k=10, bits=4),
+        min_recall=0.3,
+    )
+
+
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the IVF ANN path: per-query recall vs exact
+    brute force ≥ 0.3 (measured 0.4-0.7 per query on this data)."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qs = _query_vectors(spark, sf_dir)
+    centroids = kmeans_fit(corpus, k=8, iterations=4)
+    approx = ivf_topk(ivf_index(corpus, centroids), centroids, qs, k=10, n_probes=3)
+    return _topk_recall_gate(
+        brute_force_topk(corpus, qs, k=10), approx, min_recall=0.3
+    )
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for MinHash-LSH: recall of exact-Jaccard ≥ 0.2 pairs
+    ≥ 0.6 (measured 1.0 on this data), plus the exact-pair count the
+    oracle recomputes independently."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    found = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nh = exact.join(found, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return ne.crossJoin(nh).select(
+        "n_exact_pairs",
+        (F.col("n_hit") / F.col("n_exact_pairs") >= 0.6).alias("recall_ok"),
+    )
+
+
+def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the bucketed embedding near-dup path: recall vs
+    the all-pairs exact ≥ 0.5 (measured 0.71), and the subset property —
+    every emitted pair must exist in the exact result (the LSH path only
+    prunes, its exact-cosine filter can never invent pairs)."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = embedding_near_dup(emb, threshold=0.4).select("id_a", "id_b")
+    found = embedding_near_dup_lsh(emb, threshold=0.4, bits=3).select(
+        "id_a", "id_b"
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nh = exact.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nf = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    return (
+        ne.crossJoin(nh)
+        .crossJoin(nf)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_hit") / F.col("n_exact_pairs") >= 0.5).alias("recall_ok"),
+            (F.col("n_false") == 0).alias("no_false_positives"),
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding cosine ≥ 0.4 (embedding-space near-dup).
 
@@ -2708,6 +2813,29 @@ ORACLES.update(_EXTENSION_ORACLES)
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
 ORACLES = {name: _rewrite_round4(sql) for name, sql in ORACLES.items()}
 
+# Recall gates for the approximate families (built after the rewrite so
+# they can embed the already-rewritten exact-pair oracles): the oracle
+# recomputes the exact side and asserts every Spark-computed recall /
+# subset flag is TRUE — an ANN or LSH regression flips a flag and fails
+# the driver's value-hash comparison.
+ORACLES["similarity_lsh_recall"] = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
+ORACLES["similarity_ivf_recall"] = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
+ORACLES["dedup_minhash_recall"] = (
+    "SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + ")"
+)
+ORACLES["embedding_near_dup_lsh_recall"] = (
+    "SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok,"
+    " TRUE AS no_false_positives FROM ("
+    + ORACLES["embedding_near_dup"]
+    + ")"
+)
+
 # Registry order matters: the driver's correctness harness checks queries in
 # dict order and may cap how many it verifies per round. Round 1 verified the
 # first 50 entries (the §2 core + TPC-H-style relational set — all green), so
@@ -2766,6 +2894,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- crashed in round 1 (NTZ bug, now fixed at the reader) ---
     "sessionize": q_sessionize,
     "range_join": q_range_join,
+    # --- new in round 2: oracle gates for the approximate families ---
+    "similarity_lsh_recall": q_similarity_lsh_recall,
+    "similarity_ivf_recall": q_similarity_ivf_recall,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
