@@ -961,6 +961,53 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for SimHash banding: the pigeonhole guarantee says the
+    banded join finds EVERY pair at Hamming ≤ 3, so its output must equal
+    the exact all-pairs filter over the same signatures — checked on real
+    corpus data, flagged for the driver. (The signatures themselves are
+    xxhash-based and not SQL-expressible, hence a flag, not values.)"""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+        simhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    banded = simhash_pairs_from_signatures(sig, max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= 3
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_banded = banded.agg(F.count(F.lit(1)).alias("n_banded"))
+    n_hit = banded.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(n_banded)
+        .crossJoin(n_hit)
+        .select(
+            (
+                (F.col("n_exact") == F.col("n_banded"))
+                & (F.col("n_hit") == F.col("n_exact"))
+            ).alias("banded_equals_exact")
+        )
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding cosine ≥ 0.4 (embedding-space near-dup).
 
@@ -1312,10 +1359,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-stride frame sampling fan-out over binary payloads (JVM-side)."""
+    """Fixed-stride frame sampling fan-out over binary payloads (JVM-side).
+
+    Emits per-frame length AND content md5 — the driver's oracle
+    recomputes both from char slices (the corpus is ASCII, so char
+    offsets == byte offsets), making the binary fan-out fully checked
+    without a binary column in the compared output.
+    """
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
     return sample_frames(media).select(
-        "doc_id", "frame_idx", F.octet_length("frame_payload").alias("frame_len")
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_payload").alias("frame_len"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
+
+
+def q_multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar digest of the deterministic decode output — pixel checksum
+    plus first/last pixel — so the mapInPandas decode kernel is
+    value-checked by the oracle (the pixel array itself stays out of the
+    compared schema; byte/256 values are exact binary fractions, so the
+    double-sum is bit-exact cross-engine)."""
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    dec = decode_images(media, fake=True, thumb=4)
+    px = F.col("pixels").cast("array<double>")
+    return dec.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        round4(
+            F.aggregate(px, F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("pixel_checksum"),
+        round4(F.element_at(px, 1)).alias("first_pixel"),
+        round4(F.element_at(px, 16)).alias("last_pixel"),
+    )
+
+
+def q_multimodal_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar digest of the Arrow-batched feature extraction: the L2
+    norm of the folded byte-histogram feature, recomputed independently
+    by the oracle from the payload bytes (hex-extracted), float32-cast on
+    both sides."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True, dim=16)
+    return feats.select(
+        "doc_id",
+        "format",
+        round4(F.col("feat_norm").cast("double")).alias("feat_norm"),
     )
 
 
@@ -2725,6 +2821,79 @@ _EXTENSION_ORACLES["active_suppliers"] = """
     )
     """
 
+# Multimodal: the corpus is ASCII (asserted across all SFs), so char
+# offsets == byte offsets and DuckDB can recompute frame slices, pixel
+# values (hex-extracted bytes / 256 — exact binary fractions) and the
+# feature norm without any blob functions.
+_EXTENSION_ORACLES["multimodal_frames"] = r"""
+    WITH m AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS frame_idx,
+           CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS INT) AS frame_len,
+           md5(substr(text, (i - 1) * 64 + 1, 64)) AS frame_md5
+    FROM m, unnest(generate_series(1,
+             least(8, CAST(ceil(n_bytes / 64.0) AS BIGINT)))) AS u(i)
+    """
+
+_EXTENSION_ORACLES["multimodal_decode_check"] = r"""
+    WITH m AS (
+        SELECT doc_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), px AS (
+        SELECT doc_id, n_bytes,
+            CASE WHEN n_bytes = 0
+                 THEN list_transform(range(0, 16), i -> CAST(0.0 AS DOUBLE))
+                 ELSE list_transform(range(0, 16), i ->
+                     CAST(('0x' || substr(to_hex(payload),
+                          (i % n_bytes) * 2 + 1, 2)) AS INT) / 256.0)
+            END AS pixels
+        FROM m
+    )
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][(n_bytes % 3) + 1] AS format,
+           CAST(4 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pixels),
+                 (x, y) -> x + y), 4) AS pixel_checksum,
+           round(pixels[1], 4) AS first_pixel,
+           round(pixels[16], 4) AS last_pixel
+    FROM px
+    """
+
+_EXTENSION_ORACLES["multimodal_features_check"] = r"""
+    WITH m AS (
+        SELECT doc_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), bytes AS (
+        SELECT doc_id, n_bytes,
+               list_transform(range(0, n_bytes), i ->
+                   CAST(('0x' || substr(to_hex(payload), i * 2 + 1, 2))
+                        AS INT)) AS bs
+        FROM m
+    ), feat AS (
+        SELECT doc_id, n_bytes,
+            CASE WHEN n_bytes = 0
+                 THEN list_transform(range(0, 16), j -> CAST(0.0 AS DOUBLE))
+                 ELSE list_transform(range(0, 16), j ->
+                     len(list_filter(bs, b -> b % 16 = j))
+                     / CAST(n_bytes AS DOUBLE))
+            END AS f
+        FROM bytes
+    )
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][(n_bytes % 3) + 1] AS format,
+           round(CAST(CAST(sqrt(list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(f, x -> x * x)),
+                 (a, b) -> a + b)) AS FLOAT) AS DOUBLE), 4) AS feat_norm
+    FROM feat
+    """
+
 _EXTENSION_ORACLES["tfidf_top_terms"] = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -2835,6 +3004,7 @@ ORACLES["embedding_near_dup_lsh_recall"] = (
     + ORACLES["embedding_near_dup"]
     + ")"
 )
+ORACLES["dedup_simhash_complete"] = "SELECT TRUE AS banded_equals_exact"
 
 # Registry order matters: the driver's correctness harness checks queries in
 # dict order and may cap how many it verifies per round. Round 1 verified the
@@ -2899,6 +3069,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_recall": q_similarity_ivf_recall,
     "dedup_minhash_recall": q_dedup_minhash_recall,
     "embedding_near_dup_lsh_recall": q_embedding_near_dup_lsh_recall,
+    "multimodal_decode_check": q_multimodal_decode_check,
+    "multimodal_features_check": q_multimodal_features_check,
+    "dedup_simhash_complete": q_dedup_simhash_complete,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
