@@ -329,11 +329,14 @@ def tfidf_top_terms(
     (with a term-asc tie-break) so the cut is deterministic and matches
     the DuckDB oracle bit-for-bit.
 
-    Plan shape: one explode → (doc, term) count (map-side combinable) →
-    term-keyed df aggregate joined back ON TERM (co-partitioned with the
-    tf shuffle, no extra exchange) → per-doc window top-k. N is a 1-row
-    broadcast, never a driver collect. The shuffled payload is (doc_id,
-    term, count) — never document bodies.
+    Plan shape: ONE corpus scan — explode → (doc, term) count (map-side
+    combinable), then df as a count window over the tf frame partitioned
+    by term (a shuffle of the compact (doc, term, tf) rows, NOT a
+    broadcast of the term dictionary, which at corpus scale is billions
+    of entries) → per-doc window top-k (Spark's WindowGroupLimit pushes
+    the rank-≤-k cut map-side). N is a 1-row broadcast from a
+    column-pruned count scan, never a driver collect. Document bodies
+    are never shuffled.
     """
     from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
 
@@ -342,10 +345,10 @@ def tfidf_top_terms(
         F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
