@@ -961,6 +961,30 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation under the driver gate: per
+    event_type sum/count/min/max via ``functions.skew.salted_agg``
+    (hot-key rows spread over 16 salt buckets in phase 1, partials merged
+    in phase 2), results identical to a plain GROUP BY — which is exactly
+    what the oracle runs. The summed value is integer-scaled (1e4 units)
+    so the two-phase merge is combine-order independent."""
+    from uk_housing_dashboard_etl_spark.functions.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").alias("iv"),
+        F.col("value").alias("v"),
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"iv": "sum", "v": "count"}, salt_buckets=16
+    )
+    return out.select(
+        "event_type",
+        (F.col("sum_iv").cast("double") / 10000.0).alias("total_value"),
+        F.col("count_v").alias("n_events"),
+    )
+
+
 def q_dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for SimHash banding: the pigeonhole guarantee says the
     banded join finds EVERY pair at Hamming ≤ 3, so its output must equal
@@ -2821,6 +2845,15 @@ _EXTENSION_ORACLES["active_suppliers"] = """
     )
     """
 
+_EXTENSION_ORACLES["salted_event_stats"] = """
+    SELECT event_type,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS total_value,
+           count(value) AS n_events
+    FROM events
+    GROUP BY event_type
+    """
+
 # Multimodal: the corpus is ASCII (asserted across all SFs), so char
 # offsets == byte offsets and DuckDB can recompute frame slices, pixel
 # values (hex-extracted bytes / 256 — exact binary fractions) and the
@@ -3072,6 +3105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_check": q_multimodal_decode_check,
     "multimodal_features_check": q_multimodal_features_check,
     "dedup_simhash_complete": q_dedup_simhash_complete,
+    "salted_event_stats": q_salted_event_stats,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
