@@ -214,3 +214,26 @@ def test_source_cap_two_phase_prune_is_exact_on_skew(spark):
     # quota respected: 5 from the mega source, all 3 from the small one
     sizes = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert sizes == {"mega": 5, "small": 3}
+
+
+def test_temperature_mix_flattens_sources(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import temperature_mix
+
+    # source 'big' has 900 docs, 'small' has 100
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = (
+        temperature_mix(docs, alpha=0.7)
+        .toPandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out.loc["small", "rate"] == 1.0  # smallest source keeps all
+    assert out.loc["small", "n_kept"] == 100
+    expected_big = round((100 / 900) ** 0.3, 4)
+    assert abs(out.loc["big", "rate"] - expected_big) < 1e-9
+    # hash-kept count lands near rate * n (deterministic, not random)
+    assert 0.8 * expected_big * 900 <= out.loc["big", "n_kept"] <= 1.2 * expected_big * 900
+    # alpha=1 keeps the natural distribution entirely
+    nat = temperature_mix(docs, alpha=1.0).toPandas().set_index("source")
+    assert nat.loc["big", "n_kept"] == 900 and nat.loc["small", "n_kept"] == 100

@@ -961,6 +961,15 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (alpha=0.7): per-source
+    natural size, keep rate (n_min/n)^0.3, and deterministic post-mix
+    size."""
+    from uk_housing_dashboard_etl_spark.operators.curation import temperature_mix
+
+    return temperature_mix(read_table(spark, sf_dir, "documents"), alpha=0.7)
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted two-phase aggregation under the driver gate: per
     event_type sum/count/min/max via ``functions.skew.salted_agg``
@@ -2845,6 +2854,27 @@ _EXTENSION_ORACLES["active_suppliers"] = """
     )
     """
 
+_EXTENSION_ORACLES["temperature_mix"] = """
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ), m AS (
+        SELECT min(n_docs) AS n_min FROM counts
+    ), rates AS (
+        SELECT source, n_docs,
+               power(CAST(n_min AS DOUBLE) / n_docs, 0.3) AS r
+        FROM counts, m
+    ), kept AS (
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN rates USING (source)
+        WHERE (((d.doc_id * 2654435761) % 1000000007) % 1000000)
+              / 1000000.0 < r
+        GROUP BY 1
+    )
+    SELECT source, n_docs, round(r, 4) AS rate,
+           coalesce(n_kept, 0) AS n_kept
+    FROM rates LEFT JOIN kept USING (source)
+    """
+
 _EXTENSION_ORACLES["salted_event_stats"] = """
     SELECT event_type,
            CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -3106,6 +3136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features_check": q_multimodal_features_check,
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "salted_event_stats": q_salted_event_stats,
+    "temperature_mix": q_temperature_mix,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,

@@ -303,3 +303,57 @@ def curate_corpus(
             "tokens_final"
         ),
     )
+
+
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/XLM-R multinomial
+    mix): downsample each source with keep-rate (n_min / n_s)^(1-alpha),
+    so the smallest source keeps everything and dominant sources flatten
+    toward it; alpha=1 keeps the natural distribution, alpha=0 equalizes.
+
+    Membership uses the same multiplicative id hash as ``hash_sample``
+    (1e-6 granularity) — deterministic, engine-portable, stable as the
+    corpus grows. Two passes: a per-source count aggregate (tiny) whose
+    result broadcasts into the row-local keep predicate — no shuffle
+    ever touches document bodies.
+
+    Output: one row per source with its natural size, keep rate and
+    post-mix size.
+    """
+    counts = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    n_min = counts.agg(F.min("n_docs").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        "n_docs",
+        F.pow(
+            F.col("n_min").cast("double") / F.col("n_docs"),
+            F.lit(1.0 - alpha),
+        ).alias("__rate"),
+    )
+    u = (
+        ((F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007))
+        % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+    kept = (
+        documents.select(id_col, source_col)
+        .withColumn("__u", u)
+        .join(F.broadcast(rates.select(source_col, "__rate")), source_col)
+        .where(F.col("__u") < F.col("__rate"))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    return rates.join(kept, source_col, "left").select(
+        source_col,
+        "n_docs",
+        round4(F.col("__rate")).alias("rate"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+    )
