@@ -161,3 +161,24 @@ def test_price_deciles_window_and_agg_share_partitioning(spark):
         s.split(")")[0] for s in plan.split("Exchange hashpartitioning(")[1:]
     ]
     assert segs and not any("decile" in s for s in segs)
+
+
+def test_registry_wide_plan_invariants(spark, sf_small):
+    """Every registered query's physical plan must be free of the two
+    unconditional scale-killers: row-at-a-time Python UDFs
+    (BatchEvalPython) and non-broadcast cartesian products. mapInPandas
+    (Arrow-batched) and broadcast nested-loop joins over scalar/dim
+    frames are allowed by design."""
+    from uk_housing_dashboard_etl_spark import contract
+
+    violations = {}
+    for name, fn in contract.QUERIES.items():
+        plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+        bad = []
+        if "BatchEvalPython" in plan:
+            bad.append("row-at-a-time Python UDF")
+        if "CartesianProduct" in plan:
+            bad.append("non-broadcast cartesian product")
+        if bad:
+            violations[name] = bad
+    assert not violations, f"plan invariant violations: {violations}"
