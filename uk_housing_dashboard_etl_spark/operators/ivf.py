@@ -8,21 +8,27 @@ each vector under its nearest centroid, and search only the query's
 
 Implementation is pure DataFrame ops:
 - centroids init: deterministic hash-sample of the corpus (no rand());
-- assign step: broadcast centroids → explode → exact distance → argmin
-  via ``min_by`` (one shuffle per iteration, map-side combinable);
-- update step: element-wise mean of assigned vectors via posexplode +
-  groupBy (dimension-parallel, no Python);
+- assign step: the k centroids collapse into ONE broadcast array row;
+  the nearest cell is a row-local ``array_min`` over per-centroid
+  distances — ZERO shuffle, whole-stage codegen, deterministic
+  (dist, cell) tie-break;
+- update step: per-cell vector mean via ``pyspark.ml`` ``Summarizer``
+  over VectorUDT — a single map-side-combinable aggregate whose shuffle
+  carries at most k partial rows per partition (the posexplode
+  alternative shuffles corpus_rows × dim rows per iteration);
 - search: score only vectors in the probed cells, exact cosine rerank.
 
 Scale notes: k-means cost is iterations × (corpus × k distance evals)
 — with broadcast centroids it is embarrassingly parallel and never
-shuffles the corpus; only (id, cluster) pairs move. The trained index
+shuffles the corpus; only k-row partial means move. The trained index
 is just a column — persist the assigned corpus bucketed by cell and
 probes prune to matching files.
 """
 
 from __future__ import annotations
 
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.stat import Summarizer
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,16 +48,28 @@ def _sq_dist(a: str, b: str) -> F.Column:
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast centroids, min_by distance."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "vec",
-        "cell",
-        _sq_dist("vec", "centroid").alias("dist"),
+    """Nearest centroid per vector, with zero shuffle.
+
+    The k centroids collapse into one (cell, centroid) struct-array row
+    that broadcasts; each vector computes its distance to every centroid
+    inside one projection and takes ``array_min`` over (dist, cell)
+    structs — struct comparison is field-ordered, so ties break to the
+    smallest cell id deterministically. No explode, no groupBy: the
+    corpus never leaves its partitions.
+    """
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
     )
-    return scored.groupBy("vec_id").agg(
-        F.min_by("cell", "dist").alias("cell"),
-        F.first("vec").alias("vec"),
+    nearest = F.array_min(
+        F.expr(
+            "transform(__cents, c -> struct("
+            "aggregate(zip_with(vec, c.centroid, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dist,"
+            " c.cell AS cell))"
+        )
+    )
+    return vectors.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "vec", nearest.getField("cell").alias("cell")
     )
 
 
@@ -79,17 +97,14 @@ def kmeans_fit(
     )
     for _ in range(iterations):
         assigned = _assign(vectors, centroids)
-        # element-wise mean per cell: posexplode → (cell, dim) avg → array
+        # element-wise mean per cell in ONE aggregate: Summarizer keeps a
+        # running vector sum per cell JVM-side (partial combine reduces
+        # every partition to ≤ k rows before the exchange)
         centroids = (
-            assigned.select("cell", F.posexplode("vec").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
+            assigned.select("cell", array_to_vector("vec").alias("__v"))
             .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select(
-                "cell",
-                F.expr("transform(dm, s -> s.m)").alias("centroid"),
-            )
+            .agg(Summarizer.mean(F.col("__v")).alias("__m"))
+            .select("cell", vector_to_array("__m").alias("centroid"))
         )
     return centroids
 
