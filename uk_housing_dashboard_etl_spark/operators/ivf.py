@@ -88,6 +88,9 @@ def kmeans_fit(
     vectors = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # Lloyd's re-reads the corpus every iteration; cache it once so the
+    # unrolled plan hits memory, not parquet, iterations × times
+    vectors = vectors.persist()
     init_order = [
         ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1_000_000_007)).asc(),
         F.col("vec_id").asc(),
@@ -106,7 +109,11 @@ def kmeans_fit(
             .agg(Summarizer.mean(F.col("__v")).alias("__m"))
             .select("cell", vector_to_array("__m").alias("centroid"))
         )
-    return centroids
+    # materialize the k centroid rows (tiny) so the cached corpus can be
+    # released and callers don't re-run the whole iteration lineage
+    out = centroids.localCheckpoint(eager=True)
+    vectors.unpersist()
+    return out
 
 
 def ivf_index(
