@@ -55,6 +55,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    # soft dtype probe: the driver's schema check may be stricter than
+    # name comparison; surface int-width/bool/float divergences early
+    # (nullable-int → float64 promotion differs per engine, so warn only)
+    for c in sorted(spark_pdf.columns):
+        sa, sb = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        if sa != sb and not (sa == "object" or sb == "object"):
+            print(f"  [dtype-warn] {c}: spark={sa} duck={sb}")
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]

@@ -2343,7 +2343,7 @@ _EXTENSION_ORACLES: dict[str, str] = {
     """,
     "text_stats": f"""
     SELECT doc_id,
-           length(text) AS n_chars,
+           CAST(length(text) AS INTEGER) AS n_chars,
            CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
            round(length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}), 4) AS avg_token_len,
@@ -2502,7 +2502,8 @@ _EXTENSION_ORACLES: dict[str, str] = {
     )
     SELECT format, count(*) AS n_items,
            CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-           min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes
+           CAST(min(n_bytes) AS INTEGER) AS min_bytes,
+           CAST(max(n_bytes) AS INTEGER) AS max_bytes
     FROM media
     GROUP BY 1
     """,
@@ -3002,7 +3003,8 @@ _EXTENSION_ORACLES["ngram_novelty"] = r"""
     )
     SELECT g.doc_id,
            count(*) AS n_ngrams,
-           sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS novel_ngrams,
+           CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_ngrams,
            round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
                  / CAST(count(*) AS DOUBLE), 4) AS novelty
     FROM grams g JOIN df USING (shingle)
