@@ -2300,7 +2300,8 @@ _EXTENSION_ORACLES: dict[str, str] = {
     """,
     "embedding_centroids": """
     SELECT label, CAST(i - 1 AS INTEGER) AS dim,
-           round(CAST(sum(CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           round(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5)
+                              AS BIGINT)) AS BIGINT)
                  / (10000.0 * count(*)), 4) AS centroid,
            count(*) AS n_vectors
     FROM (SELECT label, unnest(embedding) AS x,
