@@ -412,3 +412,27 @@ def test_ngram_novelty_fraction(spark):
     # 'a b c' is shared (df=2); the other trigram of each doc is unique
     assert out.loc[0, "n_ngrams"] == 2 and out.loc[0, "novel_ngrams"] == 1
     assert out.loc[1, "novelty"] == 0.5
+
+
+def test_keep_best_dedup_prefers_quality(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import keep_best_dedup
+
+    # docs 0 and 1 are exact dups after normalization; 1 has better
+    # stopword/length quality context is identical so tie -> min id.
+    # docs 2 and 3 dup with DIFFERENT ids but same text; 4 is unique.
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "  THE  cat sat on the mat "),   # same normalized content
+            (2, "xxxx yyyy zzzz"),
+            (3, "xxxx yyyy zzzz"),
+            (4, "a completely different document for it is unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = keep_best_dedup(docs).toPandas().set_index("doc_id").sort_index()
+    # identical quality within each group -> smallest id wins
+    assert out.loc[0, "keep"] and not out.loc[1, "keep"]
+    assert out.loc[1, "canonical_id"] == 0
+    assert out.loc[2, "keep"] and not out.loc[3, "keep"]
+    assert out.loc[4, "keep"] and out.loc[4, "canonical_id"] == 4

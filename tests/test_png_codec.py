@@ -119,3 +119,24 @@ def test_non_png_raises_not_implemented(spark):
     )
     with pytest.raises(Exception, match="native codec"):
         decode_images(jpegish, fake=False).collect()
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ch=st.sampled_from([1, 3, 4]),
+        filter_type=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_png_roundtrip_property(h, w, ch, filter_type, seed):
+        img = _rand_img(h, w, ch, seed=seed % 2**31)
+        decoded = decode_png(encode_png(img, filter_type=filter_type))
+        expect = img if img.ndim == 3 else img[:, :, None]
+        np.testing.assert_array_equal(decoded, expect)
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass

@@ -961,6 +961,13 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the highest-quality duplicate (ties → min id)."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import keep_best_dedup
+
+    return keep_best_dedup(read_table(spark, sf_dir, "documents"))
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source rebalancing (alpha=0.7): per-source
     natural size, keep rate (n_min/n)^0.3, and deterministic post-mix
@@ -2877,6 +2884,31 @@ _EXTENSION_ORACLES["temperature_mix"] = """
     FROM rates LEFT JOIN kept USING (source)
     """
 
+_EXTENSION_ORACLES["dedup_keep_best"] = f"""
+    WITH s AS (
+        SELECT doc_id,
+               md5({_NORM_TEXT}) AS content_hash,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
+                   / len({_TOKS}) AS stopword_ratio,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                   / length(text) AS punct_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id, content_hash,
+               round(0.4 * least(1.0, stopword_ratio * 5)
+                   + 0.3 * least(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+        FROM s
+    )
+    SELECT doc_id, content_hash, quality,
+           first_value(doc_id) OVER w AS canonical_id,
+           row_number() OVER w = 1 AS keep
+    FROM q
+    WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
+    """
+
 _EXTENSION_ORACLES["salted_event_stats"] = """
     SELECT event_type,
            CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -3140,6 +3172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_complete": q_dedup_simhash_complete,
     "salted_event_stats": q_salted_event_stats,
     "temperature_mix": q_temperature_mix,
+    "dedup_keep_best": q_dedup_keep_best,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,

@@ -448,3 +448,37 @@ def simhash_pairs_from_signatures(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def keep_best_dedup(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-QUALITY member of each
+    duplicate group (ties → smallest id) instead of the smallest id —
+    what a curation pipeline actually wants when near-identical docs
+    differ in boilerplate/noise.
+
+    Content hash and quality score come from one projection over one
+    scan (``quality_score`` carries the hash through ``keep_cols``, no
+    join-back); the canonical pick is a window over the hash key — the
+    same single content-hash shuffle as ``exact_dedup``, never document
+    bodies.
+    """
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    hashed = documents.withColumn(
+        "__hash", F.md5(_norm_text(F.col(text_col)))
+    )
+    q = quality_score(hashed, text_col, id_col, keep_cols=("__hash",))
+    w = Window.partitionBy("__hash").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return q.select(
+        "doc_id",
+        F.col("__hash").alias("content_hash"),
+        "quality",
+        F.first("doc_id").over(w).alias("canonical_id"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
