@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators import (
@@ -958,6 +958,46 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("n_hit") / F.col("n_exact_pairs") >= 0.5).alias("recall_ok"),
             (F.col("n_false") == 0).alias("no_false_positives"),
         )
+    )
+
+
+def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session distribution: session count, mean/median
+    events per session, median span — the dashboard row on top of
+    sessionize (sum/count exact-integer mean, exact percentiles)."""
+    from uk_housing_dashboard_etl_spark.operators.sessionize import session_stats
+
+    s = session_stats(
+        read_table(spark, sf_dir, "events"),
+        timeout_minutes=30.0,
+        tie_cols=["event_id"],
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        round4(
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("events_mean"),
+        round4(F.percentile("n_events", 0.5)).alias("events_median"),
+        round4(F.percentile("span_seconds", 0.5)).alias("span_median"),
+    )
+
+
+def q_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition probabilities: event_transitions counts
+    row-normalized per prev_type (window sum shares the groupBy
+    partitioning — no extra exchange)."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import event_transitions
+
+    t = event_transitions(read_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        round4(
+            F.col("transitions")
+            / F.sum("transitions").over(w).cast("double")
+        ).alias("prob"),
     )
 
 
@@ -3103,6 +3143,25 @@ ORACLES["embedding_near_dup_lsh_recall"] = (
     + ")"
 )
 ORACLES["dedup_simhash_complete"] = "SELECT TRUE AS banded_equals_exact"
+ORACLES["session_summary"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_sessions,"
+    " floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 10000.0 + 0.5)"
+    " / 10000.0 AS events_mean,"
+    " floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events)"
+    " * 10000.0 + 0.5) / 10000.0 AS events_median,"
+    " floor(percentile_cont(0.5) WITHIN GROUP (ORDER BY span_seconds)"
+    " * 10000.0 + 0.5) / 10000.0 AS span_median FROM ("
+    + ORACLES["sessionize"]
+    + ")"
+)
+ORACLES["transition_probs"] = (
+    "SELECT prev_type, next_type, transitions,"
+    " floor((transitions / CAST(sum(transitions) OVER"
+    " (PARTITION BY prev_type) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0"
+    " AS prob FROM ("
+    + ORACLES["event_transitions"]
+    + ")"
+)
 
 # Registry order matters: the driver's correctness harness checks queries in
 # dict order and may cap how many it verifies per round. Round 1 verified the
@@ -3173,6 +3232,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_event_stats": q_salted_event_stats,
     "temperature_mix": q_temperature_mix,
     "dedup_keep_best": q_dedup_keep_best,
+    "session_summary": q_session_summary,
+    "transition_probs": q_transition_probs,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
