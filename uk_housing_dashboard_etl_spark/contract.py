@@ -95,6 +95,11 @@ BENCH_EXTRA: list[str] = [
     "tfidf_top_terms",
     "ngram_novelty",
     "sketch_cardinalities",
+    "temperature_mix",
+    "dedup_keep_best",
+    "session_summary",
+    "transition_probs",
+    "salted_event_stats",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
