@@ -337,6 +337,10 @@ def temperature_mix(
             F.lit(1.0 - alpha),
         ).alias("__rate"),
     )
+    # materialize the (tiny) per-source rate table once: it feeds both
+    # the keep predicate and the final output, and without this the plan
+    # re-runs the corpus count aggregate for each consumer
+    rates = rates.localCheckpoint(eager=True)
     u = (
         ((F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007))
         % F.lit(1_000_000)
