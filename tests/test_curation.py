@@ -237,3 +237,27 @@ def test_temperature_mix_flattens_sources(spark):
     # alpha=1 keeps the natural distribution entirely
     nat = temperature_mix(docs, alpha=1.0).toPandas().set_index("source")
     assert nat.loc["big", "n_kept"] == 900 and nat.loc["small", "n_kept"] == 100
+
+
+def test_pack_sequences_respects_budget_boundaries(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 40)) for i in range(50)],  # 40 tokens each
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, budget_tokens=100, n_shards=2).toPandas()
+    assert len(out) == 50 and set(out.shard) <= {0, 1}
+    # bins are contiguous from 0 within each shard
+    for s, g in out.groupby("shard"):
+        bins = sorted(g.bin_idx.unique())
+        assert bins == list(range(len(bins)))
+        # a doc starts in bin floor(preceding_tokens / budget): with
+        # 40-token docs and budget 100, bins hold <= 3 docs (start
+        # offsets 0,40,80 fit; 120 rolls over)
+        assert g.groupby("bin_idx").size().max() <= 3
+    # deterministic: re-running yields identical assignment
+    again = pack_sequences(docs, budget_tokens=100, n_shards=2).toPandas()
+    merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.bin_idx_a == merged.bin_idx_b).all()
+    assert (merged.shard_a == merged.shard_b).all()

@@ -966,6 +966,16 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: docs → fixed 512-token bins,
+    8 hash shards packed independently (per-shard running totals)."""
+    from uk_housing_dashboard_etl_spark.operators.curation import pack_sequences
+
+    return pack_sequences(
+        read_table(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8
+    )
+
+
 def q_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level session distribution: session count, mean/median
     events per session, median span — the dashboard row on top of
@@ -2929,6 +2939,25 @@ _EXTENSION_ORACLES["temperature_mix"] = """
     FROM rates LEFT JOIN kept USING (source)
     """
 
+_EXTENSION_ORACLES["pack_sequences"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM_TEXT}, ' ')) AS INTEGER)
+                   AS n_tokens,
+               CAST(((doc_id * 2654435761) % 1000000007) % 8 AS INTEGER)
+                   AS shard,
+               (doc_id * 2654435761) % 1000000007 AS h
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS INTEGER)
+               AS bin_idx,
+           n_tokens
+    FROM t
+    WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
 _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WITH s AS (
         SELECT doc_id,
@@ -3239,6 +3268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "session_summary": q_session_summary,
     "transition_probs": q_transition_probs,
+    "pack_sequences": q_pack_sequences,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,

@@ -361,3 +361,56 @@ def temperature_mix(
         round4(F.col("__rate")).alias("rate"),
         F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
     )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget bins — the batching step before training, where short
+    docs are concatenated up to a context-length budget.
+
+    Docs spread over ``n_shards`` via the portable multiplicative hash,
+    then each shard packs independently: order by (hash, id), running
+    token total, ``bin_idx = floor((cum - tokens) / budget)`` — a doc
+    starts a new bin when the previous ones filled the budget
+    (cumulative-boundary packing: deterministic and one window pass, vs
+    first-fit which is inherently sequential). Per-shard windows keep
+    every partition independent — no global sort, no single-reducer
+    funnel, shards scale with the cluster.
+
+    Output: (doc_id, shard, bin_idx, n_tokens) — a (shard, bin_idx)
+    group is one packed training sequence.
+    """
+    toks = F.size(
+        F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+    )
+    hashed = documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("n_tokens"),
+        (
+            ((F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007))
+            % F.lit(n_shards)
+        ).cast("int").alias("shard"),
+        ((F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007)).alias("__h"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return hashed.select(
+        "doc_id",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens))
+        .cast("int")
+        .alias("bin_idx"),
+        "n_tokens",
+    )
