@@ -140,3 +140,26 @@ try:
         np.testing.assert_array_equal(decoded, expect)
 except ImportError:  # hypothesis is baked in, but stay import-safe
     pass
+
+
+def test_decode_on_error_null_skips_bad_rows(spark, png_media):
+    corrupt = spark.createDataFrame(
+        [
+            (100, bytearray(b"\xff\xd8\xffJFIF not decodable"), 20, "jpeg"),
+            (101, bytearray(b"\x89PNG\r\n\x1a\n truncated"), 16, "png"),
+        ],
+        "doc_id: long, payload: binary, n_bytes: long, format: string",
+    )
+    mixed = png_media.unionByName(corrupt)
+    out = (
+        decode_images(mixed, fake=False, thumb=4, on_error="null")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(out) == 5  # bad rows kept, not dropped
+    good = [r for r in out if r.doc_id < 100]
+    bad = [r for r in out if r.doc_id >= 100]
+    assert all(r.width is not None and r.pixels is not None for r in good)
+    assert all(r.width is None and r.pixels is None for r in bad)
+    with pytest.raises(Exception):  # default still raises
+        decode_images(mixed, fake=False).collect()

@@ -69,27 +69,40 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_images(media: DataFrame, fake: bool = True, thumb: int = 4) -> DataFrame:
+def decode_images(
+    media: DataFrame,
+    fake: bool = True,
+    thumb: int = 4,
+    on_error: str = "raise",
+) -> DataFrame:
     """Decode binary payloads to (width, height, pixel array) via
     ``mapInPandas`` — Arrow batches in, Arrow batches out.
 
     With ``fake=False`` PNG payloads are decoded FOR REAL (pure-Python
     codec, see ``functions/png_codec.py``): ``width``/``height`` are the
     image's true dimensions and ``pixels`` is the ``thumb×thumb``
-    nearest-neighbor grayscale thumbnail in [0, 1]. JPEG/webp raise
-    ``NotImplementedError`` (native codec required). With ``fake=True``
-    the "decoder" derives the thumbnail deterministically from the raw
+    nearest-neighbor grayscale thumbnail in [0, 1]. JPEG/webp need a
+    native codec this environment lacks. With ``fake=True`` the
+    "decoder" derives the thumbnail deterministically from the raw
     payload bytes — the driver-contract mode, since the contract's
     payloads are text bytes.
+
+    ``on_error`` controls undecodable payloads (non-PNG formats,
+    corrupt bytes): ``"raise"`` fails the job (the debugging default);
+    ``"null"`` emits the row with null width/height/pixels — what a
+    100 TB ingest wants, where one corrupt image must not kill a
+    thousand-executor pass (count the nulls downstream instead).
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from uk_housing_dashboard_etl_spark.functions import png_codec
 
         for pdf in it:
-            widths: list[int] = []
-            heights: list[int] = []
-            pixels: list[list[float]] = []
+            widths: list = []
+            heights: list = []
+            pixels: list = []
             for p in pdf["payload"]:
                 raw = bytes(p)
                 if fake:
@@ -97,14 +110,22 @@ def decode_images(media: DataFrame, fake: bool = True, thumb: int = 4) -> DataFr
                     heights.append(thumb)
                     pixels.append(_fake_pixels(raw, thumb * thumb))
                     continue
-                fmt = png_codec.sniff_format(raw)
-                if fmt != "png":
-                    raise NotImplementedError(
-                        f"{fmt} decode requires a native codec (libjpeg/"
-                        "libwebp) not present in this environment; only "
-                        "png decodes in pure Python"
-                    )
-                img = png_codec.decode_png(raw)
+                try:
+                    fmt = png_codec.sniff_format(raw)
+                    if fmt != "png":
+                        raise NotImplementedError(
+                            f"{fmt} decode requires a native codec (libjpeg/"
+                            "libwebp) not present in this environment; only "
+                            "png decodes in pure Python"
+                        )
+                    img = png_codec.decode_png(raw)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    widths.append(None)
+                    heights.append(None)
+                    pixels.append(None)
+                    continue
                 gray = png_codec.to_grayscale(img)
                 widths.append(img.shape[1])
                 heights.append(img.shape[0])
@@ -125,8 +146,8 @@ def decode_images(media: DataFrame, fake: bool = True, thumb: int = 4) -> DataFr
                     "pixels": pixels,
                 }
             )
-            out["width"] = out["width"].astype("int32")
-            out["height"] = out["height"].astype("int32")
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
             yield out
 
     return media.mapInPandas(batches, DECODED_SCHEMA)
