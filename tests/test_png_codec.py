@@ -163,3 +163,67 @@ def test_decode_on_error_null_skips_bad_rows(spark, png_media):
     assert all(r.width is None and r.pixels is None for r in bad)
     with pytest.raises(Exception):  # default still raises
         decode_images(mixed, fake=False).collect()
+
+
+def _make_wav(freq_hz, sr=8000, seconds=0.25, width=2, ch=1):
+    import io
+    import wave
+
+    t = np.arange(int(sr * seconds)) / sr
+    x = np.sin(2 * np.pi * freq_hz * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        if width == 2:
+            data = (x * 32767).astype("<i2")
+            if ch > 1:
+                data = np.repeat(data, ch)
+            w.writeframes(data.tobytes())
+        else:
+            data = ((x * 127) + 128).astype(np.uint8)
+            w.writeframes(data.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav(spark):
+    from uk_housing_dashboard_etl_spark.operators.multimodal import audio_features
+
+    rows = [
+        (0, bytearray(_make_wav(440)), 0, "wav"),          # A4 sine, 16-bit
+        (1, bytearray(_make_wav(100, width=1)), 0, "wav"), # low sine, 8-bit
+        (2, bytearray(_make_wav(440, ch=2)), 0, "wav"),    # stereo
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id: long, payload: binary, n_bytes: long, format: string"
+    )
+    out = (
+        audio_features(media, fake=False).orderBy("doc_id").collect()
+    )
+    for r in out:
+        assert r.sample_rate == 8000 and r.n_samples == 2000
+        assert abs(r.duration_s - 0.25) < 1e-6
+        # a full-scale sine has RMS 1/sqrt(2)
+        assert abs(r.rms - 0.7071) < 0.02
+    # ZCR of a sine = 2 * freq / sample_rate
+    assert abs(out[0].zero_crossing_rate - 2 * 440 / 8000) < 0.01
+    assert abs(out[1].zero_crossing_rate - 2 * 100 / 8000) < 0.01
+    assert out[2].n_channels == 2
+
+
+def test_audio_features_on_error_and_fake(spark):
+    from uk_housing_dashboard_etl_spark.operators.multimodal import audio_features
+
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"ID3 not a wav"), 0, "mp3")],
+        "doc_id: long, payload: binary, n_bytes: long, format: string",
+    )
+    with pytest.raises(Exception, match="native codec"):
+        audio_features(bad, fake=False).collect()
+    r = audio_features(bad, fake=False, on_error="null").collect()[0]
+    assert r.sample_rate is None and r.rms is None
+    # fake mode is deterministic across runs
+    a = audio_features(bad, fake=True).collect()[0]
+    b = audio_features(bad, fake=True).collect()[0]
+    assert a == b and a.rms is not None

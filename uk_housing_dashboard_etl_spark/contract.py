@@ -1470,6 +1470,58 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features over binary payloads (fake byte-sample mode for
+    the contract corpus; the real WAV decode path is pytest-verified
+    against generated sine fixtures — rows-only here, float kernels)."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import audio_features
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return audio_features(media, fake=True)
+
+
+def q_multimodal_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the audio byte→sample convention: exact integer
+    digests (sum of squared centered bytes, sign-crossing count) that
+    DuckDB recomputes from hex-extracted payload bytes — no float drift
+    possible, the same Arrow batch path as the feature kernel."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("crossings", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+                d = b - 128
+                neg = d < 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        int((d * d).sum()),
+                        int((neg[1:] != neg[:-1]).sum()) if len(b) > 1 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_sq", "crossings"]
+            )
+
+    return media.mapInPandas(batches, schema)
+
+
 def q_multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar digest of the deterministic decode output — pixel checksum
     plus first/last pixel — so the mapInPandas decode kernel is
@@ -3009,6 +3061,30 @@ _EXTENSION_ORACLES["multimodal_frames"] = r"""
              least(8, CAST(ceil(n_bytes / 64.0) AS BIGINT)))) AS u(i)
     """
 
+_EXTENSION_ORACLES["multimodal_audio_check"] = r"""
+    WITH m AS (
+        SELECT doc_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n
+        FROM documents
+    ), b AS (
+        SELECT doc_id, n,
+               list_transform(range(0, n), i ->
+                   CAST(('0x' || substr(to_hex(payload), i * 2 + 1, 2))
+                        AS INT) - 128) AS d
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(d, x -> CAST(x * x AS BIGINT))),
+                (a, v) -> a + v) AS BIGINT) AS sum_sq,
+           CAST(CASE WHEN n < 2 THEN 0
+                ELSE len(list_filter(range(0, n - 1), i ->
+                     (d[i + 1] < 0) != (d[i + 2] < 0)))
+                END AS BIGINT) AS crossings
+    FROM b
+    """
+
 _EXTENSION_ORACLES["multimodal_decode_check"] = r"""
     WITH m AS (
         SELECT doc_id, encode(text) AS payload,
@@ -3269,6 +3345,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_summary": q_session_summary,
     "transition_probs": q_transition_probs,
     "pack_sequences": q_pack_sequences,
+    "multimodal_audio": q_multimodal_audio,
+    "multimodal_audio_check": q_multimodal_audio_check,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,

@@ -7,9 +7,13 @@ shapes, deterministic fan-out — is real and tested. Codec status:
 - PNG decode is REAL: a pure stdlib-zlib + numpy decoder
   (``functions/png_codec.py``, 8-bit gray/RGB/RGBA, all five scanline
   filters) runs inside the Arrow batches when ``fake=False``.
-- JPEG/webp genuinely require native libs (libjpeg/libwebp) absent from
-  this container, so those payloads raise ``NotImplementedError`` at the
-  exact call site the codec would occupy.
+- WAV audio decode is REAL: stdlib ``wave`` parsing (8/16-bit PCM,
+  mono/stereo downmix) with RMS + zero-crossing-rate features from the
+  actual samples (``audio_features``).
+- JPEG/webp/mp3/ogg genuinely require native libs absent from this
+  container, so those payloads raise ``NotImplementedError`` at the
+  exact call site the codec would occupy (or yield null rows under
+  ``on_error='null'``).
 - ``fake=True`` (default for the driver contract, whose payloads are
   text bytes, not images) derives a deterministic synthetic decode from
   the payload bytes — stable across runs/executors.
@@ -288,3 +292,144 @@ def _intensity_histogram(payload: bytes, dim: int, png_codec) -> list[float]:
     gray = png_codec.to_grayscale(png_codec.decode_png(payload))
     hist, _ = np.histogram(gray, bins=dim, range=(0.0, 1.0 + 1e-9))
     return [float(h) / gray.size for h in hist]
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zero_crossing_rate", FloatType()),
+    ]
+)
+
+
+def audio_features(
+    media: DataFrame, fake: bool = True, on_error: str = "raise"
+) -> DataFrame:
+    """Audio decode + classical features over binary payloads — the
+    audio leg of the multimodal family, Arrow-batched like the image
+    path.
+
+    With ``fake=False`` WAV (RIFF/PCM) payloads are decoded FOR REAL
+    via the stdlib ``wave`` module: true sample rate / channels /
+    duration plus RMS energy and zero-crossing rate computed from the
+    actual samples (the two classical features every audio curation
+    filter starts from). Compressed formats (mp3/ogg/flac) need native
+    codecs this environment lacks. With ``fake=True`` features derive
+    deterministically from the payload bytes (driver-contract mode).
+    ``on_error='null'`` emits null features for undecodable payloads
+    instead of failing the pass.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                if fake:
+                    # deterministic stand-in: pretend bytes are 8kHz mono
+                    # 8-bit samples
+                    x = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                        - 128.0
+                    ) / 128.0 if raw else np.zeros(1, np.float32)
+                    rows.append(
+                        (
+                            doc_id,
+                            8000,
+                            1,
+                            len(x),
+                            len(x) / 8000.0,
+                            float(np.sqrt(np.mean(x * x))),
+                            _zcr(x),
+                        )
+                    )
+                    continue
+                try:
+                    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                        raise NotImplementedError(
+                            "non-WAV audio needs a native codec not present "
+                            "in this environment; only RIFF/PCM WAV decodes "
+                            "in pure Python"
+                        )
+                    with wave.open(io.BytesIO(raw)) as w:
+                        sr = w.getframerate()
+                        ch = w.getnchannels()
+                        n = w.getnframes()
+                        width = w.getsampwidth()
+                        frames = w.readframes(n)
+                    if width == 2:
+                        x = (
+                            np.frombuffer(frames, dtype="<i2").astype(np.float32)
+                            / 32768.0
+                        )
+                    elif width == 1:
+                        x = (
+                            np.frombuffer(frames, dtype=np.uint8).astype(
+                                np.float32
+                            )
+                            - 128.0
+                        ) / 128.0
+                    else:
+                        raise NotImplementedError(
+                            f"{8 * width}-bit PCM unsupported (8/16-bit only)"
+                        )
+                    if ch > 1:  # downmix to mono for the features
+                        x = x.reshape(-1, ch).mean(axis=1)
+                    rows.append(
+                        (
+                            doc_id,
+                            sr,
+                            ch,
+                            n,
+                            n / float(sr),
+                            float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                            _zcr(x),
+                        )
+                    )
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append((doc_id, None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "zero_crossing_rate",
+                ],
+            )
+            for c, t in (
+                ("sample_rate", "Int32"),
+                ("n_channels", "Int32"),
+                ("n_samples", "Int32"),
+            ):
+                out[c] = out[c].astype(t)
+            yield out
+
+    return media.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+def _zcr(x) -> float:
+    """Zero-crossing rate: fraction of adjacent sample pairs that change
+    sign — the classical voiced/unvoiced/noise discriminator."""
+    import numpy as np
+
+    if len(x) < 2:
+        return 0.0
+    return float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
