@@ -200,6 +200,29 @@ def main() -> None:
         counts["curated_groups"] = curate_corpus(tagged).count()
         times["curate_corpus"] = round(time.time() - t0, 2)
 
+        # round-2 operators: quality-ranked dedup, temperature mix,
+        # sequence packing
+        from uk_housing_dashboard_etl_spark.operators.curation import (
+            pack_sequences,
+            temperature_mix,
+        )
+        from uk_housing_dashboard_etl_spark.operators.dedup import (
+            keep_best_dedup,
+        )
+
+        t0 = time.time()
+        counts["kept_best"] = keep_best_dedup(docs).where("keep").count()
+        times["keep_best_dedup"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        counts["mix_rows"] = temperature_mix(tagged).count()
+        times["temperature_mix"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        packed = pack_sequences(docs, budget_tokens=2048, n_shards=64)
+        counts["packed_bins"] = packed.select("shard", "bin_idx").distinct().count()
+        times["pack_sequences"] = round(time.time() - t0, 2)
+
         print(
             json.dumps(
                 {
