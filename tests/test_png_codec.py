@@ -227,3 +227,31 @@ def test_audio_features_on_error_and_fake(spark):
     a = audio_features(bad, fake=True).collect()[0]
     b = audio_features(bad, fake=True).collect()[0]
     assert a == b and a.rms is not None
+
+
+def test_bmp_roundtrip_and_spark_decode(spark):
+    from uk_housing_dashboard_etl_spark.functions.png_codec import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    # odd width exercises the 4-byte row padding path
+    img = _rand_img(5, 7, 3, seed=9)
+    data = encode_bmp(img)
+    assert sniff_format(data) == "bmp"
+    np.testing.assert_array_equal(decode_bmp(data), img)
+    np.testing.assert_array_equal(decode_image(data), img)
+    with pytest.raises(PngError):
+        decode_bmp(data[:30])  # truncated header
+    # end-to-end through the Spark decode path alongside a PNG
+    png = encode_png(_rand_img(6, 6, 3, seed=10))
+    media = spark.createDataFrame(
+        [(0, bytearray(data), len(data), "bmp"),
+         (1, bytearray(png), len(png), "png")],
+        "doc_id: long, payload: binary, n_bytes: long, format: string",
+    )
+    out = decode_images(media, fake=False, thumb=4).orderBy("doc_id").collect()
+    assert (out[0].width, out[0].height) == (7, 5)
+    assert (out[1].width, out[1].height) == (6, 6)
+    assert all(len(r.pixels) == 16 for r in out)

@@ -29,14 +29,27 @@ class PngError(ValueError):
 
 
 def sniff_format(payload: bytes) -> str:
-    """Cheap magic-byte sniff: 'png', 'jpeg', 'webp' or 'unknown'."""
+    """Cheap magic-byte sniff: 'png', 'bmp', 'jpeg', 'webp' or 'unknown'."""
     if payload[:8] == PNG_SIGNATURE:
         return "png"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
     return "unknown"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch decode by sniffed format: PNG and 24-bit BMP are real
+    pure-Python paths; everything else raises."""
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise PngError(f"no pure-Python decoder for format {fmt!r}")
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -198,3 +211,62 @@ def resize_nearest(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
     xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
     return gray[np.ix_(ys, xs)]
+
+
+# --------------------------------------------------------------- BMP
+# 24-bit uncompressed Windows BMP (BITMAPINFOHEADER): the third real
+# codec next to PNG and WAV — pure struct + numpy, no native libs.
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (height, width, 3) uint8 RGB.
+
+    Handles the standard bottom-up row order, 4-byte row padding and
+    BGR channel layout. Raises :class:`PngError` (shared codec error
+    type) on other bit depths / compressed variants.
+    """
+    if payload[:2] != b"BM":
+        raise PngError("not a BMP: bad signature")
+    if len(payload) < 54:
+        raise PngError("truncated BMP header")
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    header_size = struct.unpack("<I", payload[14:18])[0]
+    if header_size < 40:
+        raise PngError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise PngError(f"unsupported BMP: {bpp}-bit compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise PngError("truncated BMP pixel data")
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    bgr = raw[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode a (h, w, 3) uint8 RGB array as a 24-bit bottom-up BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise PngError("encode_bmp needs (h, w, 3) RGB")
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    pixel_bytes = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixel_bytes), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes),
+                      2835, 2835, 0, 0)
+    )
+    return header + pixel_bytes

@@ -116,13 +116,13 @@ def decode_images(
                     continue
                 try:
                     fmt = png_codec.sniff_format(raw)
-                    if fmt != "png":
+                    if fmt not in ("png", "bmp"):
                         raise NotImplementedError(
                             f"{fmt} decode requires a native codec (libjpeg/"
                             "libwebp) not present in this environment; only "
-                            "png decodes in pure Python"
+                            "png and 24-bit bmp decode in pure Python"
                         )
-                    img = png_codec.decode_png(raw)
+                    img = png_codec.decode_image(raw)
                 except Exception:
                     if on_error == "raise":
                         raise
