@@ -4,9 +4,10 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs.
 The Spark-side plumbing — schemas, partitioning, ``mapInPandas`` batch
 shapes, deterministic fan-out — is real and tested. Codec status:
 
-- PNG decode is REAL: a pure stdlib-zlib + numpy decoder
-  (``functions/png_codec.py``, 8-bit gray/RGB/RGBA, all five scanline
-  filters) runs inside the Arrow batches when ``fake=False``.
+- PNG and 24-bit BMP decode are REAL: pure stdlib + numpy decoders
+  (``functions/png_codec.py``; PNG: 8-bit gray/RGB/RGBA, all five
+  scanline filters; BMP: bottom-up padded BGR) run inside the Arrow
+  batches when ``fake=False``.
 - WAV audio decode is REAL: stdlib ``wave`` parsing (8/16-bit PCM,
   mono/stereo downmix) with RMS + zero-crossing-rate features from the
   actual samples (``audio_features``).
