@@ -966,6 +966,67 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the weekly mart's documented 100 TB degradation
+    path (``approx=True`` → percentile_approx for A3/A4).
+
+    The correct guarantee for a quantile sketch is RANK error, not value
+    error (the sketch returns an actual data point; linear-interpolated
+    exact values can differ by any amount on skewed data): each approx
+    pX must lie between the exact p(X−5) and p(X+5). Exact percentiles
+    are emitted for the oracle's value-hash; the rank-window flags must
+    all read TRUE."""
+    enriched = _enriched(spark, sf_dir)
+    base = (
+        enriched.where(F.col("local_authority").isNotNull())
+        .withColumn("week", F.date_trunc("week", F.col("date")))
+        .select("week", "local_authority", "price")
+    )
+    g = base.groupBy("week", "local_authority").agg(
+        F.percentile("price", [0.1, 0.5, 0.9]).alias("e"),
+        F.percentile_approx("price", [0.1, 0.5, 0.9]).alias("a"),
+        F.count("price").alias("n"),
+    )
+    # second pass: the TRUE rank of each approx element inside its group
+    # (the sketch's contract is rank error, so the gate measures rank)
+    j = base.join(F.broadcast(g), ["week", "local_authority"])
+    counts = j.groupBy("week", "local_authority").agg(
+        F.first("e").alias("e"),
+        F.first("n").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("price") < F.element_at("a", i), 1).otherwise(0)
+            ).alias(f"lo{i}")
+            for i in (1, 2, 3)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("price") <= F.element_at("a", i), 1).otherwise(0)
+            ).alias(f"hi{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+
+    def rank_ok(i: int, p: float, name: str):
+        # the approx element occupies ranks (lo, hi]; the window
+        # [(p−ε)n, (p+ε)n] must intersect it (ε = 0.05)
+        return (
+            ((p - 0.05) * F.col("n") <= F.col(f"hi{i}"))
+            & (F.col(f"lo{i}") <= (p + 0.05) * F.col("n"))
+        ).alias(name)
+
+    return counts.select(
+        "week",
+        "local_authority",
+        round4(F.element_at("e", 1)).alias("exact_p10"),
+        round4(F.element_at("e", 2)).alias("exact_median"),
+        round4(F.element_at("e", 3)).alias("exact_p90"),
+        rank_ok(1, 0.1, "p10_rank_ok"),
+        rank_ok(2, 0.5, "median_rank_ok"),
+        rank_ok(3, 0.9, "p90_rank_ok"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic sequence packing: docs → fixed 512-token bins,
     8 hash shards packed independently (per-shard running totals)."""
@@ -3253,6 +3314,16 @@ ORACLES["embedding_near_dup_lsh_recall"] = (
     + ")"
 )
 ORACLES["dedup_simhash_complete"] = "SELECT TRUE AS banded_equals_exact"
+ORACLES["weekly_approx_check"] = (
+    "SELECT week, local_authority,"
+    " price_p10 AS exact_p10,"
+    " price_median AS exact_median,"
+    " price_p90 AS exact_p90,"
+    " TRUE AS p10_rank_ok,"
+    " TRUE AS median_rank_ok,"
+    " TRUE AS p90_rank_ok"
+    " FROM (" + ORACLES["weekly_by_la"] + ")"
+)
 ORACLES["session_summary"] = (
     "SELECT CAST(count(*) AS BIGINT) AS n_sessions,"
     " floor((CAST(sum(n_events) AS DOUBLE) / count(*)) * 10000.0 + 0.5)"
@@ -3347,6 +3418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_audio_check": q_multimodal_audio_check,
+    "weekly_approx_check": q_weekly_approx_check,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
