@@ -16,6 +16,7 @@ differences between Spark and DuckDB. Passthrough doubles are not rounded.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -963,6 +964,42 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
             (F.col("n_hit") / F.col("n_exact_pairs") >= 0.5).alias("recall_ok"),
             (F.col("n_false") == 0).alias("no_false_positives"),
         )
+    )
+
+
+def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRUCTURED STREAMING weekly mart under the batch driver gate:
+    a real streaming query (readStream → watermark → Monday-anchored
+    tumbling window → stateful agg) drained synchronously with an
+    AvailableNow trigger into a memory sink, hash-compared against the
+    batch SQL oracle. Proves window anchoring, watermark plumbing and
+    the streaming agg produce EXACTLY the batch answer — the streaming
+    family's first driver-checked row (the rest are pytest-only).
+    """
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+        weekly_stream,
+    )
+
+    # the file stream source requires a DIRECTORY; land the parquet file
+    # into one via symlink (idempotent, no data copy)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sdf = weekly_stream(spark, land, deterministic_sum=True)
+    out = run_stream_once(sdf, query_name=f"wk_{uuid.uuid4().hex[:10]}")
+    return out.select(
+        "week",
+        "event_type",
+        "transactions",
+        round4(F.col("value_mean")).alias("value_mean"),
     )
 
 
@@ -3096,6 +3133,17 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_weekly"] = """
+    SELECT date_trunc('week', ts) AS week,
+           event_type,
+           count(*) AS transactions,
+           round((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 10000.0) / count(value), 4) AS value_mean
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """
+
 _EXTENSION_ORACLES["salted_event_stats"] = """
     SELECT event_type,
            CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -3419,6 +3467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio": q_multimodal_audio,
     "multimodal_audio_check": q_multimodal_audio_check,
     "weekly_approx_check": q_weekly_approx_check,
+    "streaming_weekly": q_streaming_weekly,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,

@@ -50,10 +50,27 @@ def weekly_stream(
     source_dir: str,
     watermark: str = "14 days",
     schema: StructType = EVENTS_STREAM_SCHEMA,
+    deterministic_sum: bool = False,
 ) -> DataFrame:
     """Streaming weekly mart: per (Monday week, event_type) transaction
-    count and mean value, tolerant of ``watermark`` of lateness."""
+    count and mean value, tolerant of ``watermark`` of lateness.
+
+    ``deterministic_sum`` computes the mean from half-up-rounded 1e-4
+    integer units (the batch mart's ``_dsum`` rule) so the result is
+    bit-identical regardless of micro-batch partitioning/combine order —
+    required when the output is hash-compared against an oracle.
+    """
     raw = spark.readStream.schema(schema).parquet(source_dir)
+    if deterministic_sum:
+        mean = (
+            F.sum(
+                F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+            ).cast("double")
+            / 10000.0
+            / F.count("value")
+        ).alias("value_mean")
+    else:
+        mean = F.avg("value").alias("value_mean")
     return (
         raw.where(F.col("ts").isNotNull())
         .withWatermark("ts", watermark)
@@ -63,7 +80,7 @@ def weekly_stream(
         )
         .agg(
             F.count(F.lit(1)).alias("transactions"),
-            F.avg("value").alias("value_mean"),
+            mean,
         )
         .select(
             F.col("win.start").alias("week"),
