@@ -1003,6 +1003,76 @@ def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming SESSION WINDOWS under the driver gate: the
+    stateful merge-on-gap operator drained in append mode. Append only
+    emits a session after the watermark passes its end, so the landing
+    dir carries a far-future sentinel file and ``maxFilesPerTrigger=1``
+    forces it into a later micro-batch — the watermark then sweeps past
+    every real session, exactly how a daily relaunch closes yesterday's
+    sessions. Oracle = gap-sessionization in SQL with the session-window
+    boundary rule (a gap of exactly 30 min starts a NEW session: windows
+    are half-open ``[start, last+gap)``)."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_sess_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "0_events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    # sentinel AFTER the events link (later mtime → later micro-batch)
+    spark.createDataFrame(
+        [(999_999_999, "2100-01-01 00:00:00", -1, "sentinel", 0.0, None)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(os.path.join(land, "zz_sentinel.parquet"))
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land + "/*.parquet")
+    )
+    sess = (
+        raw.where(F.col("ts").isNotNull())
+        .withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"), "user_id", "n_events"
+        )
+    )
+    name = f"sess_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sess_ckpt_{uuid.uuid4().hex}"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").where(F.col("user_id") >= 0)
+
+
 def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the weekly mart's documented 100 TB degradation
     path (``approx=True`` → percentile_approx for A3/A4).
@@ -3133,6 +3203,26 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_sessions"] = """
+    WITH base AS (
+        SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_us
+        FROM events WHERE ts IS NOT NULL
+    ), marked AS (
+        SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                       THEN 1 ELSE 0 END AS is_start
+        FROM base
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        FROM marked
+    )
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, sidx
+    """
+
 _EXTENSION_ORACLES["streaming_weekly"] = """
     SELECT date_trunc('week', ts) AS week,
            event_type,
@@ -3468,6 +3558,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_check": q_multimodal_audio_check,
     "weekly_approx_check": q_weekly_approx_check,
     "streaming_weekly": q_streaming_weekly,
+    "streaming_sessions": q_streaming_sessions,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
