@@ -991,8 +991,10 @@ def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
     os.makedirs(land, exist_ok=True)
     link = os.path.join(land, "events.parquet")
-    if not os.path.exists(link):
+    try:  # concurrent callers may race the symlink; first one wins
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
     sdf = weekly_stream(spark, land, deterministic_sum=True)
     out = run_stream_once(sdf, query_name=f"wk_{uuid.uuid4().hex[:10]}")
     return out.select(
@@ -1025,21 +1027,26 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = os.path.join(tempfile.gettempdir(), f"spark_graft_sess_{tag}")
     os.makedirs(land, exist_ok=True)
     link = os.path.join(land, "0_events.parquet")
-    if not os.path.exists(link):
+    try:  # concurrent callers may race the symlink; first one wins
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    # sentinel AFTER the events link (later mtime → later micro-batch)
-    spark.createDataFrame(
-        [(999_999_999, "2100-01-01 00:00:00", -1, "sentinel", 0.0, None)],
-        "event_id long, ts string, user_id long, event_type string,"
-        " value double, props string",
-    ).select(
-        "event_id",
-        F.to_timestamp("ts").alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    ).write.mode("overwrite").parquet(os.path.join(land, "zz_sentinel.parquet"))
+    except FileExistsError:
+        pass
+    # sentinel AFTER the events link (later mtime → later micro-batch);
+    # content is deterministic, so an existing one is reused as-is
+    sentinel = os.path.join(land, "zz_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        spark.createDataFrame(
+            [(999_999_999, "2100-01-01 00:00:00", -1, "sentinel", 0.0, None)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").parquet(sentinel)
 
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
