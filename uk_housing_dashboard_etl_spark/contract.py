@@ -1080,6 +1080,58 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}").where(F.col("user_id") >= 0)
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver gate:
+    ``dropDuplicatesWithinWatermark`` on the content hash over a document
+    landing stream. WHICH duplicate survives a micro-batch is arbitrary,
+    so the gated output is the emitted content-hash SET — which must
+    equal SQL's DISTINCT hashes exactly."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from uk_housing_dashboard_etl_spark.streaming.dedup_stream import (
+        dedup_documents_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_ddup_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "documents.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    except FileExistsError:
+        pass
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    raw = spark.readStream.schema(schema).parquet(land)
+    docs = raw.withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    dd = dedup_documents_stream(docs)
+    out = run_stream_once(
+        dd, query_name=f"ddup_{uuid.uuid4().hex[:10]}", output_mode="append"
+    )
+    return out.select("content_hash").distinct()
+
+
 def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the weekly mart's documented 100 TB degradation
     path (``approx=True`` → percentile_approx for A3/A4).
@@ -3210,6 +3262,10 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_dedup"] = f"""
+    SELECT DISTINCT md5({_NORM_TEXT}) AS content_hash FROM documents
+    """
+
 _EXTENSION_ORACLES["streaming_sessions"] = """
     WITH base AS (
         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -3566,6 +3622,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_approx_check": q_weekly_approx_check,
     "streaming_weekly": q_streaming_weekly,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup": q_streaming_dedup,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
