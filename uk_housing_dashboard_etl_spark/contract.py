@@ -1132,6 +1132,44 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("content_hash").distinct()
 
 
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    per-user funnel state machine) under the driver gate: one
+    AvailableNow drain emits each active user's (stage, reached_at),
+    which must equal the greedy strict-ordering funnel computed by the
+    SQL oracle — the hardest streaming surface, now driver-checked."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.funnel_stream import (
+        funnel_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_funl_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(land)
+        .where(F.col("ts").isNotNull())
+    )
+    s = funnel_stream(raw, ["signup", "view", "click", "purchase"])
+    out = run_stream_once(
+        s, query_name=f"funl_{uuid.uuid4().hex[:10]}", output_mode="update"
+    )
+    return out.select("user", "stage", "reached_at")
+
+
 def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the weekly mart's documented 100 TB degradation
     path (``approx=True`` → percentile_approx for A3/A4).
@@ -3262,6 +3300,35 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_funnel"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ), s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT s1.user_id AS user,
+           CAST(CASE WHEN s4.t IS NOT NULL THEN 4
+                WHEN s3.t IS NOT NULL THEN 3
+                WHEN s2.t IS NOT NULL THEN 2
+                ELSE 1 END AS INTEGER) AS stage,
+           coalesce(s4.t, s3.t, s2.t, s1.t) AS reached_at
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    LEFT JOIN s4 ON s1.user_id = s4.user_id
+    """
+
 _EXTENSION_ORACLES["streaming_dedup"] = f"""
     SELECT DISTINCT md5({_NORM_TEXT}) AS content_hash FROM documents
     """
@@ -3623,6 +3690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_weekly": q_streaming_weekly,
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_funnel": q_streaming_funnel,
     # --- sketches (error-envelope oracles) ---
     "sketch_cardinalities": q_sketch_cardinalities,
     "sketch_weekly_distinct": q_sketch_weekly_distinct,
