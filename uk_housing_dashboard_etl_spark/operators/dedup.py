@@ -93,18 +93,46 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (doc_a < doc_b, sim ≥ threshold).
 
     |A∩B| from a shingle self-join, |A∪B| = |A|+|B|−|A∩B|; the Jaccard is
     an exact integer ratio so the threshold comparison is deterministic.
-    Quadratic in documents sharing a shingle — use ``minhash_lsh_pairs``
-    at scale; this is the correctness oracle for it.
+
+    ``max_shingle_df=None`` (default) is EXACT mode — the sf0.01 oracle.
+    It is quadratic in documents sharing a shingle: one boilerplate
+    shingle shared by 1M docs creates a 10¹²-row join. At scale pass
+    ``max_shingle_df=k`` to drop shingles whose document frequency
+    exceeds ``k`` BEFORE the self-join (standard near-dup practice —
+    a df-k shingle alone contributes ≤ k·(k−1)/2 candidate rows, so the
+    join volume is bounded by Σ_shingle df² ≤ k·|shingles|). Union sizes
+    still count every shingle, so the capped Jaccard only LOSES common
+    shingles: it is a lower bound on the true similarity (false
+    negatives on pairs glued together by boilerplate — which is the
+    point — never false positives). ``minhash_lsh_pairs`` remains the
+    recommended scale path.
     """
     sh = _word_shingles(documents, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joinable = sh
+    if max_shingle_df is not None:
+        if max_shingle_df < 2:
+            raise ValueError(
+                f"max_shingle_df must be >= 2 (a shingle needs df >= 2 to "
+                f"link any pair), got {max_shingle_df}"
+            )
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # inner join on the surviving shingle keys: shuffles on the same
+        # key the self-join shuffles on, so AQE coalesces the exchanges
+        joinable = sh.join(rare, "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

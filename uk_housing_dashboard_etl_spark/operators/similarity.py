@@ -117,6 +117,10 @@ def brute_force_topk(
     )
 
 
+ARROW_TOPK_MAX_QUERY_MB = 100.0
+"""Ceiling on the collected+broadcast Q×D query matrix in arrow_topk."""
+
+
 def arrow_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -154,6 +158,22 @@ def arrow_topk(
     import numpy as np
     import pandas as pd
 
+    # Size-guard the driver collect: the Q×D float64 matrix is broadcast
+    # to every executor, so a mis-call with a huge "query" side must fail
+    # with a diagnosis, not an OOM. Measured BEFORE toPandas() — the
+    # count/head jobs are trivial next to the scoring pass.
+    q_rows = queries.count()
+    head = queries.select(F.size(_as_double(vec_col)).alias("d")).head(1)
+    q_dim = head[0]["d"] if head else 0
+    est_mb = q_rows * max(q_dim, 1) * 8 / 1e6
+    if est_mb > ARROW_TOPK_MAX_QUERY_MB:
+        raise ValueError(
+            f"arrow_topk query side is {q_rows} x {q_dim} doubles "
+            f"(~{est_mb:.0f} MB) — too large to collect/broadcast "
+            f"(limit {ARROW_TOPK_MAX_QUERY_MB:.0f} MB). Split the query "
+            f"set into chunks, or use lsh_bucketed_topk / ivf_topk for "
+            f"large query workloads."
+        )
     qpdf = (
         queries.select(F.col("query_id"), _as_double(vec_col).alias("qvec"))
         .toPandas()
@@ -228,17 +248,37 @@ def arrow_topk(
     )
 
 
+NEAR_DUP_QUADRATIC_MAX_ROWS = 100_000
+"""Row-count ceiling for the all-pairs near-dup path. Above this the
+join volume passes ~5e9 pairs — a plan that must never ship by accident
+on a 100 TB corpus; ``embedding_near_dup_lsh`` is the scale path."""
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
 
-    All-pairs is the oracle baseline; at scale route candidates through
-    ``lsh_bucketed_topk``-style bucketing first.
+    All-pairs is the ORACLE BASELINE: O(N²) join volume. Guarded — above
+    ``NEAR_DUP_QUADRATIC_MAX_ROWS`` input rows it raises unless the
+    caller passes ``allow_quadratic=True``, steering production use to
+    :func:`embedding_near_dup_lsh` (sign-bucketed candidates, same exact
+    cosine filter). The count() that implements the guard is a cheap
+    parquet-metadata scan next to the N² join it prevents.
     """
+    if not allow_quadratic:
+        n = embeddings.count()
+        if n > NEAR_DUP_QUADRATIC_MAX_ROWS:
+            raise ValueError(
+                f"embedding_near_dup is all-pairs O(N²) and the input has "
+                f"{n} rows (> {NEAR_DUP_QUADRATIC_MAX_ROWS}). Use "
+                f"embedding_near_dup_lsh at scale, or pass "
+                f"allow_quadratic=True to force the baseline."
+            )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
     ).withColumn("nv", norm_expr("vec"))
