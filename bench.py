@@ -1,4 +1,4 @@
-"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+"""Per-round benchmark: the FULL query registry at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
 ``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
@@ -8,6 +8,14 @@ built) on a fresh DataFrame — no caching between queries, so every number
 includes scan + shuffle + compute. Each query runs twice and reports the
 best: the first run pays one-time JVM/codegen warmup that a long-running
 cluster amortizes, the second is the engine's steady-state throughput.
+(Streaming queries execute their drain inside the builder, so their
+time covers the whole readStream→sink pass, run once — a second drain
+would replay identical state transitions at the same cost.)
+
+If any query fails, ``complete`` is false and ``value`` is null: a suite
+total over a shrunken query set must never be compared against a full
+run as if it were a speedup. Per-query times and the failure reasons are
+still attached.
 """
 
 from __future__ import annotations
@@ -48,13 +56,16 @@ def main() -> None:
 
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
-    extra = [q for q in contract.BENCH_EXTRA if q in contract.QUERIES]
+    extra = [q for q in contract.QUERIES if q not in HEADLINE]
     for name in HEADLINE + extra:
         fn = contract.QUERIES[name]
+        # streaming builders run their drain eagerly; timing a repeat
+        # would re-execute the same stateful pass for no extra signal
+        runs = 1 if name.startswith("streaming_") else 2
         best = float("inf")
         # per-query isolation: one broken query must never zero the bench
         try:
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
                 best = min(best, time.time() - t0)
@@ -62,13 +73,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
 
-    total = round(sum(times.values()), 3)
+    complete = not failures
     payload = {
-        "metric": "headline-suite wall time",
-        "value": total,
+        "metric": "full-registry suite wall time",
+        "value": round(sum(times.values()), 3) if complete else None,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "n_queries": len(times),
+        "complete": complete,
     }
     if failures:
         payload["failures"] = failures

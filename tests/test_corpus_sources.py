@@ -93,7 +93,30 @@ def test_tar_shard_write_read_roundtrip(spark, tmp_path):
     out = str(tmp_path / "shards")
     manifest = write_tar_shards(samples, out, n_shards=4).collect()
     assert sum(m.n_samples for m in manifest) == 40
-    assert len(manifest) <= 4 and all(m.path.endswith(".tar") for m in manifest)
+    assert all(m.path.endswith(".tar") for m in manifest)
+
+    # shard-K.tar must contain EXACTLY the keys with
+    # abs(xxhash64(key)) % 4 == K, one manifest row per non-empty shard
+    # (hash-partitioning co-locating two shard ids in one task must not
+    # merge them into one tar)
+    expected = {
+        r.sample_key: r.shard
+        for r in samples.select(
+            "sample_key",
+            (F.abs(F.xxhash64("sample_key")) % 4).cast("int").alias("shard"),
+        ).collect()
+    }
+    assert len(manifest) == len(set(expected.values()))
+    import tarfile as _tar
+    seen = {}
+    for m in manifest:
+        with _tar.open(m.path) as tf:
+            keys = {n.rsplit(".", 1)[0] for n in tf.getnames()}
+        assert len(keys) == m.n_samples
+        for k in keys:
+            assert expected[k] == m.shard_id, (k, m.shard_id)
+            seen[k] = m.shard_id
+    assert seen.keys() == expected.keys()
 
     members = read_tar_shards(spark, out + "/*.tar")
     back = samples_from_members(members)

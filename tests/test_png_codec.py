@@ -255,3 +255,47 @@ def test_bmp_roundtrip_and_spark_decode(spark):
     assert (out[0].width, out[0].height) == (7, 5)
     assert (out[1].width, out[1].height) == (6, 6)
     assert all(len(r.pixels) == 16 for r in out)
+
+
+def test_png_bomb_and_huge_dims_rejected():
+    """A crafted PNG must fail as PngError before allocating its declared
+    output — not MemoryError (which on_error='null' cannot survive)."""
+    import struct
+    import zlib
+
+    from uk_housing_dashboard_etl_spark.functions.png_codec import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # absurd IHDR dims: 100k x 100k RGBA declares ~40 GB of scanlines
+    ihdr_huge = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    bomb = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr_huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="MAX_DECODED_BYTES"):
+        decode_png(bomb)
+
+    # zip-bomb IDAT: sane 4x4 dims but the stream inflates far past the
+    # IHDR-implied size — must raise, bounded by max_length, not inflate
+    ihdr_small = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bloated = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MB -> ~64 KB
+    bomb2 = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr_small)
+        + chunk(b"IDAT", bloated)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="size mismatch"):
+        decode_png(bomb2)

@@ -123,3 +123,90 @@ def test_orc_and_jsonl_roundtrip(spark, sf_small, tmp_path):
     assert {r["event_id"] for r in back_j.select("event_id").collect()} == {
         r["event_id"] for r in ev.select("event_id").collect()
     }
+
+
+def test_write_to_bigquery_plumbing(spark, monkeypatch):
+    """S8 shim (ref etl_main.py:304-316): fake the DataFrameWriter chain
+    and assert the connector format, table id, mode, and save() call —
+    the whole surface the one-line shim owns."""
+    from uk_housing_dashboard_etl_spark.sources.sinks import write_to_bigquery
+
+    rec: dict = {}
+
+    class FakeWriter:
+        def format(self, f):
+            rec["format"] = f
+            return self
+
+        def option(self, k, v):
+            rec.setdefault("options", {})[k] = v
+            return self
+
+        def mode(self, m):
+            rec["mode"] = m
+            return self
+
+        def save(self):
+            rec["saved"] = True
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    # patch the CONCRETE class (pyspark.sql.classic.DataFrame overrides
+    # the base class's `write` property)
+    monkeypatch.setattr(
+        type(df), "write", property(lambda self: FakeWriter())
+    )
+    write_to_bigquery(df, "proj.dataset.windows")
+    assert rec == {
+        "format": "bigquery",
+        "options": {"table": "proj.dataset.windows"},
+        "mode": "overwrite",
+        "saved": True,
+    }
+
+
+def test_write_to_google_sheets_fake_client(spark, monkeypatch):
+    """S7 shim: fake googleapiclient service records the clear+update
+    calls; serialization (nulls→"", all strings) rides through end-to-end."""
+    import sys
+    import types
+
+    from uk_housing_dashboard_etl_spark.sources import sinks
+
+    calls: list = []
+
+    class FakeValues:
+        def clear(self, spreadsheetId, range):
+            calls.append(("clear", spreadsheetId, range))
+            return self
+
+        def update(self, spreadsheetId, range, valueInputOption, body):
+            calls.append(("update", spreadsheetId, range, valueInputOption, body))
+            return self
+
+        def execute(self):
+            return {}
+
+    class FakeSheet:
+        def values(self):
+            return FakeValues()
+
+    class FakeService:
+        def spreadsheets(self):
+            return FakeSheet()
+
+    fake_discovery = types.ModuleType("googleapiclient.discovery")
+    fake_discovery.build = lambda api, ver, credentials: FakeService()
+    fake_pkg = types.ModuleType("googleapiclient")
+    fake_pkg.discovery = fake_discovery
+    monkeypatch.setitem(sys.modules, "googleapiclient", fake_pkg)
+    monkeypatch.setitem(sys.modules, "googleapiclient.discovery", fake_discovery)
+
+    df = spark.createDataFrame([(1, None), (2, 3.5)], "id long, price double")
+    sinks.write_to_google_sheets({"weekly": df}, "sheet-1", creds=None)
+
+    assert ("clear", "sheet-1", "weekly") in calls
+    update = [c for c in calls if c[0] == "update"][0]
+    assert update[1:4] == ("sheet-1", "weekly!A1", "RAW")
+    values = update[4]["values"]
+    assert values[0] == ["id", "price"]
+    assert ["1", ""] in values and ["2", "3.5"] in values

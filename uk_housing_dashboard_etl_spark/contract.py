@@ -93,79 +93,6 @@ ROUND_DP = 4
 WINDOWS = [4, 12]
 
 # extra bench-suite members appended as they land (bench.py reads this)
-BENCH_EXTRA: list[str] = [
-    "tfidf_top_terms",
-    "ngram_novelty",
-    "sketch_cardinalities",
-    "temperature_mix",
-    "dedup_keep_best",
-    "session_summary",
-    "transition_probs",
-    "salted_event_stats",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority",
-    "brand_revenue",
-    "dedup_exact",
-    "dedup_minhash",
-    "similarity_topk",
-    "text_stats",
-    "quality_score",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "sessionize",
-    "top_ngrams",
-    "week_over_week",
-    "asof_join",
-    "range_join",
-    "latest_by_key",
-    "quality_checks",
-    "revenue_filter",
-    "shipping_priority",
-    "weekly_type_pivot",
-    "decontaminate",
-    "repetition_stats",
-    "corpus_cube",
-    "promo_revenue",
-    "large_orders",
-    "idle_capital",
-    "top_supplier",
-    "filter_funnel",
-    "embedding_quantize",
-    "token_histogram",
-    "nation_pair_trade",
-    "late_shipments",
-    "order_count_distribution",
-    "disjunctive_revenue",
-    "small_qty_revenue",
-    "slow_suppliers",
-    "knn_classify",
-    "embedding_centroids",
-    "conversion_funnel",
-    "weekly_retention",
-    "curate_corpus",
-    "robust_anomalies",
-    "top_parts_per_nation",
-    "modal_type",
-    "price_deciles",
-    "lapsed_parts",
-    "source_cap",
-    "weekly_unpivot",
-    "repeat_customers",
-    "supplier_percentile",
-    "gap_interpolation",
-    "cumulative_users",
-    "event_transitions",
-    "first_last_touch",
-    "corr_stats",
-    "price_histogram",
-    "grouping_sets",
-    "range_rolling",
-    "active_suppliers",
-]
-
-
 def _round(df: DataFrame, cols: list[str]) -> DataFrame:
     out = df
     for c in cols:

@@ -23,6 +23,11 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
 
+MAX_DECODED_BYTES = 128 * 1024 * 1024
+"""Ceiling on IHDR-implied raw scanline bytes (~128 MB ≈ a 5600² RGBA
+frame): zip-bomb IDATs and absurd declared dimensions fail as PngError
+instead of allocating executor-killing buffers."""
+
 
 class PngError(ValueError):
     """Raised for malformed or unsupported PNG payloads."""
@@ -91,9 +96,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width is None or not idat:
         raise PngError("missing IHDR or IDAT")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
     stride = width * ch
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # Reject absurd dimensions BEFORE inflating and bound the inflate to
+    # the IHDR-implied size: a tiny zip-bomb IDAT (or a crafted huge
+    # IHDR) must raise PngError — which on_error='null' survives — not
+    # MemoryError an executor dies on.
+    if expected > MAX_DECODED_BYTES:
+        raise PngError(
+            f"refusing {width}x{height}x{ch} decode: {expected} bytes "
+            f"exceeds MAX_DECODED_BYTES={MAX_DECODED_BYTES}"
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if d.unconsumed_tail or len(raw) != expected:
         raise PngError("decompressed size mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]

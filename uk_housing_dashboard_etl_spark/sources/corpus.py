@@ -158,13 +158,18 @@ def write_tar_shards(
     inverse of :func:`read_tar_shards`.
 
     ``samples`` is (key, parts: map<extension, binary>) as produced by
-    :func:`samples_from_members`. Samples hash-partition into
-    ``n_shards`` shards; each partition streams its members into ONE tar
+    :func:`samples_from_members`. Each sample's shard is
+    ``abs(xxhash64(key)) % n_shards`` and ``shard-K.tar`` contains
+    exactly the keys whose computed shard is K: the repartition on the
+    shard id puts all of a shard's rows in one task, and the writer
+    keeps one open tar PER SHARD ID seen in its partition (hash
+    partitioning can co-locate several shard ids in one task — writing a
+    single tar per task would mis-attribute those samples). Streams
     through the stdlib ``tarfile`` (per-partition imperative I/O — the
     one place the DataFrame API genuinely can't express the work).
     Partitions are sorted by key first so shard contents are
     byte-deterministic run to run. Returns a small (shard_id, path,
-    n_samples) manifest frame.
+    n_samples) manifest frame with exactly one row per non-empty shard.
 
     Scale notes: ``out_dir`` must be storage every executor can reach
     (DFS/object-store mount; local path only in local mode). Size
@@ -184,17 +189,17 @@ def write_tar_shards(
     )
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tf = None
-        shard_id = None
-        path = None
-        count = 0
+        # shard_id -> [tarfile, path, n_samples]; several shard ids can
+        # hash into the same task, each gets its own tar
+        tars: dict = {}
         for pdf in batches:
             for _, r in pdf.iterrows():
-                if tf is None:
-                    shard_id = int(r["__shard"])
+                sid = int(r["__shard"])
+                ent = tars.get(sid)
+                if ent is None:
                     os.makedirs(out_dir, exist_ok=True)
-                    path = os.path.join(out_dir, f"shard-{shard_id:05d}.tar")
-                    tf = tarfile.open(path, "w")
+                    path = os.path.join(out_dir, f"shard-{sid:05d}.tar")
+                    ent = tars[sid] = [tarfile.open(path, "w"), path, 0]
                 for ext in sorted(r[parts_col]):
                     data = bytes(r[parts_col][ext])
                     info = tarfile.TarInfo(
@@ -202,13 +207,16 @@ def write_tar_shards(
                     )
                     info.size = len(data)
                     info.mtime = 0  # deterministic bytes
-                    tf.addfile(info, io.BytesIO(data))
-                count += 1
-        if tf is not None:
+                    ent[0].addfile(info, io.BytesIO(data))
+                ent[2] += 1
+        rows = []
+        for sid in sorted(tars):
+            tf, path, count = tars[sid]
             tf.close()
+            rows.append((sid, path, count))
+        if rows:
             yield pd.DataFrame(
-                [(shard_id, path, count)],
-                columns=["shard_id", "path", "n_samples"],
+                rows, columns=["shard_id", "path", "n_samples"]
             )
 
     return rep.mapInPandas(write_partition, manifest_schema)
