@@ -263,13 +263,28 @@ def embedding_near_dup(
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
 
-    All-pairs is the ORACLE BASELINE: O(N²) join volume. Guarded — above
+    All-pairs is the ORACLE BASELINE: O(N²) pair volume. Guarded — above
     ``NEAR_DUP_QUADRATIC_MAX_ROWS`` input rows it raises unless the
     caller passes ``allow_quadratic=True``, steering production use to
     :func:`embedding_near_dup_lsh` (sign-bucketed candidates, same exact
     cosine filter). The count() that implements the guard is a cheap
-    parquet-metadata scan next to the N² join it prevents.
+    parquet-metadata scan next to the N² compute it prevents.
+
+    Physically this is the :func:`arrow_topk` strategy, not a row-pair
+    join: the interpreted ``aggregate(zip_with(...))`` fold over N²/2
+    pairs is ~10× slower than Arrow (18.6 s vs <2 s at N=2000, D=64).
+    The full (id, vector) matrix — bounded by the guard to ≤ ~50 MB —
+    is collected once and broadcast; ``mapInPandas`` scores each corpus
+    partition against it in row blocks, accumulating the dot product
+    PER DIMENSION in broadcast order so every score is bit-identical to
+    the sequential JVM/DuckDB left-fold (same trick, same parity
+    argument as arrow_topk; hash-matched against the DuckDB oracle by
+    tools/selfcheck.py). Each unordered pair is emitted exactly once:
+    partition row i pairs with broadcast row j only where id_i < id_j.
     """
+    import numpy as np
+    import pandas as pd
+
     if not allow_quadratic:
         n = embeddings.count()
         if n > NEAR_DUP_QUADRATIC_MAX_ROWS:
@@ -281,28 +296,61 @@ def embedding_near_dup(
             )
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("vec")
-    ).withColumn("nv", norm_expr("vec"))
-    a = base.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("nv").alias("norm_a"),
     )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("nv").alias("norm_b"),
+    full = base.toPandas()
+    ids = full["vec_id"].to_numpy()
+    M = (
+        np.array(full["vec"].tolist(), dtype=np.float64)
+        if len(full)
+        else np.zeros((0, 1))
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            round4(
-                cosine_prenorm_expr("vec_a", "vec_b", "norm_a", "norm_b")
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-    )
+    nb = np.zeros(len(ids))
+    for d in range(M.shape[1] if len(ids) else 0):
+        nb += M[:, d] * M[:, d]
+    nb = np.sqrt(nb)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M, nb))
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in base.schema.fields
+    )["vec_id"]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def score_partition(batches):
+        ids_, M_, nb_ = bc.value
+        N = len(ids_)
+        for pdf in batches:
+            if len(pdf) == 0 or N == 0:
+                continue
+            A = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            aid = pdf["vec_id"].to_numpy()
+            D = A.shape[1]
+            # block the partition rows so the block×N score matrix stays
+            # ~50 MB even at the guard ceiling
+            step = max(1, int(8e6 // max(N, 1)))
+            for s in range(0, len(A), step):
+                Ab = A[s : s + step]
+                ab_id = aid[s : s + step]
+                nv = np.zeros(len(Ab))
+                for d in range(D):
+                    nv += Ab[:, d] * Ab[:, d]
+                nv = np.sqrt(nv)
+                acc = np.zeros((len(Ab), N))
+                for d in range(D):
+                    acc += Ab[:, d, None] * M_[None, :, d]
+                cos = acc / (nv[:, None] * nb_[None, :])
+                cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+                mask = (ab_id[:, None] < ids_[None, :]) & (cos >= threshold)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ab_id[ii],
+                            "id_b": ids_[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
+
+    return base.mapInPandas(score_partition, schema)
 
 
 def embedding_near_dup_lsh(
@@ -317,16 +365,26 @@ def embedding_near_dup_lsh(
     cosine filters them. Work drops from N²/2 to same-bucket pairs; high-
     cosine pairs rarely disagree on more than one hyperplane, so recall
     at near-dup thresholds stays high (asserted vs all-pairs in tests).
+
+    The candidate-pair frame stays fully distributed (bucket-join →
+    dedup — no driver collect, no broadcast of the corpus; this is the
+    architecture that survives 100 TB). Only the exact-cosine FILTER is
+    an Arrow kernel: per candidate row both vectors are already columnar,
+    and the per-dimension sequential accumulation keeps every score
+    bit-identical to the JVM/DuckDB fold (same parity argument as
+    :func:`arrow_topk`) at ~10× the throughput of the interpreted
+    ``aggregate(zip_with(...))`` expression.
     """
+    import numpy as np
+    import pandas as pd
+
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(vec_col).alias("vec"),
         _bucket_expr(vec_col, bits).alias("bucket"),
-    ).withColumn("nv", norm_expr("vec"))
+    )
     probes = base.select(
         F.col("vec_id"),
-        F.col("vec"),
-        F.col("nv"),
         F.explode(
             F.expr(
                 f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
@@ -334,31 +392,58 @@ def embedding_near_dup_lsh(
             )
         ).alias("bucket"),
     )
-    a = probes.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vec").alias("vec_a"),
-        F.col("nv").alias("norm_a"),
-        "bucket",
-    )
-    b = base.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vec").alias("vec_b"),
-        F.col("nv").alias("norm_b"),
-        "bucket",
-    )
-    return (
+    # candidate generation + dedup carry ONLY the id pair — shuffling the
+    # 128-double vector payloads through the bucket join and the
+    # dropDuplicates exchange is ~100× the bytes of the (id, id) rows;
+    # vectors re-attach afterward via two id-keyed joins of the corpus
+    a = probes.select(F.col("vec_id").alias("id_a"), "bucket")
+    b = base.select(F.col("vec_id").alias("id_b"), "bucket")
+    cand_ids = (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            round4(
-                cosine_prenorm_expr("vec_a", "vec_b", "norm_a", "norm_b")
-            ).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
     )
+    vecs = base.select("vec_id", "vec")
+    cand = cand_ids.join(
+        vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")),
+        "id_b",
+    ).select("id_a", "vec_a", "id_b", "vec_b")
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in base.schema.fields
+    )["vec_id"]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def score_pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            D = A.shape[1]
+            dot = np.zeros(len(A))
+            na = np.zeros(len(A))
+            nb = np.zeros(len(A))
+            for d in range(D):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            keep = cos >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"].to_numpy()[keep],
+                        "id_b": pdf["id_b"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    }
+                )
+
+    return cand.mapInPandas(score_pairs, schema)
 
 
 def _bucket_expr(vec_col: str, bits: int) -> F.Column:
