@@ -261,3 +261,61 @@ def test_pack_sequences_respects_budget_boundaries(spark):
     merged = out.merge(again, on="doc_id", suffixes=("_a", "_b"))
     assert (merged.bin_idx_a == merged.bin_idx_b).all()
     assert (merged.shard_a == merged.shard_b).all()
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    members = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(500)], "ngram string"
+    )
+    others = spark.createDataFrame(
+        [(f"absent-{i}",) for i in range(2000)], "ngram string"
+    )
+    m_bits, k = 1 << 16, 5
+    bloom = build_bloom(members, "ngram", m_bits, k)
+    # bitmap is bounded by m_bits/64 rows regardless of member count
+    assert bloom.count() <= m_bits // 64
+
+    probed_in = bloom_might_contain(members, bloom, "ngram", m_bits, k)
+    assert probed_in.where(~F.col("in_bloom")).count() == 0  # NEVER misses
+
+    probed_out = bloom_might_contain(others, bloom, "ngram", m_bits, k)
+    fp = probed_out.where(F.col("in_bloom")).count()
+    # (1 - e^{-kn/m})^k with n=500, m=65536, k=5 -> ~4e-8; allow slack
+    assert fp <= 2
+
+
+def test_decontaminate_bloom_contains_exact(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a completely different sentence with no overlap here"),
+            (3, "the quick brown fox jumps over the lazy dog again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    exact = decontaminate(docs, bench, n=3, threshold=3)
+    bloom = decontaminate_bloom(docs, bench, n=3, threshold=3).select(
+        "doc_id", F.col("contaminated").alias("bc"), "bloom_hits"
+    )
+    j = {r.doc_id: r for r in exact.join(bloom, "doc_id").collect()}
+    assert j[1].contaminated and j[1].bc
+    assert j[3].contaminated and j[3].bc
+    assert not j[2].contaminated
+    for r in j.values():  # bloom only ever over-counts
+        assert r.bloom_hits >= r.ngram_hits

@@ -1594,6 +1594,61 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=3, threshold=5)
 
 
+def q_decontaminate_bloom_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the Bloom-filter decontamination scale path: the
+    bitmap has no false negatives, so every exactly-contaminated doc
+    must be bloom-contaminated and every doc's bloom_hits must dominate
+    its exact ngram_hits. The oracle recomputes the exact contaminated
+    count and expects both containment flags TRUE — a Bloom sizing or
+    probe regression flips a flag and fails the value-hash."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        decontaminate,
+        decontaminate_bloom,
+        hash_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = hash_sample(docs, "doc_id", percent=5)
+    exact = decontaminate(docs, bench, n=3, threshold=5)
+    bloom = decontaminate_bloom(docs, bench, n=3, threshold=5).select(
+        "doc_id",
+        F.col("bloom_hits"),
+        F.col("contaminated").alias("bloom_contaminated"),
+    )
+    j = exact.join(bloom, "doc_id")
+    return j.agg(
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_contaminated"),
+        (
+            F.sum(
+                F.when(
+                    F.col("contaminated") & ~F.col("bloom_contaminated"), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("no_false_negatives"),
+        (
+            F.sum(
+                F.when(F.col("bloom_hits") < F.col("ngram_hits"), 1).otherwise(0)
+            )
+            == 0
+        ).alias("hits_superset_ok"),
+    )
+
+
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle-capped Jaccard path under the full SQL oracle:
+    shingles with document frequency > 5 are dropped before the
+    self-join (the bound that keeps one boilerplate shingle from gluing
+    a 100 TB corpus into one 10¹²-row join); the oracle applies the same
+    df filter, so the capped semantics — not just the exact mode — are
+    driver-verified."""
+    return ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), max_shingle_df=5
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -3320,6 +3375,31 @@ _EXTENSION_ORACLES["streaming_dedup"] = f"""
     SELECT DISTINCT md5({_NORM_TEXT}) AS content_hash FROM documents
     """
 
+_EXTENSION_ORACLES["dedup_ngram_capped"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), rare AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a
+        JOIN rare r ON a.shingle = r.shingle
+        JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    """
+
 _EXTENSION_ORACLES["streaming_sessions"] = """
     WITH base AS (
         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -3569,6 +3649,12 @@ ORACLES["embedding_near_dup_lsh_recall"] = (
     + ")"
 )
 ORACLES["dedup_simhash_complete"] = "SELECT TRUE AS banded_equals_exact"
+ORACLES["decontaminate_bloom_check"] = (
+    "SELECT CAST((SELECT count(*) FROM ("
+    + ORACLES["decontaminate"]
+    + ") WHERE contaminated) AS BIGINT) AS n_exact_contaminated,"
+    " TRUE AS no_false_negatives, TRUE AS hits_superset_ok"
+)
 ORACLES["weekly_approx_check"] = (
     "SELECT week, local_authority,"
     " price_p10 AS exact_p10,"
@@ -3634,6 +3720,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r2 ERR rows: raw arrays now projected to md5 digests ---
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
+    # --- new in round 3 (placed inside the window) ---
+    "decontaminate_bloom_check": q_decontaminate_bloom_check,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

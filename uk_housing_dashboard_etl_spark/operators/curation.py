@@ -160,6 +160,114 @@ def decontaminate(
     )
 
 
+def build_bloom(
+    items: DataFrame, col: str = "ngram", m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter over a column as a tiny (word, bits) bitmap
+    table — ``m_bits`` bits packed 64 per long, ``k`` probes per item
+    from ``xxhash64(value, seed)``.
+
+    Spark 4 doesn't expose ``bloom_filter_agg`` in the public registry,
+    so the bitmap is a first-class DataFrame: one ``bit_or`` aggregation
+    over the set bits, at most ``m_bits/64`` rows (a 2^20-bit filter is
+    ≤ 16384 rows ≈ 256 KB — broadcastable regardless of how many
+    billions of items went in). No false negatives ever; false-positive
+    rate ≈ (1 − e^{-kn/m})^k, the standard Bloom bound.
+    """
+    probes = items.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m_bits))
+                for j in range(k)
+            ])
+        ).alias("pos")
+    )
+    return probes.groupBy(
+        (F.col("pos") / 64).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str = "ngram",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Probe a :func:`build_bloom` bitmap: ``out_col`` is true iff ALL
+    ``k`` probe bits are set (the Bloom membership test). The bitmap
+    joins broadcast on the word index, so the probed side never
+    shuffles — the point of a Bloom filter at 100 TB, where the exact
+    membership set would be too large to broadcast."""
+    probed = df.withColumn(
+        "__probe", F.explode(F.array(*[F.lit(j) for j in range(k)]))
+    ).withColumn(
+        "__pos", F.pmod(F.xxhash64(F.col(col), F.col("__probe")), F.lit(m_bits))
+    ).withColumn(
+        "__word", (F.col("__pos") / 64).cast("long")
+    ).withColumn(
+        "__mask",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"),
+    )
+    hit = probed.join(F.broadcast(bloom), F.col("__word") == F.col("word"), "left")
+    bit_set = F.coalesce(
+        F.col("bits").bitwiseAND(F.col("__mask")) != 0, F.lit(False)
+    )
+    return (
+        hit.groupBy(*df.columns)
+        .agg(F.min(bit_set).alias(out_col))
+    )
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Scale path for :func:`decontaminate`: benchmark n-gram membership
+    via a Bloom bitmap instead of the exact broadcast set.
+
+    The exact path broadcasts every distinct benchmark n-gram string; at
+    a few hundred bytes per gram that stops fitting once the eval suite
+    grows past ~10M grams. The Bloom bitmap is fixed-size (``m_bits/8``
+    bytes — 128 KB at the default) no matter the benchmark size, no
+    false negatives (every truly contaminated doc is flagged), and a
+    tunable false-positive rate that only ever OVER-counts hits — the
+    conservative direction for a leakage guard. Gate query
+    ``decontaminate_bloom_check`` asserts the no-false-negative
+    containment against the exact path.
+    """
+    bench_grams = (
+        _doc_ngrams(benchmark, text_col, id_col, n).select("ngram").distinct()
+    )
+    bloom = build_bloom(bench_grams, "ngram", m_bits, k)
+    cand_grams = _doc_ngrams(documents, text_col, id_col, n)
+    flagged = bloom_might_contain(cand_grams, bloom, "ngram", m_bits, k)
+    hits = (
+        flagged.where(F.col("in_bloom"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    cand = documents.select(F.col(id_col).alias("doc_id"))
+    return cand.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("bloom_hits"), F.lit(0)).alias("bloom_hits"),
+        (F.coalesce(F.col("bloom_hits"), F.lit(0)) >= threshold).alias(
+            "contaminated"
+        ),
+    )
+
+
 def _doc_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
