@@ -1,0 +1,86 @@
+"""Unit tests for the unigram-LM scorers (lm_scores / dsir_scores).
+
+Edge semantics the sf-data selfcheck can't pin: zero entropy for
+single-token repetition, exact hand-computed values on a tiny corpus,
+add-one smoothing keeping target-absent terms finite, and score
+monotonicity toward the target domain.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+    dsir_scores,
+    lm_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "a a a a", "tgt"),          # degenerate: one distinct token
+        (1, "a b a b", "tgt"),          # uniform over two tokens
+        (2, "c d e f", "other"),        # all-distinct, off-domain terms
+        (3, "a b c d", "other"),        # mixed
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_entropy_edges(tiny_docs):
+    out = {r["doc_id"]: r for r in lm_scores(tiny_docs).collect()}
+    # single distinct token -> zero entropy
+    assert out[0]["entropy"] == 0.0
+    assert out[0]["n_terms"] == 1 and out[0]["n_tokens"] == 4
+    # uniform over 2 tokens -> ln 2
+    assert out[1]["entropy"] == pytest.approx(math.log(2), abs=2e-4)
+    # uniform over 4 tokens -> ln 4
+    assert out[2]["entropy"] == pytest.approx(math.log(4), abs=2e-4)
+
+
+def test_cross_entropy_hand_computed(tiny_docs):
+    # corpus counts: a=7 b=3 c=2 d=2 e=1 f=1, total=16
+    out = {r["doc_id"]: r for r in lm_scores(tiny_docs).collect()}
+    exp0 = math.log(16 / 7)  # all four tokens are 'a'
+    assert out[0]["cross_entropy"] == pytest.approx(exp0, abs=2e-4)
+    exp2 = (
+        math.log(16 / 2) + math.log(16 / 2) + math.log(16 / 1) + math.log(16 / 1)
+    ) / 4
+    assert out[2]["cross_entropy"] == pytest.approx(exp2, abs=2e-4)
+
+
+def test_dsir_prefers_target_domain(tiny_docs):
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(tiny_docs, F.col("source") == "tgt").collect()
+    }
+    assert out[0]["is_target"] and not out[2]["is_target"]
+    # docs made of target-domain tokens outscore the off-domain doc
+    assert out[0]["dsir_score"] > out[2]["dsir_score"]
+    assert out[1]["dsir_score"] > out[2]["dsir_score"]
+    # smoothing keeps target-absent terms finite (doc 2 has none in target)
+    assert math.isfinite(out[2]["dsir_score"])
+
+
+def test_dsir_hand_computed(tiny_docs):
+    # target totals: a=6 b=2 (tgt_total=8); vocab=6; corpus total=16
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(tiny_docs, F.col("source") == "tgt").collect()
+    }
+    exp0 = math.log((6 + 1) / (8 + 6)) - math.log(7 / 16)
+    assert out[0]["dsir_score"] == pytest.approx(exp0, abs=2e-4)
+
+
+def test_empty_and_whitespace_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(0, "x y", "s"), (1, "   ", "s"), (2, "", "s")],
+        ["doc_id", "text", "source"],
+    )
+    got = lm_scores(docs)
+    assert [r["doc_id"] for r in got.collect()] == [0]
+    got2 = dsir_scores(docs, F.lit(True))
+    assert [r["doc_id"] for r in got2.collect()] == [0]

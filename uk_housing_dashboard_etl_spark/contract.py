@@ -1520,6 +1520,24 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(read_table(spark, sf_dir, "documents"), n=3)
 
 
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signals: per-doc Shannon entropy + corpus-LM
+    cross-entropy (ln perplexity) — the model-free CCNet-style filter."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import lm_scores
+
+    return lm_scores(read_table(spark, sf_dir, "documents"))
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores: avg log-likelihood ratio of a target-domain
+    unigram LM (docs from src0, add-one smoothed) vs the corpus LM."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import dsir_scores
+
+    return dsir_scores(
+        read_table(spark, sf_dir, "documents"), F.col("source") == "src0"
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/IPv4 → typed tags) + per-doc counts."""
     from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
@@ -3564,6 +3582,71 @@ _EXTENSION_ORACLES["tfidf_top_terms"] = r"""
     SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
     """
 
+_EXTENSION_ORACLES["lm_scores"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), ctf AS (
+        SELECT doc_id, term, tf,
+               sum(tf) OVER (PARTITION BY term) AS ctf,
+               sum(tf) OVER (PARTITION BY doc_id) AS doc_len,
+               (SELECT sum(tf) FROM tf) AS total
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           count(*) AS n_terms,
+           floor((CAST(sum(CAST(round((tf * ln(CAST(doc_len AS DOUBLE) / tf))
+                   * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                  / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS entropy,
+           floor((CAST(sum(CAST(round((tf * ln(CAST(total AS DOUBLE) / ctf))
+                   * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                  / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS cross_entropy
+    FROM ctf GROUP BY doc_id
+    """
+
+_EXTENSION_ORACLES["dsir_scores"] = r"""
+    WITH toks AS (
+        SELECT doc_id, (source = 'src0') AS tgt,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tgt, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT sum(tf) AS total,
+               sum(CASE WHEN tgt THEN tf ELSE 0 END) AS tgt_total,
+               count(DISTINCT term) AS vocab
+        FROM tf
+    ), ctf AS (
+        SELECT doc_id, tgt, term, tf,
+               sum(tf) OVER (PARTITION BY term) AS ctf,
+               sum(CASE WHEN tgt THEN tf ELSE 0 END)
+                   OVER (PARTITION BY term) AS ttf
+        FROM tf
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           max(tgt) AS is_target,
+           floor((CAST(sum(CAST(round((tf *
+                   (ln(CAST(ttf + 1 AS DOUBLE) / (tgt_total + vocab))
+                    - ln(CAST(ctf AS DOUBLE) / total))) * 10000.0) AS BIGINT))
+                   AS DOUBLE) / 10000.0
+                  / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+               AS dsir_score
+    FROM ctf CROSS JOIN tot GROUP BY doc_id
+    """
+
 _EXTENSION_ORACLES["ngram_novelty"] = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -3723,6 +3806,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 3 (placed inside the window) ---
     "decontaminate_bloom_check": q_decontaminate_bloom_check,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "lm_scores": q_lm_scores,
+    "dsir_scores": q_dsir_scores,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

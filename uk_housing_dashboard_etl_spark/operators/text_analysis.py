@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.functions.rounding import dsum, round4
 from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
 
 # Tiny per-language stopword sets (top function words). Deterministic
@@ -401,4 +401,135 @@ def ngram_novelty(
             F.sum(F.col("is_novel").cast("int"))
             / F.count(F.lit(1)).cast("double")
         ).alias("novelty"),
+    )
+
+
+def _doc_tf(
+    documents: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, term, tf) unigram counts — the shared frame under the
+    LM-style scorers. One explode + one map-side-combinable groupBy;
+    document bodies are never shuffled, only the compact count rows.
+    ``keep_cols`` must be constant per document (e.g. ``source``)."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        *keep_cols,
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    return toks.groupBy("doc_id", "term", *keep_cols).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def lm_scores(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM quality signals — the model-free analogue
+    of the CCNet/KenLM perplexity filter:
+
+    - ``entropy``       : Shannon entropy of the doc's OWN unigram
+      distribution, Σ (tf/len)·ln(len/tf). Low ⇒ repetitive/templated
+      text (complements ``repetition_stats``).
+    - ``cross_entropy`` : (1/len)·Σ tf·ln(corpus_total/corpus_count) —
+      token-level cross-entropy under the corpus unigram LM
+      (= ln perplexity). High ⇒ rare-token/gibberish-heavy; low ⇒
+      stereotyped high-frequency text. The standard curation axis when
+      a trained LM isn't available.
+
+    Both float sums go through the order-independent fixed-point
+    ``dsum`` so partial-aggregation order can never perturb the 4dp
+    result (every ln contribution is quantized identically in Spark and
+    the DuckDB oracle before the exact integer sum).
+
+    Plan: ONE corpus scan → compact (doc, term, tf) counts → corpus term
+    counts as a sum-window over the tf frame (term-keyed shuffle of
+    count rows, never a term-dictionary broadcast — at 100 TB that
+    dictionary is billions of entries) → doc-keyed window for lengths →
+    per-doc aggregate. The 1-row corpus token total broadcasts; no
+    global window (which would funnel the frame through one partition).
+    """
+    tf = _doc_tf(documents, text_col, id_col)
+    total = tf.agg(F.sum("tf").alias("__total"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
+    scored = (
+        tf.withColumn("ctf", F.sum("tf").over(w_term))
+        .withColumn("doc_len", F.sum("tf").over(w_doc))
+        .crossJoin(F.broadcast(total))
+    )
+    ent_contrib = F.col("tf") * F.log(
+        F.col("doc_len").cast("double") / F.col("tf")
+    )
+    ce_contrib = F.col("tf") * F.log(
+        F.col("__total").cast("double") / F.col("ctf")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_terms"),
+        round4(dsum(ent_contrib) / F.sum("tf")).alias("entropy"),
+        round4(dsum(ce_contrib) / F.sum("tf")).alias("cross_entropy"),
+    )
+
+
+def dsir_scores(
+    documents: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document average
+    log-likelihood ratio between a TARGET-domain unigram LM and the
+    corpus unigram LM,
+
+        score(d) = (1/len)·Σ_t tf_t·( ln p̂_target(t) − ln p̂_corpus(t) )
+
+    with add-one smoothing on the target model — p̂_target(t) =
+    (target_tf + 1)/(target_total + V), V = corpus vocabulary size — so
+    terms absent from the target stay finite. Docs scoring high look
+    like the target domain; resampling by this score up-weights them.
+    ``target`` is a boolean Column over ``documents`` (e.g.
+    ``F.col("source") == "src0"``) marking the in-domain exemplars.
+
+    Plan: the corpus scans ONCE — both models come from the same
+    (doc, term, tf) frame: corpus term counts and target term counts are
+    two sum-windows over the same term-keyed exchange (the target count
+    is a conditional sum, zero extra shuffle); vocabulary size and the
+    two token totals are one 1-row broadcast aggregate. Float summation
+    is fixed-point (``dsum``) — deterministic under any partial-agg
+    order. All-integer ratios inside the two ``ln``s ⇒ bit-identical in
+    the DuckDB oracle.
+    """
+    docs = documents.withColumn("__tgt", target)
+    tf = _doc_tf(docs, text_col, id_col, keep_cols=("__tgt",))
+    tgt_tf = F.sum(F.when(F.col("__tgt"), F.col("tf")).otherwise(F.lit(0)))
+    totals = tf.agg(
+        F.sum("tf").alias("__total"),
+        tgt_tf.alias("__tgt_total"),
+        F.countDistinct("term").alias("__vocab"),
+    )
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("ctf", F.sum("tf").over(w_term))
+        .withColumn("ttf", tgt_tf.over(w_term))
+        .crossJoin(F.broadcast(totals))
+    )
+    llr = F.col("tf") * (
+        F.log(
+            (F.col("ttf") + F.lit(1)).cast("double")
+            / (F.col("__tgt_total") + F.col("__vocab"))
+        )
+        - F.log(F.col("ctf").cast("double") / F.col("__total"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.max(F.col("__tgt").cast("int")).cast("boolean").alias("is_target"),
+        round4(dsum(llr) / F.sum("tf")).alias("dsir_score"),
     )
