@@ -60,3 +60,42 @@ def test_embedding_near_dup_lsh_recall(spark, sf_med):
     common = got.index.intersection(want.index)
     assert (got.loc[common] == want.loc[common]).all()
     assert np.isfinite(got.to_numpy()).all()
+
+
+def test_semantic_near_dup_subset_and_recall(spark, sf_med):
+    from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
+
+    emb = read_table(spark, sf_med, "embeddings")
+    exact = embedding_near_dup(emb, threshold=0.4).toPandas()
+    sem = semantic_near_dup(
+        emb, threshold=0.4, k=8, iterations=4, n_probes=2
+    ).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    sem_pairs = set(zip(sem.id_a, sem.id_b))
+    # intra-cell scoring reuses the exact cosine: prune-only, no inventions
+    assert sem_pairs <= exact_pairs
+    recall = len(sem_pairs) / max(1, len(exact_pairs))
+    assert recall >= 0.6, recall
+    # multi-probe dedup emitted each pair exactly once
+    assert len(sem) == len(sem_pairs)
+    # cosines bit-match the all-pairs baseline on the common pairs
+    got = sem.set_index(["id_a", "id_b"]).cosine
+    want = exact.set_index(["id_a", "id_b"]).cosine
+    assert (got == want.loc[got.index]).all()
+
+
+def test_semantic_near_dup_multiprobe_recovers_boundary_pairs(spark, sf_med):
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        kmeans_fit,
+        semantic_near_dup,
+    )
+
+    emb = read_table(spark, sf_med, "embeddings")
+    cents = kmeans_fit(emb, k=8, iterations=4)
+    one = semantic_near_dup(
+        emb, threshold=0.4, n_probes=1, centroids=cents
+    ).count()
+    two = semantic_near_dup(
+        emb, threshold=0.4, n_probes=2, centroids=cents
+    ).count()
+    assert two >= one  # probes only ever add candidate cells

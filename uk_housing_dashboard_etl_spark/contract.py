@@ -895,6 +895,51 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pairs: k-means cells (multi-probe ×2) then exact-cosine
+    ≥ 0.4 within shared cells. Iterative k-means ⇒ not SQL-expressible;
+    quality is driver-gated by semantic_dedup_check."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_near_dup(
+        emb, threshold=0.4, k=8, iterations=4, n_probes=2
+    ).select("id_a", "id_b", "cell", "cosine")
+
+
+def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the SemDeDup path: recall vs the all-pairs exact
+    baseline ≥ 0.6 (measured 0.86 at sf0.01 with 2 probes), and the
+    subset property — intra-cell scoring uses the same bit-exact cosine,
+    so it can only prune pairs, never invent them."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = embedding_near_dup(emb, threshold=0.4).select("id_a", "id_b")
+    found = semantic_near_dup(
+        emb, threshold=0.4, k=8, iterations=4, n_probes=2
+    ).select("id_a", "id_b")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nh = exact.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nf = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false")
+    )
+    return (
+        ne.crossJoin(nh)
+        .crossJoin(nf)
+        .select(
+            "n_exact_pairs",
+            (F.col("n_hit") / F.col("n_exact_pairs") >= 0.6).alias("recall_ok"),
+            (F.col("n_false") == 0).alias("no_false_positives"),
+        )
+    )
+
+
 from contextlib import contextmanager
 
 
@@ -3731,6 +3776,12 @@ ORACLES["embedding_near_dup_lsh_recall"] = (
     + ORACLES["embedding_near_dup"]
     + ")"
 )
+ORACLES["semantic_dedup_check"] = (
+    "SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok,"
+    " TRUE AS no_false_positives FROM ("
+    + ORACLES["embedding_near_dup"]
+    + ")"
+)
 ORACLES["dedup_simhash_complete"] = "SELECT TRUE AS banded_equals_exact"
 ORACLES["decontaminate_bloom_check"] = (
     "SELECT CAST((SELECT count(*) FROM ("
@@ -3808,6 +3859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "lm_scores": q_lm_scores,
     "dsir_scores": q_dsir_scores,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_check": q_semantic_dedup_check,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

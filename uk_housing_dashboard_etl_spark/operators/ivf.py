@@ -177,3 +177,134 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+def semantic_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    k: int = 8,
+    iterations: int = 4,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+    k-means the embedding space, then emit exact-cosine pairs ≥
+    ``threshold`` only WITHIN shared cluster cells.
+
+    This is the scale path between the all-pairs baseline (O(N²) — see
+    ``embedding_near_dup``) and sign-bucket LSH: cluster structure means
+    true near-dups almost always co-assign, so the pair volume drops
+    from N² to Σ |cell|² while candidates stay semantically coherent.
+    Boundary pairs (the classic SemDeDup miss) are recovered by
+    multi-probe assignment: every vector lands in its ``n_probes``
+    nearest cells, so a pair is scored whenever ANY cell is shared;
+    duplicate emissions collapse in a final (id_a, id_b) aggregate
+    (cosine is identical wherever the pair scores — only the compact
+    id-pair rows reach that shuffle). Recall vs the exact baseline is
+    driver-gated by ``semantic_dedup_check``.
+
+    Plan: one k-means fit (broadcast centroids, corpus never shuffles —
+    see ``kmeans_fit``), one zero-shuffle row-local top-``n_probes``
+    assignment (array_sort over the per-centroid distance structs +
+    slice + explode), then ONE shuffle of (id, vec) rows keyed by cell
+    into ``applyInPandas``. The Arrow kernel scores each cell's pairs
+    with the dot product accumulated PER DIMENSION — bit-identical to
+    the sequential JVM/DuckDB left-fold (same parity argument as
+    ``arrow_topk``), so the subset-of-exact property is exact, not
+    approximate. Row blocks keep the block×cell score matrix bounded.
+
+    At 100 TB: size ``k`` so cells stay bounded (SemDeDup uses
+    k ≈ √N·c); per-cell cost is |cell|²·dim inside one task, and a
+    skewed cell is split by raising k or pre-salting — never by letting
+    one task own the corpus. ``n_probes`` multiplies pair volume by at
+    most p², so probe count trades recall against compute explicitly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+    vectors = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("__cents")
+    )
+    probed = F.slice(
+        F.array_sort(
+            F.expr(
+                "transform(__cents, c -> struct("
+                "aggregate(zip_with(vec, c.centroid, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dist,"
+                " c.cell AS cell))"
+            )
+        ),
+        1,
+        n_probes,
+    )
+    index = (
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "vec", F.explode(probed).alias("__p"))
+        .select("vec_id", "vec", F.col("__p.cell").alias("cell"))
+    )
+    id_type = dict(
+        (f.name, f.dataType.simpleString()) for f in index.schema.fields
+    )["vec_id"]
+    cell_type = dict(
+        (f.name, f.dataType.simpleString()) for f in index.schema.fields
+    )["cell"]
+    schema = f"cell {cell_type}, id_a {id_type}, id_b {id_type}, cosine double"
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        cell = pdf["cell"].iloc[0]
+        ids = pdf["vec_id"].to_numpy()
+        M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        D = M.shape[1]
+        nb = np.zeros(n)
+        for d in range(D):
+            nb += M[:, d] * M[:, d]
+        nb = np.sqrt(nb)
+        frames = []
+        step = max(1, int(8e6 // max(n, 1)))
+        for s in range(0, n, step):
+            Mb = M[s : s + step]
+            acc = np.zeros((len(Mb), n))
+            for d in range(D):
+                acc += Mb[:, d, None] * M[None, :, d]
+            cos = acc / (nb[s : s + step, None] * nb[None, :])
+            cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            mask = (ids[s : s + step, None] < ids[None, :]) & (cos >= threshold)
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cell": cell,
+                            "id_a": ids[s + ii],
+                            "id_b": ids[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {"cell": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = index.groupBy("cell").applyInPandas(cell_pairs, schema=schema)
+    # multi-probe can score a pair in up to n_probes shared cells; the
+    # cosine is identical in each, so collapse on the id pair (the only
+    # rows in this exchange are the already-thresholded pair ids)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.min("cell").alias("cell"), F.max("cosine").alias("cosine")
+    )
