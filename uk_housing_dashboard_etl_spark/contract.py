@@ -1175,6 +1175,47 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user", "stage", "reached_at")
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked STREAM-STREAM JOIN under the driver gate: views
+    and purchases of the same events stream joined on user + a 1-hour
+    attribution bound (streaming/attribution_stream.py — both sides
+    watermarked so state stays bounded by the horizon, not history).
+    One AvailableNow drain lands everything in a single micro-batch, so
+    the inner join must emit exactly the batch interval-join the SQL
+    oracle computes — every (view, purchase) pair, bit-equal."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.attribution_stream import (
+        attribution_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_attr_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(land)
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    s = attribution_stream(raw, window="1 hour")
+    with _stream_state_partitions(spark):
+        out = run_stream_once(
+            s, query_name=f"attr_{uuid.uuid4().hex[:10]}", output_mode="append"
+        )
+    return out.select("user_id", "view_ts", "buy_ts", "value")
+
+
 def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the weekly mart's documented 100 TB degradation
     path (``approx=True`` → percentile_approx for A3/A4).
@@ -3405,6 +3446,20 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_attribution"] = """
+    WITH v AS (
+        SELECT user_id, ts AS view_ts FROM events
+        WHERE event_type = 'view' AND ts IS NOT NULL AND user_id IS NOT NULL
+    ), b AS (
+        SELECT user_id, ts AS buy_ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT v.user_id, view_ts, buy_ts, value
+    FROM v JOIN b ON v.user_id = b.user_id
+     AND buy_ts >= view_ts
+     AND buy_ts <= view_ts + INTERVAL 1 HOUR
+    """
+
 _EXTENSION_ORACLES["streaming_funnel"] = """
     WITH s1 AS (
         SELECT user_id, min(ts) AS t FROM events
@@ -3835,6 +3890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
     "streaming_funnel": q_streaming_funnel,
+    "streaming_attribution": q_streaming_attribution,
     "multimodal_decode_check": q_multimodal_decode_check,
     "multimodal_features_check": q_multimodal_features_check,
     "multimodal_audio": q_multimodal_audio,
