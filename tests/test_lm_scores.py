@@ -84,3 +84,30 @@ def test_empty_and_whitespace_docs_excluded(spark):
     assert [r["doc_id"] for r in got.collect()] == [0]
     got2 = dsir_scores(docs, F.lit(True))
     assert [r["doc_id"] for r in got2.collect()] == [0]
+
+
+def test_source_overlap_edges(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        source_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "w x y z q", "mirror1"),
+            (1, "w x y z q", "mirror2"),   # identical vocab -> jaccard 1
+            (2, "a b c d e f", "uniq"),    # disjoint from the mirrors
+            (3, "a b c w x y", "mixed"),   # shares with both camps
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {(r.source_a, r.source_b): r for r in source_overlap(docs, n=3).collect()}
+    assert out[("mirror1", "mirror2")].jaccard == 1.0
+    assert out[("mirror1", "mirror2")].containment == 1.0
+    # disjoint pairs emit no row at all
+    assert ("mirror1", "uniq") not in out and ("mirror2", "uniq") not in out
+    # mixed shares exactly one trigram with each camp
+    m = out[("mirror1", "mixed")]
+    assert m.shared_ngrams == 1 and m.n_a == 3 and m.n_b == 4
+    assert m.jaccard == pytest.approx(1 / 6, abs=1e-4)
+    u = out[("mixed", "uniq")]
+    assert u.shared_ngrams == 1  # 'a b c'

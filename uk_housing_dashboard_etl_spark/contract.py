@@ -1624,6 +1624,16 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair 3-gram Jaccard/containment matrix — the dataset-card
+    cross-source contamination diagnostic."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        source_overlap,
+    )
+
+    return source_overlap(read_table(spark, sf_dir, "documents"), n=3)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/IPv4 → typed tags) + per-doc counts."""
     from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
@@ -3682,6 +3692,41 @@ _EXTENSION_ORACLES["tfidf_top_terms"] = r"""
     SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
     """
 
+_EXTENSION_ORACLES["source_overlap"] = r"""
+    WITH toks AS (
+        SELECT source,
+               regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        FROM documents
+    ), vocab AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+            FROM toks WHERE len(t) >= 3
+        )
+    ), sizes AS (
+        SELECT source, count(*) AS n_shingles FROM vocab GROUP BY 1
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS shared_ngrams
+        FROM vocab a JOIN vocab b USING (shingle)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared_ngrams,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           round(shared_ngrams
+                 / CAST(sa.n_shingles + sb.n_shingles - shared_ngrams
+                        AS DOUBLE), 4) AS jaccard,
+           round(shared_ngrams
+                 / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4)
+               AS containment
+    FROM shared
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """
+
 _EXTENSION_ORACLES["lm_scores"] = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -3917,6 +3962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores": q_dsir_scores,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_check": q_semantic_dedup_check,
+    "source_overlap": q_source_overlap,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

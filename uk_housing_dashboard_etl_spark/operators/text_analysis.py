@@ -533,3 +533,67 @@ def dsir_scores(
         F.max(F.col("__tgt").cast("int")).cast("boolean").alias("is_target"),
         round4(dsum(llr) / F.sum("tf")).alias("dsir_score"),
     )
+
+def source_overlap(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise word-``n``-gram Jaccard between corpus SOURCES — the
+    dataset-card contamination matrix ("how much of src A is already in
+    src B?"). High containment flags a source that's a re-crawl/mirror
+    of another; the per-doc analogues are ``ngram_jaccard_pairs`` (pair
+    grain) and ``decontaminate`` (benchmark grain).
+
+    Emits one row per unordered source pair that shares at least one
+    n-gram: shared counts, per-source distinct totals, Jaccard
+    (shared / union) and containment (shared / smaller side), both 4dp.
+
+    Plan: ONE corpus scan → distinct (source, shingle) (the corpus
+    collapses to its per-source vocabulary) → per-shingle sorted source
+    set → pairs generated ROW-LOCALLY from each set (a shingle held by
+    S sources expands to S²/2 combination rows, bounded by the SOURCE
+    count, never by corpus rows — and without the shingle-keyed
+    self-join, whose probe side would re-scan the corpus). Per-source
+    totals and pair counts both aggregate off the same per-shingle
+    frame, so the exchange is reused rather than recomputed; both are
+    source-grain (tiny) and broadcast back onto the pair rows.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _word_shingles
+
+    vocab = _word_shingles(
+        documents, text_col, source_col, n=n, distinct=True
+    ).withColumnRenamed("doc_id", "source")
+    per_sh = vocab.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    sizes = per_sh.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_shingles"))
+    pair_expr = F.expr(
+        "flatten(transform(sequence(0, size(srcs) - 2), i ->"
+        " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
+        " s -> struct(srcs[i] AS source_a, s AS source_b))))"
+    )
+    shared = (
+        per_sh.where(F.size("srcs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")))
+    out = shared.join(sa, "source_a").join(sb, "source_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("shared_ngrams")
+    return out.select(
+        "source_a",
+        "source_b",
+        "shared_ngrams",
+        "n_a",
+        "n_b",
+        round4(F.col("shared_ngrams") / union).alias("jaccard"),
+        round4(
+            F.col("shared_ngrams") / F.least(F.col("n_a"), F.col("n_b"))
+        ).alias("containment"),
+    )
