@@ -82,6 +82,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "complete": complete,
+        # the reference-parity chain alone (BASELINE.md's surface), so the
+        # suite total growing with registry coverage never reads as a
+        # regression against the reference's envelope
+        "headline_sec": round(
+            sum(times[q] for q in HEADLINE if q in times), 3
+        ),
     }
     if failures:
         payload["failures"] = failures
