@@ -182,3 +182,50 @@ def test_registry_wide_plan_invariants(spark, sf_small):
         if bad:
             violations[name] = bad
     assert not violations, f"plan invariant violations: {violations}"
+
+
+def executed_plan_of(spark, name: str) -> str:
+    """Final ADAPTIVE plan: collect() the query's own QueryExecution so
+    AQE materializes stages (exchange reuse only appears at runtime)."""
+    df = contract.QUERIES[name](spark, SF)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_scorers_reuse_the_tf_exchange(spark):
+    # the corpus-total branch must reuse the (doc_id, term) exchange at
+    # runtime — not rescan the corpus — and the total must broadcast
+    for name in ["lm_scores", "dsir_scores"]:
+        plan = executed_plan_of(spark, name)
+        assert "ReusedExchange" in plan, name
+        assert "BroadcastQueryStage" in plan, name
+
+
+def test_source_overlap_never_self_joins_on_shingle(spark):
+    plan = executed_plan_of(spark, "source_overlap")
+    final = plan.split("== Initial Plan ==")[0]
+    # pair generation is row-local (Generate over the per-shingle source
+    # set): no shingle-keyed join of any strategy may appear
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    # the per-source totals ride broadcast joins onto the pair rows
+    assert final.count("BroadcastHashJoin") == 2
+    # the vocab exchange is computed once and reused by the other branches
+    assert "ReusedExchange" in final
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    plan = plan_of(spark, "semantic_dedup")
+    tree = plan.split("\n\n")[0]
+    # centroids attach by broadcast (zero-shuffle assignment)...
+    assert "BroadcastNestedLoopJoin Cross" in tree
+    # ...and the Arrow pair kernel sits behind exactly one cell-keyed
+    # exchange; nothing may degenerate into a cartesian pair join
+    assert "FlatMapGroupsInPandas" in tree
+    assert "CartesianProduct" not in tree
+    # between the kernel and the broadcast assignment there is exactly
+    # the one cell-keyed exchange (the kmeans/centroid exchanges sit
+    # inside the broadcast branch, not on the corpus path)
+    corpus_path = tree.split("FlatMapGroupsInPandas")[1].split(
+        "BroadcastNestedLoopJoin"
+    )[0]
+    assert corpus_path.count("Exchange") == 1
