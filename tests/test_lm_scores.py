@@ -111,3 +111,37 @@ def test_source_overlap_edges(spark):
     assert m.jaccard == pytest.approx(1 / 6, abs=1e-4)
     u = out[("mixed", "uniq")]
     assert u.shared_ngrams == 1  # 'a b c'
+
+
+def test_bm25_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark filter", "s"),   # tf: spark=2, filter=1
+            (1, "spark other words here", "s"),
+            (2, "nothing relevant at all", "s"),
+            (3, "filter filter filter filter", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark", "filter"]).collect()}
+    # non-matching doc never appears
+    assert 2 not in out
+    assert out[0].n_matched_terms == 2
+    # hand-compute doc 0: N=4, avglen=(3+4+4+4)/4=3.75
+    import math
+
+    def idf(df):
+        return math.log((4 - df + 0.5) / (df + 0.5) + 1.0)
+
+    def part(tf, df, dl):
+        return idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.75))
+
+    exp0 = part(2, 2, 3) + part(1, 2, 3)
+    assert out[0].bm25 == pytest.approx(exp0, abs=2e-4)
+    # ranks are 1..n_matching with score-desc, doc_id tie-break order
+    ranks = sorted((r.rank, d) for d, r in out.items())
+    assert [r for r, _ in ranks] == [1, 2, 3]

@@ -1634,6 +1634,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(read_table(spark, sf_dir, "documents"), n=3)
 
 
+BM25_QUERY_TERMS = ["spark", "filter", "window"]
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 docs for a fixed probe query (deterministic
+    4dp-round-then-rank cut, doc_id tie-break)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bm25_scores,
+    )
+
+    return bm25_scores(
+        read_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=50
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (emails/phones/IPv4 → typed tags) + per-doc counts."""
     from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
@@ -3692,6 +3707,49 @@ _EXTENSION_ORACLES["tfidf_top_terms"] = r"""
     SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 5
     """
 
+_EXTENSION_ORACLES["bm25_scores"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term IN ('spark', 'filter', 'window') GROUP BY 1, 2
+    ), lens AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+                   x -> x <> '')) AS doc_len
+        FROM documents
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(doc_len) AS DOUBLE) / count(*) AS avglen
+        FROM lens
+    ), scored AS (
+        SELECT tf.doc_id, tf.tf, doc_len, n_docs, avglen,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM tf JOIN lens USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, count(*) AS n_matched_terms,
+           floor((CAST(sum(CAST(round((
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * 2.2
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avglen))
+             ) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+             * 10000.0 + 0.5) / 10000.0 AS bm25,
+           CAST(row_number() OVER (
+               ORDER BY floor((CAST(sum(CAST(round((
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avglen))
+                 ) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                 * 10000.0 + 0.5) / 10000.0 DESC, doc_id) AS INT) AS rank
+    FROM scored GROUP BY doc_id, doc_len, n_docs, avglen
+    QUALIFY rank <= 50
+    """
+
 _EXTENSION_ORACLES["source_overlap"] = r"""
     WITH toks AS (
         SELECT source,
@@ -3963,6 +4021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_check": q_semantic_dedup_check,
     "source_overlap": q_source_overlap,
+    "bm25_scores": q_bm25_scores,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,

@@ -597,3 +597,74 @@ def source_overlap(
             F.col("shared_ngrams") / F.least(F.col("n_a"), F.col("n_b"))
         ).alias("containment"),
     )
+
+def bm25_scores(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query under BM25 (the
+    Lucene/Okapi form):
+
+        score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+        idf(t)   = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+
+    The retrieval scorer a curation pipeline uses to mine docs matching
+    a probe query (contamination audits, targeted subsets). Fully
+    deterministic: per-term contributions go through the fixed-point
+    ``dsum``, the final score is 4dp-rounded BEFORE the rank cut, ties
+    break on doc_id.
+
+    Plan: the corpus scans once into the compact (doc, term, tf) frame,
+    which the broadcast term list immediately prunes to query terms only
+    — everything downstream (df window, lens join, scoring, top-k) runs
+    on rows-that-match, a vanishing fraction of the corpus. Doc lengths
+    come from a second row-local scan joined doc-keyed (the pruned side
+    broadcasts when small). N and avglen ride one 1-row broadcast.
+    Global top-k compiles to TakeOrderedAndProject — per-partition
+    k-row heaps, never a single-partition window.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    tf = _doc_tf(documents, text_col, id_col).where(
+        F.col("term").isin([t.lower() for t in terms])
+    )
+    lens = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.filter(
+                F.split(_norm_text(F.col(text_col)), " "), lambda t: t != ""
+            )
+        ).alias("doc_len"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doc_len").cast("double") / F.count(F.lit(1))).alias("avglen"),
+    )
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avglen")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"),
+        round4(dsum(contrib)).alias("bm25"),
+    )
+    ranked = deterministic_topk(
+        per_doc, [F.col("bm25").desc(), F.col("doc_id")], k
+    )
+    return ranked.select("doc_id", "n_matched_terms", "bm25", "rank")
