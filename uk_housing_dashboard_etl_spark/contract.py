@@ -3993,7 +3993,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions": q_streaming_sessions,
     "streaming_dedup": q_streaming_dedup,
     "streaming_funnel": q_streaming_funnel,
-    "streaming_attribution": q_streaming_attribution,
     "multimodal_decode_check": q_multimodal_decode_check,
     "multimodal_features_check": q_multimodal_features_check,
     "multimodal_audio": q_multimodal_audio,
@@ -4022,6 +4021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_check": q_semantic_dedup_check,
     "source_overlap": q_source_overlap,
     "bm25_scores": q_bm25_scores,
+    "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,
