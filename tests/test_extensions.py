@@ -436,3 +436,28 @@ def test_keep_best_dedup_prefers_quality(spark):
     assert out.loc[1, "canonical_id"] == 0
     assert out.loc[2, "keep"] and not out.loc[3, "keep"]
     assert out.loc[4, "keep"] and out.loc[4, "canonical_id"] == 4
+
+
+def test_dup_span_stats_interval_union(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import dup_span_stats
+
+    rows = [
+        (0, "a b c d e f"),            # shares 5-grams [0] and [1] with doc 1
+        (1, "a b c d e f"),            # exact dup of 0
+        (2, "p q r s t u v w"),        # unique: zero coverage
+        (3, "m n"),                    # shorter than k: no grams, zero row
+        (4, "h i j k l h i j k l"),    # within-doc repeat: fully covered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dup_span_stats(df, k=5).toPandas().set_index("doc_id")
+    # docs 0/1: dup starts at pos 0 and 1 -> union [0,6) = 6 tokens of 6
+    for d in (0, 1):
+        assert out.loc[d, "dup_starts"] == 2
+        assert out.loc[d, "covered_tokens"] == 6
+        assert out.loc[d, "dup_ratio"] == 1.0
+    assert out.loc[2, "covered_tokens"] == 0 and out.loc[2, "dup_ratio"] == 0.0
+    assert out.loc[3, "n_tokens"] == 2 and out.loc[3, "dup_starts"] == 0
+    # doc 4: "h i j k l" at pos 0 and 5 -> covered 10/10
+    assert out.loc[4, "dup_starts"] == 2
+    assert out.loc[4, "covered_tokens"] == 10
+    assert out.loc[4, "dup_ratio"] == 1.0

@@ -145,3 +145,36 @@ def test_bm25_hand_computed(spark):
     # ranks are 1..n_matching with score-desc, doc_id tie-break order
     ranks = sorted((r.rank, d) for d, r in out.items())
     assert [r for r, _ in ranks] == [1, 2, 3]
+
+
+def test_perplexity_buckets_equal_frequency_and_order(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    # 7 docs in lang "en" spanning a fluency gradient (common terms ->
+    # rare terms), 2 in "fr": ntile(3) must cut 3/2/2 and 1/1/... per lang
+    rows = [
+        (0, "the the the the", "en"),
+        (1, "the of the of", "en"),
+        (2, "the of and to", "en"),
+        (3, "of and to in", "en"),
+        (4, "rare1 the of and", "en"),
+        (5, "rare2 rare3 the of", "en"),
+        (6, "rare4 rare5 rare6 rare7", "en"),
+        (7, "le la", "fr"),
+        (8, "zut alors", "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = perplexity_buckets(df).toPandas()
+    en = out[out.lang == "en"]
+    sizes = en.bucket.value_counts()
+    assert sizes.max() - sizes.min() <= 1 and sizes.sum() == 7
+    # buckets are ordered: every head ce <= every middle ce <= every tail ce
+    assert en[en.bucket == 1].cross_entropy.max() <= \
+        en[en.bucket == 2].cross_entropy.min()
+    assert en[en.bucket == 2].cross_entropy.max() <= \
+        en[en.bucket == 3].cross_entropy.min()
+    assert set(en.bucket_label) == {"head", "middle", "tail"}
+    # languages rank independently
+    assert set(out[out.lang == "fr"].bucket) <= {1, 2, 3}

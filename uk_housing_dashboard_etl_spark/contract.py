@@ -1778,6 +1778,27 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style positional duplication coverage (Lee et al.
+    2022): per-doc fraction of token positions covered by a word 5-gram
+    occurring >= 2x corpus-wide."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        dup_span_stats,
+    )
+
+    return dup_span_stats(read_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language ntile(3) over unigram-LM
+    cross-entropy (4dp-rounded, doc_id tie-break)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(read_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -3543,6 +3564,39 @@ _EXTENSION_ORACLES["dedup_ngram_capped"] = f"""
     WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
     """
 
+_EXTENSION_ORACLES["dup_span_stats"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), lens AS (
+        SELECT doc_id, len(t) AS n_tokens FROM toks
+    ), grams AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS shingle
+        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY shingle) AS c
+            FROM grams
+        ) WHERE c >= 2
+    ), contrib AS (
+        SELECT doc_id,
+               least(5, coalesce(
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                   5)) AS c
+        FROM dup
+    ), cov AS (
+        SELECT doc_id, count(*) AS dup_starts, sum(c) AS covered_tokens
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT l.doc_id, CAST(l.n_tokens AS INT) AS n_tokens,
+           coalesce(c.dup_starts, 0) AS dup_starts,
+           CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           floor(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / l.n_tokens
+                 * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+    FROM lens l LEFT JOIN cov c ON l.doc_id = c.doc_id
+    """
+
 _EXTENSION_ORACLES["streaming_sessions"] = """
     WITH base AS (
         SELECT user_id, ts, event_id, epoch_us(ts) AS us,
@@ -3816,6 +3870,40 @@ _EXTENSION_ORACLES["lm_scores"] = r"""
     FROM ctf GROUP BY doc_id
     """
 
+_EXTENSION_ORACLES["perplexity_buckets"] = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), ctf AS (
+        SELECT doc_id, term, tf,
+               sum(tf) OVER (PARTITION BY term) AS ctf,
+               (SELECT sum(tf) FROM tf) AS total
+        FROM tf
+    ), ce AS (
+        SELECT doc_id,
+               floor((CAST(sum(CAST(round((tf * ln(CAST(total AS DOUBLE) / ctf))
+                       * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0
+                      / CAST(sum(tf) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+                   AS cross_entropy
+        FROM ctf GROUP BY doc_id
+    ), ranked AS (
+        SELECT d.doc_id, d.lang, ce.cross_entropy,
+               CAST(ntile(3) OVER (PARTITION BY d.lang
+                    ORDER BY ce.cross_entropy, d.doc_id) AS INT) AS bucket
+        FROM documents d JOIN ce ON d.doc_id = ce.doc_id
+    )
+    SELECT doc_id, lang, cross_entropy, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket_label
+    FROM ranked
+    """
+
 _EXTENSION_ORACLES["dsir_scores"] = r"""
     WITH toks AS (
         SELECT doc_id, (source = 'src0') AS tgt,
@@ -4021,6 +4109,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_check": q_semantic_dedup_check,
     "source_overlap": q_source_overlap,
     "bm25_scores": q_bm25_scores,
+    "dup_span_stats": q_dup_span_stats,
+    "perplexity_buckets": q_perplexity_buckets,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

@@ -510,3 +510,79 @@ def keep_best_dedup(
         F.first("doc_id").over(w).alias("canonical_id"),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def dup_span_stats(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact-substring duplication coverage (the ExactSubstr metric of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each document, the fraction of token positions covered
+    by some word ``k``-gram that occurs at least twice in the corpus
+    (any doc, including within-doc repeats).
+
+    Where ``ngram_novelty`` counts DISTINCT shingles with df=1, this
+    measures POSITIONAL coverage — how much of the doc's actual text is
+    duplicated material — which is the quantity the suffix-array dedup
+    literature cuts on (docs above ~50% coverage are near-verbatim
+    copies; mid-range docs carry boilerplate worth span-level trimming).
+
+    Output: one row per input doc —
+    ``doc_id, n_tokens, dup_starts, covered_tokens, dup_ratio``.
+
+    Plan: one corpus scan → positional k-gram explode (codegen
+    sequence/transform, no UDF) → shingle-keyed count (the only big
+    shuffle; key is the shingle text — at 100 TB pre-hash it to
+    xxhash64 to shrink the exchange, kept as strings here for bit-exact
+    oracle parity) → duplicated start positions shuffle back on doc_id
+    for the interval-union window. Coverage needs no doc-length clamp:
+    a start at pos has n_tokens - pos >= k by construction, so each
+    contribution is ``least(k, next_start - pos)`` with the last run
+    contributing ``k``. Short docs (< k tokens) emit no k-grams and
+    report zero coverage via the left join back to the length frame.
+    """
+    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    )
+    lens = base.select("doc_id", F.size("__toks").alias("n_tokens"))
+    shingle_expr = F.expr(
+        f"""CASE WHEN size(__toks) < {k} THEN array()
+             ELSE transform(
+               sequence(0, size(__toks) - {k}),
+               i -> concat_ws(' ', slice(__toks, i + 1, {k})))
+            END"""
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(shingle_expr).alias("pos", "shingle")
+    )
+    w_sh = Window.partitionBy("shingle")
+    dup = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(w_sh))
+        .where(F.col("__c") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    covered = dup.withColumn(
+        "__contrib",
+        F.least(
+            F.lit(k),
+            F.coalesce(F.lead("pos").over(w_doc) - F.col("pos"), F.lit(k)),
+        ),
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_starts"),
+        F.sum("__contrib").alias("covered_tokens"),
+    )
+    return lens.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_starts", F.lit(0)).alias("dup_starts"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        round4(
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_ratio"),
+    )

@@ -668,3 +668,58 @@ def bm25_scores(
         per_doc, [F.col("bm25").desc(), F.col("doc_id")], k
     )
     return ranked.select("doc_id", "n_matched_terms", "bm25", "rank")
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    document by its cross-entropy under the corpus unigram LM WITHIN its
+    language, then cut into ``n_buckets`` equal-frequency buckets —
+    head (lowest perplexity / most fluent), middle, tail. CCNet keeps
+    head+middle and drops or down-weights tail; the per-language split
+    matters because absolute perplexity is not comparable across
+    languages.
+
+    Output: ``doc_id, lang, cross_entropy, bucket`` (1-based) and
+    ``bucket_label`` (head/middle/tail when ``n_buckets == 3``, else
+    ``b<i>``).
+
+    Plan: one corpus scan feeds :func:`lm_scores` (term-keyed + doc-keyed
+    exchanges); language tags join back on doc_id. The ntile is a
+    per-language sort — exact equal-frequency cuts, kept for bit-exact
+    oracle parity (cross_entropy is pre-rounded to 4dp, doc_id breaks
+    ties, so the rank order is engine-independent). At 100 TB you would
+    replace the full per-language sort with approx-percentile cutpoints
+    (one aggregate, cutpoints broadcast, bucket assignment a comparison
+    — no sort); the bucket boundaries then carry the sketch's rank
+    error, which CCNet tolerates by design.
+    """
+    scores = lm_scores(documents, text_col, id_col)
+    langs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    )
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    bucket = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = (
+            F.when(bucket == 1, F.lit("head"))
+            .when(bucket == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.concat(F.lit("b"), bucket.cast("string"))
+    return (
+        scores.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            bucket.alias("bucket"),
+            label.alias("bucket_label"),
+        )
+    )
