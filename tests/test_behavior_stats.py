@@ -153,3 +153,24 @@ def test_active_suppliers_semi_join_no_duplicates(spark):
     rows = active_suppliers(supplier, nation, li).collect()
     # supplier 1 has TWO recent shipments but appears once (semi join)
     assert [(r["s_suppkey"], r["nation"]) for r in rows] == [(1, "N")]
+
+
+def test_heavy_hitters_and_skew_summary_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        heavy_hitters,
+        key_skew_summary,
+    )
+
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 2
+    df = spark.createDataFrame(rows, ["k"])
+
+    top = heavy_hitters(df, ["k"], top_n=2).toPandas().set_index("rank")
+    assert list(top["k"]) == ["hot", "a"]  # tie a/b broken by key asc
+    assert top.loc[1, "share"] == 0.6 and top.loc[1, "cum_share"] == 0.6
+    assert top.loc[2, "share"] == 0.2 and top.loc[2, "cum_share"] == 0.8
+
+    s = key_skew_summary(df, ["k"]).toPandas().iloc[0]
+    assert s.n_keys == 3 and s.n_rows == 10 and s.max_count == 6
+    # per-key sizes [2, 2, 6]: p50 = 2.0, skew = 6 / (10/3) = 1.8
+    assert s.p50_count == 2.0
+    assert s.skew_factor == 1.8

@@ -1799,6 +1799,25 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(read_table(spark, sf_dir, "documents"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest event keys (user_id) with share + cumulative
+    share — the pre-shuffle skew diagnostic."""
+    from uk_housing_dashboard_etl_spark.operators.stats import heavy_hitters
+
+    return heavy_hitters(read_table(spark, sf_dir, "events"), ["user_id"])
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row shuffle-key skew profile of events.user_id: key/row
+    counts, max key size, exact p50/p90/p99 of per-key sizes, max/mean
+    skew factor."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        key_skew_summary,
+    )
+
+    return key_skew_summary(read_table(spark, sf_dir, "events"), ["user_id"])
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -3870,6 +3889,42 @@ _EXTENSION_ORACLES["lm_scores"] = r"""
     FROM ctf GROUP BY doc_id
     """
 
+_EXTENSION_ORACLES["heavy_hitters"] = """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
+    ), t AS (
+        SELECT sum(n_rows) AS total FROM c
+    ), top AS (
+        SELECT user_id, n_rows,
+               CAST(row_number() OVER (ORDER BY n_rows DESC, user_id)
+                    AS INT) AS rank
+        FROM c QUALIFY rank <= 20
+    )
+    SELECT rank, user_id, n_rows,
+           floor(n_rows / total * 10000.0 + 0.5) / 10000.0 AS share,
+           floor(sum(n_rows) OVER (ORDER BY rank) / total * 10000.0 + 0.5)
+               / 10000.0 AS cum_share
+    FROM top CROSS JOIN t
+    """
+
+_EXTENSION_ORACLES["key_skew"] = """
+    WITH c AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           max(n) AS max_count,
+           floor(quantile_cont(n, 0.5) * 10000.0 + 0.5) / 10000.0
+               AS p50_count,
+           floor(quantile_cont(n, 0.9) * 10000.0 + 0.5) / 10000.0
+               AS p90_count,
+           floor(quantile_cont(n, 0.99) * 10000.0 + 0.5) / 10000.0
+               AS p99_count,
+           floor(max(n) * count(*) / sum(n) * 10000.0 + 0.5) / 10000.0
+               AS skew_factor
+    FROM c
+    """
+
 _EXTENSION_ORACLES["perplexity_buckets"] = r"""
     WITH toks AS (
         SELECT doc_id,
@@ -4111,6 +4166,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_scores": q_bm25_scores,
     "dup_span_stats": q_dup_span_stats,
     "perplexity_buckets": q_perplexity_buckets,
+    "heavy_hitters": q_heavy_hitters,
+    "key_skew": q_key_skew,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

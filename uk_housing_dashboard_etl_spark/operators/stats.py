@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -87,3 +87,81 @@ def grouping_sets_summary(lineitem: DataFrame) -> DataFrame:
         )
     finally:
         spark.catalog.dropTempView(view)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-N most frequent keys with their traffic share — the first
+    diagnostic to run before any key-partitioned join/agg at scale: a
+    key holding >1/shuffle-partitions of the rows will straggle its
+    reducer, and the cure (salting, AQE skew split, broadcast) depends
+    on how concentrated the head is.
+
+    Output: ``rank, <key_cols>, n_rows, share, cum_share`` (shares 4dp).
+
+    Plan: map-side-combinable count per key, a 1-row broadcast total,
+    then the scalable global top-N (``TakeOrderedAndProject`` via
+    ``deterministic_topk`` — a per-task N-row heap, never a full sort).
+    The running cumulative share is a window over the N surviving rows
+    only. Ordering is total (count desc, then keys) so the cut is
+    deterministic under ties.
+    """
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    order = [F.col("n_rows").desc()] + [F.col(c) for c in key_cols]
+    top = deterministic_topk(counts, order, top_n)
+    w_cum = Window.orderBy("rank")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            *key_cols,
+            "n_rows",
+            round4(F.col("n_rows") / F.col("__total")).alias("share"),
+            round4(
+                F.sum("n_rows").over(w_cum) / F.col("__total")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def key_skew_summary(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row skew profile of a prospective shuffle key: key count, row
+    count, the heaviest key's size, exact p50/p90/p99 of per-key sizes,
+    and ``skew_factor`` = max/mean — the multiplier on the slowest
+    reducer vs a uniform shuffle. A skew_factor near 1 means hash
+    partitioning is safe; large values call for salting
+    (``functions.skew.salted_agg``) or AQE skew-join splitting.
+
+    Plan: per-key counts (map-side combinable) then ONE global aggregate
+    over |keys| rows; the three percentile points share one sort buffer
+    (single ``percentile`` call, same decision as ``weekly_mart``).
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    pcts = F.percentile("__n", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_count"),
+        pcts.alias("__pcts"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        round4(F.col("__pcts")[0]).alias("p50_count"),
+        round4(F.col("__pcts")[1]).alias("p90_count"),
+        round4(F.col("__pcts")[2]).alias("p99_count"),
+        round4(
+            F.col("max_count") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_factor"),
+    )
