@@ -59,3 +59,51 @@ def test_cobucketed_join_has_no_exchange(warehouse, sf_small):
     got = {r.o_orderkey: r.qty for r in joined.collect()}
     exp = {r.o_orderkey: r.qty for r in unbucketed.collect()}
     assert got == exp
+
+
+def test_zorder_value_bit_interleave(spark):
+    from uk_housing_dashboard_etl_spark.sources.layout import zorder_value
+
+    rows = [(0b11, 0b00), (0b00, 0b11), (0b101, 0b011), (0, 0)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = (
+        df.select("x", "y", zorder_value(F.col("x"), F.col("y")).alias("z"))
+        .toPandas()
+        .set_index(["x", "y"])["z"]
+    )
+    assert out[(0b11, 0b00)] == 0b0101       # x fills even bit positions
+    assert out[(0b00, 0b11)] == 0b1010       # y fills odd bit positions
+    # x=101, y=011 -> bits (y2 x2)(y1 x1)(y0 x0) = 01 10 11 = 0b011011
+    assert out[(0b101, 0b011)] == 0b011011
+    assert out[(0, 0)] == 0
+
+
+def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.sources.layout import (
+        write_zordered,
+        zorder_value,
+    )
+
+    # deterministic pseudo-random grid points
+    df = spark.range(1000).select(
+        (F.xxhash64("id") % 256).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 256).alias("y"),
+    ).select(F.abs("x").alias("x"), F.abs("y").alias("y"))
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "x", "y", n_files=4)
+
+    import glob
+
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) >= 2  # range partitioner used several files
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(f).select(
+            zorder_value(F.col("x"), F.col("y")).alias("z")
+        )
+        mm = part.agg(F.min("z"), F.max("z")).first()
+        if mm[0] is not None:
+            ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file z-ranges overlap: range partitioning broken"

@@ -1818,6 +1818,30 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_summary(read_table(spark, sf_dir, "events"), ["user_id"])
 
 
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key layout cells over events (user_id x days-since-epoch):
+    per z>>10 cell, row count and z min/max — verifies the interleave
+    bit math the z-ordered writer clusters files by."""
+    from uk_housing_dashboard_etl_spark.sources.layout import zorder_value
+
+    events = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & (F.col("user_id") >= 0)
+    )
+    z = zorder_value(
+        F.col("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")),
+    )
+    return (
+        events.select(z.alias("z"))
+        .groupBy(F.shiftright("z", 10).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -3889,6 +3913,25 @@ _EXTENSION_ORACLES["lm_scores"] = r"""
     FROM ctf GROUP BY doc_id
     """
 
+def _zorder_oracle() -> str:
+    from uk_housing_dashboard_etl_spark.sources.layout import zorder_sql
+
+    return f"""
+    WITH base AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events WHERE ts IS NOT NULL AND user_id >= 0
+    ), zed AS (
+        SELECT {zorder_sql('user_id', 'd')} AS z FROM base
+    )
+    SELECT z >> 10 AS cell, count(*) AS n_rows,
+           min(z) AS z_min, max(z) AS z_max
+    FROM zed GROUP BY 1
+    """
+
+
+_EXTENSION_ORACLES["zorder_cells"] = _zorder_oracle()
+
 _EXTENSION_ORACLES["heavy_hitters"] = """
     WITH c AS (
         SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
@@ -4168,6 +4211,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "heavy_hitters": q_heavy_hitters,
     "key_skew": q_key_skew,
+    "zorder_cells": q_zorder_cells,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
