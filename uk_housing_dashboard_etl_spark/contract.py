@@ -850,15 +850,30 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.6 (measured 1.0 on this data), plus the exact-pair count the
     oracle recomputes independently."""
     docs = read_table(spark, sf_dir, "documents")
+    # ONE pass per side: separate count + join aggregates would embed the
+    # exact all-pairs subplan twice in the final plan (Spark has no
+    # DataFrame-level common-subplan materialization; only identical
+    # exchanges get reused) — a left join with a marker column yields
+    # both counts from a single execution of each side.
     exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    found = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    nh = exact.join(found, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    found = (
+        minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("__f", F.lit(1))
     )
-    return ne.crossJoin(nh).select(
-        "n_exact_pairs",
-        (F.col("n_hit") / F.col("n_exact_pairs") >= 0.6).alias("recall_ok"),
+    return (
+        exact.join(found, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.count("__f").alias("__n_hit"),
+        )
+        .select(
+            "n_exact_pairs",
+            (F.col("__n_hit") / F.col("n_exact_pairs") >= 0.6).alias(
+                "recall_ok"
+            ),
+        )
     )
 
 
@@ -873,24 +888,34 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = embedding_near_dup(emb, threshold=0.4).select("id_a", "id_b")
-    found = embedding_near_dup_lsh(emb, threshold=0.4, bits=3).select(
-        "id_a", "id_b"
+    # single full-outer pass instead of three aggregates that would each
+    # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
+    exact = (
+        embedding_near_dup(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
     )
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    nh = exact.join(found, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    nf = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_false")
+    found = (
+        embedding_near_dup_lsh(emb, threshold=0.4, bits=3)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("__f", F.lit(1))
     )
     return (
-        ne.crossJoin(nh)
-        .crossJoin(nf)
+        exact.join(found, ["id_a", "id_b"], "full")
+        .agg(
+            F.count("__e").alias("n_exact_pairs"),
+            F.count(F.when(F.col("__e").isNotNull(), F.col("__f"))).alias(
+                "__n_hit"
+            ),
+            F.count(F.when(F.col("__e").isNull(), 1)).alias("__n_false"),
+        )
         .select(
             "n_exact_pairs",
-            (F.col("n_hit") / F.col("n_exact_pairs") >= 0.5).alias("recall_ok"),
-            (F.col("n_false") == 0).alias("no_false_positives"),
+            (F.col("__n_hit") / F.col("n_exact_pairs") >= 0.5).alias(
+                "recall_ok"
+            ),
+            (F.col("__n_false") == 0).alias("no_false_positives"),
         )
     )
 
@@ -918,24 +943,34 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    exact = embedding_near_dup(emb, threshold=0.4).select("id_a", "id_b")
-    found = semantic_near_dup(
-        emb, threshold=0.4, k=8, iterations=4, n_probes=2
-    ).select("id_a", "id_b")
-    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    nh = exact.join(found, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
+    # single full-outer pass instead of three aggregates that would each
+    # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
+    exact = (
+        embedding_near_dup(emb, threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
     )
-    nf = found.join(exact, ["id_a", "id_b"], "left_anti").agg(
-        F.count(F.lit(1)).alias("n_false")
+    found = (
+        semantic_near_dup(emb, threshold=0.4, k=8, iterations=4, n_probes=2)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("__f", F.lit(1))
     )
     return (
-        ne.crossJoin(nh)
-        .crossJoin(nf)
+        exact.join(found, ["id_a", "id_b"], "full")
+        .agg(
+            F.count("__e").alias("n_exact_pairs"),
+            F.count(F.when(F.col("__e").isNotNull(), F.col("__f"))).alias(
+                "__n_hit"
+            ),
+            F.count(F.when(F.col("__e").isNull(), 1)).alias("__n_false"),
+        )
         .select(
             "n_exact_pairs",
-            (F.col("n_hit") / F.col("n_exact_pairs") >= 0.6).alias("recall_ok"),
-            (F.col("n_false") == 0).alias("no_false_positives"),
+            (F.col("__n_hit") / F.col("n_exact_pairs") >= 0.6).alias(
+                "recall_ok"
+            ),
+            (F.col("__n_false") == 0).alias("no_false_positives"),
         )
     )
 
@@ -1379,9 +1414,15 @@ def q_dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
-    banded = simhash_pairs_from_signatures(sig, max_hamming=3).select(
-        "doc_a", "doc_b"
+    # the signature frame feeds three subplans (banded, exact a-side,
+    # exact b-side): localCheckpoint materializes the shingle+agg scan
+    # once; the pair comparison is then one full-outer pass instead of
+    # three aggregates re-executing both pair subplans
+    sig = simhash_signatures(docs).localCheckpoint()
+    banded = (
+        simhash_pairs_from_signatures(sig, max_hamming=3)
+        .select("doc_a", "doc_b")
+        .withColumn("__f", F.lit(1))
     )
     a = sig.alias("a")
     b = sig.alias("b")
@@ -1396,19 +1437,21 @@ def q_dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_banded = banded.agg(F.count(F.lit(1)).alias("n_banded"))
-    n_hit = banded.join(exact, ["doc_a", "doc_b"]).agg(
-        F.count(F.lit(1)).alias("n_hit")
+        .withColumn("__e", F.lit(1))
     )
     return (
-        n_exact.crossJoin(n_banded)
-        .crossJoin(n_hit)
+        exact.join(banded, ["doc_a", "doc_b"], "full")
+        .agg(
+            F.count("__e").alias("__n_exact"),
+            F.count("__f").alias("__n_banded"),
+            F.count(F.when(F.col("__e").isNotNull(), F.col("__f"))).alias(
+                "__n_hit"
+            ),
+        )
         .select(
             (
-                (F.col("n_exact") == F.col("n_banded"))
-                & (F.col("n_hit") == F.col("n_exact"))
+                (F.col("__n_exact") == F.col("__n_banded"))
+                & (F.col("__n_hit") == F.col("__n_exact"))
             ).alias("banded_equals_exact")
         )
     )
