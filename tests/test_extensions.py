@@ -461,3 +461,38 @@ def test_dup_span_stats_interval_union(spark):
     assert out.loc[4, "dup_starts"] == 2
     assert out.loc[4, "covered_tokens"] == 10
     assert out.loc[4, "dup_ratio"] == 1.0
+
+
+def test_dedup_against_index_flags(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    index = spark.createDataFrame(
+        [(0, base), (2, "indexed but unrelated content about parquet files")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                               # exact dup of index 0
+            (3, base.replace("lazy", "sleepy")),     # near dup of index 0
+            (5, "fresh never seen words entirely"),  # genuinely new
+            (7, "twice in this batch identical"),    # batch-first keeps
+            (9, "twice in this batch identical"),    # batch dup drops
+        ],
+        ["doc_id", "text"],
+    )
+    hashes, bands = build_dedup_index(index)
+    out = (
+        dedup_against_index(new, hashes, bands)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "exact_dup_in_index"]) and not out.loc[1, "keep"]
+    assert bool(out.loc[3, "near_dup_in_index"]) and not out.loc[3, "keep"]
+    assert not out.loc[3, "exact_dup_in_index"]
+    assert bool(out.loc[5, "keep"])
+    assert bool(out.loc[7, "keep"]) and not out.loc[7, "exact_dup_in_batch"]
+    assert bool(out.loc[9, "exact_dup_in_batch"]) and not out.loc[9, "keep"]

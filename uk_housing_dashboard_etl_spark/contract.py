@@ -1885,6 +1885,70 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parity_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(index, new-batch) halves of the documents table by doc_id parity
+    — the stand-in for (historical corpus, daily ingest)."""
+    return (
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the odd-id half of documents checked
+    against a dedup index built from the even-id half. Exposes the
+    SQL-expressible exact flags; the MinHash near-dup flag is gated by
+    incremental_near_gate."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    index, new = _parity_split(read_table(spark, sf_dir, "documents"))
+    hashes, bands = build_dedup_index(index)
+    return dedup_against_index(new, hashes, bands).select(
+        "doc_id", "content_hash", "exact_dup_in_index", "exact_dup_in_batch"
+    )
+
+
+def q_incremental_near_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the incremental near-dup flag: every new-batch
+    doc with an exact-Jaccard >= 0.2 partner in the index half must be
+    flagged near_dup_in_index at >= 0.6 recall (the same S-curve bound
+    as dedup_minhash_recall); n_truth is recomputed by the oracle."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    index, new = _parity_split(docs)
+    hashes, bands = build_dedup_index(index)
+    flags = dedup_against_index(new, hashes, bands).select(
+        "doc_id", "near_dup_in_index"
+    )
+    cross = ngram_jaccard_pairs(docs, threshold=0.2).where(
+        (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
+    )
+    truth = cross.select(
+        F.when(F.col("doc_a") % 2 == 1, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    return (
+        truth.join(flags, "doc_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count(F.when(F.col("near_dup_in_index"), 1)).alias("__n_hit"),
+        )
+        .select(
+            "n_truth",
+            (F.col("__n_hit") / F.col("n_truth") >= 0.6).alias("recall_ok"),
+        )
+    )
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -3975,6 +4039,21 @@ def _zorder_oracle() -> str:
 
 _EXTENSION_ORACLES["zorder_cells"] = _zorder_oracle()
 
+_EXTENSION_ORACLES["incremental_dedup"] = f"""
+    WITH newd AS (
+        SELECT doc_id, md5({_NORM_TEXT}) AS content_hash
+        FROM documents WHERE doc_id % 2 = 1
+    ), idx AS (
+        SELECT DISTINCT md5({_NORM_TEXT}) AS content_hash
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT n.doc_id, n.content_hash,
+           (i.content_hash IS NOT NULL) AS exact_dup_in_index,
+           n.doc_id <> min(n.doc_id) OVER (PARTITION BY n.content_hash)
+               AS exact_dup_in_batch
+    FROM newd n LEFT JOIN idx i ON n.content_hash = i.content_hash
+    """
+
 _EXTENSION_ORACLES["heavy_hitters"] = """
     WITH c AS (
         SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
@@ -4152,6 +4231,12 @@ ORACLES["similarity_lsh_recall"] = (
 ORACLES["similarity_ivf_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
+ORACLES["incremental_near_gate"] = (
+    "SELECT count(DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END)"
+    " AS n_truth, TRUE AS recall_ok FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + ") WHERE (doc_a % 2) <> (doc_b % 2)"
+)
 ORACLES["dedup_minhash_recall"] = (
     "SELECT count(*) AS n_exact_pairs, TRUE AS recall_ok FROM ("
     + ORACLES["dedup_ngram_jaccard"]
@@ -4255,6 +4340,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "key_skew": q_key_skew,
     "zorder_cells": q_zorder_cells,
+    "incremental_dedup": q_incremental_dedup,
+    "incremental_near_gate": q_incremental_near_gate,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

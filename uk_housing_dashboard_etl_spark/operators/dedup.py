@@ -187,6 +187,34 @@ def minhash_signatures(
     )
 
 
+def _band_entries(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, signature, band, bucket) rows — one per (doc, band).
+
+    Band bucket = xxhash64 over the band's signature components directly
+    (fixed-width longs — no serialization on the hot path).
+    """
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        "signature",
+        F.explode(F.array(*band_structs)).alias("be"),
+    ).select(
+        "doc_id",
+        "signature",
+        F.col("be.band").alias("band"),
+        F.col("be.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     text_col: str = "text",
@@ -204,24 +232,8 @@ def minhash_lsh_pairs(
     probability 1-(1-j^r)^b — with k=16, b=4: ~0.97 at j=0.8, ~0.04 at
     j=0.2, the classic S-curve.
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n)
-    # band bucket = xxhash64 over the band's signature components directly
-    # (fixed-width longs — no serialization on the hot path)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    band_entries = sig.select(
-        "doc_id",
-        "signature",
-        F.explode(F.array(*band_structs)).alias("be"),
-    ).select("doc_id", "signature", F.col("be.band").alias("band"), F.col("be.bucket").alias("bucket"))
+    band_entries = _band_entries(sig, num_hashes, bands)
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (
@@ -585,4 +597,123 @@ def dup_span_stats(
             F.coalesce("covered_tokens", F.lit(0)).cast("double")
             / F.col("n_tokens")
         ).alias("dup_ratio"),
+    )
+
+
+def build_dedup_index(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the persistent dedup index an incremental ingest
+    pipeline checks new batches against: ``(hashes, bands)`` where
+    ``hashes`` is the distinct content-hash set and ``bands`` the
+    MinHash band-bucket entries (band, bucket, doc_id, signature).
+
+    In production both frames live as bucketed parquet (hash-keyed /
+    (band, bucket)-keyed) and are appended per ingest; at 100 TB the
+    index is orders of magnitude larger than any daily batch, which is
+    exactly why :func:`dedup_against_index` never shuffles it.
+    """
+    hashes = documents.select(
+        F.md5(_norm_text(F.col(text_col))).alias("content_hash")
+    ).distinct()
+    sig = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n)
+    return hashes, _band_entries(sig, num_hashes, bands)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_hashes: DataFrame,
+    index_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental dedup: flag each document of a new ingest batch
+    against the historical corpus index (exact + MinHash near-dup) and
+    against earlier docs in its own batch (exact).
+
+    Output per new doc: ``doc_id, content_hash, exact_dup_in_index,
+    exact_dup_in_batch, near_dup_in_index, keep`` (keep = none of the
+    three flags).
+
+    Scale shape — the index NEVER shuffles: the new batch (days of
+    ingest vs years of corpus) is the broadcast side of both probes.
+    Matched hashes / matched band buckets are distilled to frames no
+    larger than the batch itself, then broadcast back onto it, so the
+    big side of every join streams map-side. The near-dup check applies
+    the same estimated-Jaccard S-curve cut as :func:`minhash_lsh_pairs`
+    on the colliding (new, index) signature pairs.
+    """
+    new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+    ).withColumn("content_hash", F.md5(_norm_text(F.col("__text"))))
+
+    # exact vs index: distill index hits to <= batch-size, broadcast back
+    new_hashes = new.select("content_hash").distinct()
+    hit_hashes = (
+        index_hashes.join(F.broadcast(new_hashes), "content_hash")
+        .select("content_hash")
+        .distinct()
+        .withColumn("__in_index", F.lit(1))
+    )
+
+    # exact within batch: first occurrence (min doc_id) keeps
+    w_h = Window.partitionBy("content_hash")
+    flagged = new.join(F.broadcast(hit_hashes), "content_hash", "left").select(
+        "doc_id",
+        "__text",
+        "content_hash",
+        F.col("__in_index").isNotNull().alias("exact_dup_in_index"),
+        (F.col("doc_id") != F.min("doc_id").over(w_h)).alias(
+            "exact_dup_in_batch"
+        ),
+    )
+
+    # near vs index: batch band entries broadcast into the index bands
+    new_sig = minhash_signatures(
+        new.select("doc_id", F.col("__text").alias(text_col)),
+        text_col,
+        "doc_id",
+        num_hashes,
+        shingle_n,
+    )
+    new_bands = _band_entries(new_sig, num_hashes, bands).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("signature").alias("new_sig"),
+        "band",
+        "bucket",
+    )
+    est = F.expr(
+        "aggregate(zip_with(new_sig, signature,"
+        " (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    near_ids = (
+        index_bands.join(F.broadcast(new_bands), ["band", "bucket"])
+        .where(round4(est) >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+
+    return flagged.join(F.broadcast(near_ids), "doc_id", "left").select(
+        "doc_id",
+        "content_hash",
+        "exact_dup_in_index",
+        "exact_dup_in_batch",
+        F.col("__near").isNotNull().alias("near_dup_in_index"),
+        (
+            ~F.col("exact_dup_in_index")
+            & ~F.col("exact_dup_in_batch")
+            & F.col("__near").isNull()
+        ).alias("keep"),
     )
