@@ -81,3 +81,36 @@ def test_recompute_prunes_zone_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "week_key" in plan
     rows = pruned.collect()
     assert len(rows) == 1 and rows[0]["local_authority"] == "Beta"
+
+
+def test_scd2_history_runs_and_intervals(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: A A B A -> runs A[0,2) B[2,3) A[3,None)
+        (10, t(0), 1, "A"),
+        (11, t(1), 1, "A"),
+        (12, t(2), 1, "B"),
+        (13, t(3), 1, "A"),
+        # user 2: single event -> one current interval
+        (14, t(5), 2, "C"),
+        # tie on ts broken by event_id: 15 before 16 -> B run then A
+        (15, t(7), 3, "B"),
+        (16, t(7), 3, "A"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = scd2_history(df).toPandas()
+    u1 = out[out.key == 1].sort_values("version")
+    assert list(u1.attr) == ["A", "B", "A"]
+    assert u1.iloc[0].valid_to == t(2) and not u1.iloc[0].is_current
+    assert u1.iloc[1].valid_to == t(3)
+    assert u1.iloc[2].valid_to is None or str(u1.iloc[2].valid_to) == "NaT"
+    assert bool(u1.iloc[2].is_current)
+    assert len(out[out.key == 2]) == 1 and bool(out[out.key == 2].iloc[0].is_current)
+    u3 = out[out.key == 3].sort_values("version")
+    assert list(u3.attr) == ["B", "A"]  # event_id tie-break

@@ -1949,6 +1949,17 @@ def q_incremental_near_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD intervals over the event log: one half-open validity
+    interval per (user, event_type run), totally ordered by
+    (ts, event_id)."""
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        scd2_history,
+    )
+
+    return scd2_history(read_table(spark, sf_dir, "events"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -4054,6 +4065,29 @@ _EXTENSION_ORACLES["incremental_dedup"] = f"""
     FROM newd n LEFT JOIN idx i ON n.content_hash = i.content_hash
     """
 
+_EXTENSION_ORACLES["scd2_history"] = """
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), marked AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+        FROM base
+    ), changed AS (
+        SELECT user_id, event_type, ts, event_id FROM marked
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id AS key, event_type AS attr, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL) AS is_current,
+           CAST(row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS INT) AS version
+    FROM changed
+    """
+
 _EXTENSION_ORACLES["heavy_hitters"] = """
     WITH c AS (
         SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
@@ -4342,6 +4376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_cells": q_zorder_cells,
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_gate": q_incremental_near_gate,
+    "scd2_history": q_scd2_history,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

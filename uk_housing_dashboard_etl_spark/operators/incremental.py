@@ -32,7 +32,7 @@ directories under this exact dataflow.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators.weekly import weekly_mart
@@ -98,3 +98,47 @@ def daily_increment(
     new_mart = merge_mart(old, recomputed, weeks).localCheckpoint()
     new_mart.write.mode("overwrite").parquet(mart_path)
     return new_mart
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse an event log
+    into one validity interval per (key, attribute-run) — the standard
+    warehouse shape for "what was this entity's state at time T".
+
+    Consecutive repeats of the same attribute value are merged into one
+    interval; a change closes the previous interval at the new row's
+    timestamp (half-open ``[valid_from, valid_to)``), the latest
+    interval has ``valid_to`` NULL and ``is_current`` true, and
+    ``version`` numbers a key's intervals from 1.
+
+    Plan: one key-keyed Exchange total — the lead/row_number window
+    runs over the change-filtered output of the lag window, and both
+    share the same partitioning, so Spark re-sorts the (much smaller)
+    run frame without reshuffling it (verified: 2 Window ops, 1
+    Exchange). Ordering is total (``ts_col, tie_col``) for
+    engine-independent run boundaries.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    changed = (
+        events.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .select(key_col, attr_col, ts_col, tie_col)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .where(
+            F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return changed.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).alias("version"),
+    )
