@@ -229,3 +229,35 @@ def test_semantic_dedup_single_cell_shuffle(spark):
         "BroadcastNestedLoopJoin"
     )[0]
     assert corpus_path.count("Exchange") == 1
+
+
+def test_heavy_hitters_topk_never_full_sort(spark):
+    plan = plan_of(spark, "heavy_hitters")
+    # global top-N compiles to the per-task-heap operator, and the final
+    # rank window runs on the N survivors only
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_single_key_exchange(spark):
+    plan = contract.QUERIES["scd2_history"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    # the lead/row_number window re-sorts the lag window's filtered
+    # output without reshuffling: 2 Window ops share 1 Exchange
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 1
+
+
+def test_zorder_cells_pure_codegen_bitmath(spark):
+    plan = contract.QUERIES["zorder_cells"](
+        spark, SF
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one partial+final aggregate pair over the cell key
+    assert plan.count("HashAggregate") == 2
+
+
+def test_incremental_dedup_broadcasts_batch_probes(spark):
+    # the index side must never shuffle: every probe joins via broadcast
+    plan = plan_of(spark, "incremental_dedup")
+    assert "BroadcastHashJoin" in plan
