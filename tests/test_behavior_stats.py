@@ -174,3 +174,46 @@ def test_heavy_hitters_and_skew_summary_hand_computed(spark):
     # per-key sizes [2, 2, 6]: p50 = 2.0, skew = 6 / (10/3) = 1.8
     assert s.p50_count == 2.0
     assert s.skew_factor == 1.8
+
+
+def test_debounce_chained_lag_semantics(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        debounce_events,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1 type A at minutes 0, 7, 14: chained lag flags BOTH the
+        # 7' and 14' events (each within 10' of its predecessor)
+        (1, t(0), 1, "A"), (2, t(7), 1, "A"), (3, t(14), 1, "A"),
+        # 25' is 11' after 14': kept
+        (4, t(25), 1, "A"),
+        # different type is an independent chain
+        (5, t(1), 1, "B"),
+        # same-instant burst: tie broken by event_id, second is dup
+        (6, t(30), 2, "A"), (7, t(30), 2, "A"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = debounce_events(df).toPandas().set_index("event_id")
+    assert not out.loc[1, "is_dup"] and out.loc[2, "is_dup"]
+    assert out.loc[3, "is_dup"] and not out.loc[4, "is_dup"]
+    assert not out.loc[5, "is_dup"]
+    assert not out.loc[6, "is_dup"] and out.loc[7, "is_dup"]
+
+
+def test_cap_events_per_key_daily_cut(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        cap_events_per_key,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i // 10, 0, i % 10), 1, "A")
+        for i in range(14)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = cap_events_per_key(df, max_per_day=3).toPandas()
+    d1 = out[out.day == dt.date(2024, 1, 1)]
+    assert d1.kept.sum() == 3 and len(d1) == 10
+    assert set(d1[d1.kept].event_id) == {0, 1, 2}  # earliest first
+    d2 = out[out.day == dt.date(2024, 1, 2)]
+    assert d2.kept.sum() == 3 and len(d2) == 4  # cap resets per day

@@ -1960,6 +1960,27 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(read_table(spark, sf_dir, "events"))
 
 
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup flags: an event is a dup when the same
+    (user, type) fired within the previous 10 minutes (chained-lag
+    semantics, (ts, event_id) total order)."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        debounce_events,
+    )
+
+    return debounce_events(read_table(spark, sf_dir, "events"))
+
+
+def q_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily rate cap: day_seq rank and kept flag at
+    max 5 events/user/day, earliest first."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        cap_events_per_key,
+    )
+
+    return cap_events_per_key(read_table(spark, sf_dir, "events"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -4088,6 +4109,29 @@ _EXTENSION_ORACLES["scd2_history"] = """
     FROM changed
     """
 
+_EXTENSION_ORACLES["debounce_events"] = """
+    SELECT event_id, user_id, event_type, ts,
+           (prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) < 600000000)
+               AS is_dup
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS prev
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    """
+
+_EXTENSION_ORACLES["cap_events"] = """
+    SELECT event_id, user_id, ts, CAST(ts AS DATE) AS day,
+           CAST(row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) AS INT) AS day_seq,
+           (row_number() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) <= 5) AS kept
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    """
+
 _EXTENSION_ORACLES["heavy_hitters"] = """
     WITH c AS (
         SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1
@@ -4377,6 +4421,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_near_gate": q_incremental_near_gate,
     "scd2_history": q_scd2_history,
+    "debounce_events": q_debounce_events,
+    "cap_events": q_cap_events,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

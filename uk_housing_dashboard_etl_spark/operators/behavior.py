@@ -107,3 +107,78 @@ def first_last_touch(
             tv.alias("total_value"),
         )
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    gap_minutes: int = 10,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Debounce dedup: flag an event as a duplicate when the SAME key
+    fired within the previous ``gap_minutes`` — the standard guard
+    against double-clicks / retry storms / at-least-once replays before
+    an event stream feeds counts or training data.
+
+    Chained-lag semantics (each event compares to its immediate
+    predecessor, kept or not): the debounce/throttle convention, and
+    the one expressible as a single window — anchor-to-last-KEPT
+    semantics would need a per-key recursive fold. Output is every
+    input event plus ``is_dup``; callers filter or aggregate.
+
+    Plan: ONE key-keyed exchange; the lag rides a total
+    (``ts_col, tie_col``) ordering, so flags are engine-independent
+    even for same-timestamp bursts (which are exactly what debouncing
+    targets).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tie_col)
+    prev = F.lag(ts_col).over(w)
+    gap_s = gap_minutes * 60
+    return events.where(
+        F.col(ts_col).isNotNull() & F.col(key_cols[0]).isNotNull()
+    ).select(
+        tie_col,
+        *key_cols,
+        ts_col,
+        (
+            prev.isNotNull()
+            & (
+                F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+                < gap_s * 1_000_000
+            )
+        ).alias("is_dup"),
+    )
+
+
+def cap_events_per_key(
+    events: DataFrame,
+    max_per_day: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-key daily rate cap: keep at most ``max_per_day`` events per
+    (key, day), earliest first — the per-user contribution cap a
+    behavioral-training pipeline applies so hyperactive keys (bots,
+    test accounts) cannot dominate the dataset, the event-stream
+    analogue of ``curation.source_cap``.
+
+    Plan: one (key, day)-keyed exchange for the rank window; ordering
+    is total (``ts_col, tie_col``) so the cut is deterministic. A
+    hyperactive key still owns a single reducer for its day — at
+    extreme skew, pre-filter with :func:`stats.heavy_hitters` or cap
+    in two phases like ``source_cap``'s salted top-k.
+    """
+    day = F.to_date(ts_col)
+    w = Window.partitionBy(key_col, day).orderBy(ts_col, tie_col)
+    return events.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        tie_col,
+        key_col,
+        ts_col,
+        day.alias("day"),
+        F.row_number().over(w).alias("day_seq"),
+        (F.row_number().over(w) <= max_per_day).alias("kept"),
+    )
