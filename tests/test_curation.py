@@ -319,3 +319,21 @@ def test_decontaminate_bloom_contains_exact(spark):
     assert not j[2].contaminated
     for r in j.values():  # bloom only ever over-counts
         assert r.bloom_hits >= r.ngram_hits
+
+
+def test_snapshot_diff_statuses(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma v2"), (4, "delta")], ["doc_id", "text"]
+    )
+    out = snapshot_diff(old, new).toPandas().set_index("doc_id")
+    assert out.loc[1, "status"] == "removed" and out.loc[1].new_hash is None
+    assert out.loc[2, "status"] == "unchanged"
+    assert out.loc[3, "status"] == "changed"
+    assert out.loc[4, "status"] == "added" and out.loc[4].old_hash is None

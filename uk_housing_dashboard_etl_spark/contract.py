@@ -1981,6 +1981,26 @@ def q_cap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_events_per_key(read_table(spark, sf_dir, "events"))
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: old = ids % 4 != 3, new = ids % 4 != 0 with
+    ids % 10 == 5 perturbed — exercises all four statuses
+    (added / removed / changed / unchanged) deterministically."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 3)
+    new = docs.where(F.col("doc_id") % 4 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(F.col("text"), F.lit(" "), F.col("lang")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -4109,6 +4129,26 @@ _EXTENSION_ORACLES["scd2_history"] = """
     FROM changed
     """
 
+_EXTENSION_ORACLES["snapshot_diff"] = f"""
+    WITH o AS (
+        SELECT doc_id, md5({_NORM_TEXT}) AS old_hash
+        FROM documents WHERE doc_id % 4 <> 3
+    ), n AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(
+                   CASE WHEN doc_id % 10 = 5 THEN text || ' ' || lang
+                        ELSE text END, '\\s+', ' ', 'g')))) AS new_hash
+        FROM documents WHERE doc_id % 4 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash, n.new_hash
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
+
 _EXTENSION_ORACLES["debounce_events"] = """
     SELECT event_id, user_id, event_type, ts,
            (prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) < 600000000)
@@ -4423,6 +4463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "debounce_events": q_debounce_events,
     "cap_events": q_cap_events,
+    "snapshot_diff": q_snapshot_diff,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

@@ -522,3 +522,42 @@ def pack_sequences(
         .alias("bin_idx"),
         "n_tokens",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: per doc id,
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    content hash differs), or ``unchanged`` — what a training-data
+    release process reviews before promoting a snapshot, and the input
+    to incremental re-tokenization (only added+changed re-process).
+
+    Plan: each side reduces to (id, md5-of-normalized-text) BEFORE the
+    full-outer join, so the shuffle carries 40-byte rows, never
+    document bodies; with both snapshots stored bucketed by id the
+    exchange disappears entirely. Output: ``doc_id, status, old_hash,
+    new_hash``.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(_norm_text(F.col(text_col))).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(_norm_text(F.col(text_col))).alias("new_hash"),
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full").select(
+        "doc_id", status.alias("status"), "old_hash", "new_hash"
+    )
