@@ -217,3 +217,24 @@ def test_cap_events_per_key_daily_cut(spark):
     assert set(d1[d1.kept].event_id) == {0, 1, 2}  # earliest first
     d2 = out[out.day == dt.date(2024, 1, 2)]
     assert d2.kept.sum() == 3 and len(d2) == 4  # cap resets per day
+
+
+def test_user_sequences_order_and_truncation(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        user_sequences,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i), 1, f"e{i}") for i in range(5)
+    ] + [
+        # same-instant pair for user 2: event_id orders them
+        (10, dt.datetime(2024, 1, 1), 2, "B"),
+        (9, dt.datetime(2024, 1, 1), 2, "A"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = user_sequences(df, max_len=3).toPandas().set_index("key")
+    # user 1: 5 events, keep the most recent 3
+    assert out.loc[1, "sequence"] == "e2 e3 e4"
+    assert out.loc[1, "seq_len"] == 3 and bool(out.loc[1, "truncated"])
+    # user 2: tie broken by event_id -> A (id 9) before B (id 10)
+    assert out.loc[2, "sequence"] == "A B" and not out.loc[2, "truncated"]

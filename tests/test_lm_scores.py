@@ -178,3 +178,29 @@ def test_perplexity_buckets_equal_frequency_and_order(spark):
     assert set(en.bucket_label) == {"head", "middle", "tail"}
     # languages rank independently
     assert set(out[out.lang == "fr"].bucket) <= {1, 2, 3}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, words), (1, "a b c")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    # stride 2 over 10 tokens: starts 0,2,4,6 -> 4 chunks
+    assert list(d0.start_token) == [0, 2, 4, 6]
+    assert list(d0.chunk_len) == [4, 4, 4, 4]
+    assert d0.iloc[0].chunk_text == "w0 w1 w2 w3"
+    assert d0.iloc[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "a b c"
+    assert d1.iloc[0].chunk_len == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)

@@ -2001,6 +2001,26 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def q_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered action sequence (space-joined, most recent
+    last), recency-truncated to 32 events."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        user_sequences,
+    )
+
+    return user_sequences(read_table(spark, sf_dir, "events"), max_len=32)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-style chunker: 64-token windows, 16-token overlap,
+    stable chunk ids + md5 per chunk."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    return chunk_documents(read_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8-style symmetric quantization of the embedding store; code
     sums/extrema + max dequant error verify code-level parity without
@@ -4149,6 +4169,40 @@ _EXTENSION_ORACLES["snapshot_diff"] = f"""
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
 
+_EXTENSION_ORACLES["user_sequences"] = """
+    WITH base AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), agg AS (
+        SELECT user_id AS key, count(*) AS n,
+               list(event_type ORDER BY ts, event_id) AS seq
+        FROM base GROUP BY 1
+    )
+    SELECT key, CAST(least(n, 32) AS INT) AS seq_len,
+           (n > 32) AS truncated,
+           array_to_string(seq[greatest(1, len(seq) - 31):len(seq)], ' ')
+               AS sequence
+    FROM agg
+    """
+
+_EXTENSION_ORACLES["doc_chunks"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), base AS (
+        SELECT doc_id, t, len(t) AS n,
+               CAST(1 + greatest(0, ceil((len(t) - 64) / 48.0)) AS INT)
+                   AS nch
+        FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 48 AS INT) AS start_token,
+           CAST(least(64, n - i * 48) AS INT) AS chunk_len,
+           array_to_string(t[i * 48 + 1:i * 48 + 64], ' ') AS chunk_text,
+           md5(array_to_string(t[i * 48 + 1:i * 48 + 64], ' '))
+               AS chunk_md5
+    FROM base, unnest(generate_series(0, nch - 1)) AS u(i)
+    """
+
 _EXTENSION_ORACLES["debounce_events"] = """
     SELECT event_id, user_id, event_type, ts,
            (prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) < 600000000)
@@ -4464,6 +4518,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debounce_events": q_debounce_events,
     "cap_events": q_cap_events,
     "snapshot_diff": q_snapshot_diff,
+    "user_sequences": q_user_sequences,
+    "doc_chunks": q_doc_chunks,
     "streaming_attribution": q_streaming_attribution,
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,

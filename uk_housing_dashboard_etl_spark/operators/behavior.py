@@ -182,3 +182,62 @@ def cap_events_per_key(
         F.row_number().over(w).alias("day_seq"),
         (F.row_number().over(w) <= max_per_day).alias("kept"),
     )
+
+
+def user_sequences(
+    events: DataFrame,
+    max_len: int = 32,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Per-key ordered action sequence, truncated to the most recent
+    ``max_len`` — the canonical feature shape for sequence models over
+    behavioral data (next-event prediction, session embeddings).
+
+    Output per key: ``key, seq_len, truncated, sequence`` where
+    ``sequence`` is the space-joined attribute run (most recent last) —
+    a string rather than an array so downstream sinks and the driver
+    canonicalizer treat it as a scalar; a tokenizer splits it back.
+
+    Plan: ONE key exchange, no window sort — collect (ts, tie, attr)
+    structs per key and ``array_sort`` them in-group (struct order =
+    field order, so the sequence order is the total (ts, tie) order
+    regardless of partitioning), then a slice keeps the LAST
+    ``max_len`` entries (recency truncation, the standard choice).
+    A key's whole history lands on one reducer — cap pathological keys
+    first with :func:`cap_events_per_key` if per-key volume is
+    unbounded.
+    """
+    per_key = (
+        events.where(
+            F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+        )
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(tie_col).alias("i"),
+                            F.col(attr_col).alias("a"),
+                        )
+                    )
+                ),
+                lambda x: x["a"],
+            ).alias("__seq")
+        )
+    )
+    n = F.size("__seq")
+    tail = F.when(
+        n > max_len,
+        F.slice("__seq", n - max_len + 1, max_len),
+    ).otherwise(F.col("__seq"))
+    return per_key.select(
+        "key",
+        F.least(n, F.lit(max_len)).alias("seq_len"),
+        (n > max_len).alias("truncated"),
+        F.concat_ws(" ", tail).alias("sequence"),
+    )

@@ -723,3 +723,74 @@ def perplexity_buckets(
             label.alias("bucket_label"),
         )
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the retrieval/context-window chunker (embedding indexing, long-doc
+    training prep). Stride = ``chunk_tokens − overlap``; the last chunk
+    may be shorter; a doc shorter than one chunk yields exactly one.
+
+    Output: ``doc_id, chunk_idx, start_token, chunk_len, chunk_text,
+    chunk_md5`` — one row per chunk, deterministic given the tokenizer
+    (whitespace here), so chunk ids are stable across reruns and the
+    md5 keys chunk-level dedup/caching.
+
+    Plan: pure codegen — tokenize once, compute the chunk count
+    ``1 + ceil((n − chunk)/stride)`` per doc, posexplode the start
+    offsets, slice. No shuffle at all: chunking is embarrassingly
+    row-local, the shape you want feeding a downstream embed stage.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        r"\s+",
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).withColumn(
+        "__n_chunks",
+        (
+            F.lit(1)
+            + F.greatest(
+                F.lit(0),
+                F.ceil(
+                    (F.size("__toks") - F.lit(chunk_tokens))
+                    / F.lit(float(stride))
+                ),
+            )
+        ).cast("int"),
+    )
+    starts = F.expr(
+        f"transform(sequence(0, __n_chunks - 1), i -> i * {stride})"
+    )
+    chunk = F.expr(f"slice(__toks, start_token + 1, {chunk_tokens})")
+    return (
+        base.select(
+            "doc_id",
+            F.size("__toks").alias("__n"),
+            F.posexplode(starts).alias("chunk_idx", "start_token"),
+            "__toks",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_token",
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("start_token")
+            ).alias("chunk_len"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
+    )
