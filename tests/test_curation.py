@@ -337,3 +337,28 @@ def test_snapshot_diff_statuses(spark):
     assert out.loc[2, "status"] == "unchanged"
     assert out.loc[3, "status"] == "changed"
     assert out.loc[4, "status"] == "added" and out.loc[4].old_hash is None
+
+
+def test_importance_resample_deterministic_and_complete(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        importance_resample,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ("target words alpha beta" if i % 3 == 0 else "other stuff gamma delta"), )
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "tgt", F.col("doc_id") % 3 == 0
+    )
+    out1 = importance_resample(df, F.col("tgt"), k=10).toPandas()
+    out2 = importance_resample(df, F.col("tgt"), k=10).toPandas()
+    # derandomized noise -> identical selection on rerun
+    assert out1.equals(out2)
+    assert len(out1) == 10 and list(out1["rank"]) == list(range(1, 11))
+    # keys are finite (u strictly inside (0,1) by the +0.5 offset)
+    assert out1.sample_key.notna().all()
+    # ranks follow the key order with doc_id tie-break
+    sk = list(out1.sort_values(["rank"]).sample_key)
+    assert sk == sorted(sk, reverse=True)

@@ -1667,6 +1667,21 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection: 100 docs sampled ∝ exp(dsir_score)
+    with derandomized (id-hash) Gumbel noise — reproducible across
+    runs and engines."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        importance_resample,
+    )
+
+    return importance_resample(
+        read_table(spark, sf_dir, "documents"),
+        F.col("source") == "src0",
+        k=100,
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair 3-gram Jaccard/containment matrix — the dataset-card
     cross-source contamination diagnostic."""
@@ -4403,6 +4418,24 @@ ORACLES["similarity_lsh_recall"] = (
 ORACLES["similarity_ivf_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
+ORACLES["importance_resample"] = (
+    "WITH s AS ("
+    + ORACLES["dsir_scores"]
+    + """)
+    , keyed AS (
+        SELECT doc_id, dsir_score,
+               floor((dsir_score / 1.0
+                   + floor(-ln(-ln(((doc_id * 2654435761) % 1000000007
+                       % 10000 + 0.5) / 10000.0)) * 10000.0 + 0.5)
+                     / 10000.0) * 10000.0 + 0.5) / 10000.0 AS sample_key
+        FROM s
+    )
+    SELECT doc_id, dsir_score, sample_key,
+           CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
+               AS INT) AS rank
+    FROM keyed QUALIFY rank <= 100
+    """
+)
 ORACLES["incremental_near_gate"] = (
     "SELECT count(DISTINCT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END)"
     " AS n_truth, TRUE AS recall_ok FROM ("
@@ -4503,6 +4536,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "lm_scores": q_lm_scores,
     "dsir_scores": q_dsir_scores,
+    "importance_resample": q_importance_resample,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_check": q_semantic_dedup_check,
     "source_overlap": q_source_overlap,

@@ -561,3 +561,53 @@ def snapshot_diff(
     return o.join(n, "doc_id", "full").select(
         "doc_id", status.alias("status"), "old_hash", "new_hash"
     )
+
+
+def importance_resample(
+    documents: DataFrame,
+    target,
+    k: int = 100,
+    temperature: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection step (Xie et al. 2023): sample ``k`` documents
+    with probability ∝ exp(dsir_score / T) via the Gumbel-top-k trick —
+    rank by ``score/T + Gumbel noise`` and keep the top k, which is
+    exactly sampling-without-replacement under the softmax. The noise
+    is DERANDOMIZED: u comes from the same multiplicative id hash as
+    :func:`hash_sample`, so the "sample" is reproducible across runs,
+    engines, and corpus growth — the property a training-data release
+    needs from its selection step.
+
+    Plan: the scoring pass is :func:`text_analysis.dsir_scores` (one
+    corpus scan, term-keyed exchange); selection adds only a row-local
+    key computation and the TakeOrderedAndProject global top-k — no
+    extra shuffle. Both the Gumbel term and the final key are 4dp-
+    quantized so the rank order is bit-identical in the SQL oracle.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        dsir_scores,
+    )
+
+    scores = dsir_scores(documents, target, text_col, id_col)
+    u = (
+        ((F.col("doc_id") * F.lit(KNUTH)) % F.lit(1_000_000_007))
+        % F.lit(10_000)
+        + F.lit(0.5)
+    ) / F.lit(10_000.0)
+    gumbel = round4(-F.log(-F.log(u)))
+    keyed = scores.select(
+        "doc_id",
+        "dsir_score",
+        round4(
+            F.col("dsir_score") / F.lit(float(temperature)) + gumbel
+        ).alias("sample_key"),
+    )
+    return deterministic_topk(
+        keyed, [F.col("sample_key").desc(), F.col("doc_id")], k
+    )
