@@ -1844,7 +1844,9 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_span_stats,
     )
 
-    return dup_span_stats(read_table(spark, sf_dir, "documents"), k=5)
+    return dup_span_stats(
+        read_table(spark, sf_dir, "documents"), k=5, hash_shingles=False
+    )
 
 
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -529,6 +529,7 @@ def dup_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication coverage (the ExactSubstr metric of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -547,10 +548,15 @@ def dup_span_stats(
 
     Plan: one corpus scan → positional k-gram explode (codegen
     sequence/transform, no UDF) → shingle-keyed count (the only big
-    shuffle; key is the shingle text — at 100 TB pre-hash it to
-    xxhash64 to shrink the exchange, kept as strings here for bit-exact
-    oracle parity) → duplicated start positions shuffle back on doc_id
-    for the interval-union window. Coverage needs no doc-length clamp:
+    shuffle). ``hash_shingles=True`` (default, the scale path) keys
+    that exchange on ``xxhash64(shingle)`` instead of the shingle text
+    — ~5× fewer shuffle bytes, measured 134 s → 79 s at 1M docs on
+    local[32] (a groupBy+join-back plan that avoids the window sort
+    measured 165 s: double-shuffling the gram set costs more than
+    sorting it once) — at the cost of a ~N²/2⁶⁴ false-dup probability
+    from hash collisions; the oracle-checked contract query passes
+    ``False`` for bit-exact string semantics. Then duplicated start
+    positions shuffle back on doc_id for the interval-union window. Coverage needs no doc-length clamp:
     a start at pos has n_tokens - pos >= k by construction, so each
     contribution is ``least(k, next_start - pos)`` with the last run
     contributing ``k``. Short docs (< k tokens) emit no k-grams and
@@ -571,6 +577,10 @@ def dup_span_stats(
     grams = base.select(
         "doc_id", F.posexplode(shingle_expr).alias("pos", "shingle")
     )
+    if hash_shingles:
+        grams = grams.select(
+            "doc_id", "pos", F.xxhash64("shingle").alias("shingle")
+        )
     w_sh = Window.partitionBy("shingle")
     dup = (
         grams.withColumn("__c", F.count(F.lit(1)).over(w_sh))
