@@ -133,3 +133,30 @@ def test_funnel_single_shuffle_plan(spark, sf_small):
     # the events-side aggregation appears once; the step-list join is a
     # broadcast of a <=n-row frame, never a shuffle of events
     assert plan.count("SortMergeJoin") == 0
+
+def test_cohort_matrix_triangle(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.funnel import cohort_matrix
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    wk = dt.timedelta(days=7)
+    rows = [
+        # cohort week 0: users 1,2 start; user 1 returns weeks 1 and 2,
+        # user 2 returns week 2 only
+        (1, mon), (2, mon),
+        (1, mon + wk), (1, mon + 2 * wk), (2, mon + 2 * wk),
+        # cohort week 1: user 3 only, never returns
+        (3, mon + wk),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, "click", 1.0) for i, (u, t) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    out = cohort_matrix(df).toPandas()
+    c0 = out[out.cohort_week == mon].set_index("week_offset")
+    assert c0.loc[0, "cohort_size"] == 2 and c0.loc[0, "retention"] == 1.0
+    assert c0.loc[1, "active_users"] == 1 and c0.loc[1, "retention"] == 0.5
+    assert c0.loc[2, "active_users"] == 2 and c0.loc[2, "retention"] == 1.0
+    c1 = out[out.cohort_week == mon + wk].set_index("week_offset")
+    assert c1.loc[0, "cohort_size"] == 1 and len(c1) == 1

@@ -204,3 +204,21 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    # "abab" contributes pairs ab, ba, ab; two docs with it + one "ab"
+    df = spark.createDataFrame(
+        [(0, "abab abab"), (1, "ab"), (2, "x")], ["doc_id", "text"]
+    )
+    out = bpe_merge_candidates(df, top_n=5).toPandas().set_index("pair")
+    # ab: 2 per "abab" x 2 occurrences + 1 from "ab" = 5; ba: 1 x 2 = 2
+    assert out.loc["ab", "n_occurrences"] == 5
+    assert out.loc["ba", "n_occurrences"] == 2
+    assert out.loc["ab", "rank"] == 1
+    # single-char word "x" contributes nothing
+    assert len(out) == 2

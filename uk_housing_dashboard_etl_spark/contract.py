@@ -1682,6 +1682,26 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: first-active week x week offset,
+    active counts and 4dp retention fractions."""
+    from uk_housing_dashboard_etl_spark.operators.funnel import (
+        cohort_matrix,
+    )
+
+    return cohort_matrix(read_table(spark, sf_dir, "events"), max_offset=8)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates: corpus-weighted adjacent character
+    pair counts inside words (count-desc, pair tie-break)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bpe_merge_candidates,
+    )
+
+    return bpe_merge_candidates(read_table(spark, sf_dir, "documents"))
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair 3-gram Jaccard/containment matrix — the dataset-card
     cross-source contamination diagnostic."""
@@ -4186,6 +4206,48 @@ _EXTENSION_ORACLES["snapshot_diff"] = f"""
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
 
+_EXTENSION_ORACLES["bpe_merges"] = f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS word FROM documents
+    ), wc AS (
+        SELECT word, count(*) AS n_words FROM words
+        WHERE length(word) >= 2 GROUP BY 1
+    ), pairs AS (
+        SELECT substr(word, i, 2) AS pair, n_words
+        FROM wc, unnest(generate_series(1, length(word) - 1)) AS u(i)
+    ), agg AS (
+        SELECT pair, CAST(sum(n_words) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+               AS INT) AS rank,
+           pair, n_occurrences
+    FROM agg QUALIFY rank <= 50
+    """
+
+_EXTENSION_ORACLES["cohort_matrix"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1
+    ), sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+    ), joined AS (
+        SELECT c.cohort_week, a.user_id,
+               CAST(datediff('day', c.cohort_week, a.week) / 7 AS INT)
+                   AS week_offset
+        FROM active a JOIN cohorts c ON a.user_id = c.user_id
+    )
+    SELECT j.cohort_week, j.week_offset, s.cohort_size,
+           count(DISTINCT j.user_id) AS active_users,
+           floor(CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+                 * 10000.0 + 0.5) / 10000.0 AS retention
+    FROM joined j JOIN sizes s ON j.cohort_week = s.cohort_week
+    WHERE j.week_offset <= 8
+    GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+    """
+
 _EXTENSION_ORACLES["user_sequences"] = """
     WITH base AS (
         SELECT user_id, ts, event_id, event_type FROM events
@@ -4648,6 +4710,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "conversion_funnel": q_conversion_funnel,
     "weekly_retention": q_weekly_retention,
+    "cohort_matrix": q_cohort_matrix,
+    "bpe_merges": q_bpe_merges,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,

@@ -143,3 +143,64 @@ def weekly_retention(
         F.count("u2").alias("retained_users"),
         round4(F.count("u2") / F.count(F.lit(1))).alias("retention_rate"),
     )
+
+
+def cohort_matrix(
+    events: DataFrame,
+    max_offset: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Full cohort retention matrix: users grouped by their FIRST-active
+    Monday week (the cohort), then for each week offset 0..``max_offset``
+    the count and fraction of the cohort active that week — the
+    classic triangle chart behind every retention dashboard, and the
+    generalization of :func:`weekly_retention` (which is its offset=1
+    diagonal).
+
+    Output: ``cohort_week, week_offset, cohort_size, active_users,
+    retention`` (4dp), offset 0 rows always at retention 1.
+
+    Plan: one (user)-keyed aggregate pins each user's cohort week; the
+    distinct (user, week) activity frame joins back on the user key —
+    both sides are far smaller than the fact table (distinct users /
+    user-weeks), so the fact table is scanned twice but shuffled only
+    as compact keys. The matrix itself is |cohorts| × |offsets| rows —
+    driver-tiny at any corpus size.
+    """
+    active = (
+        events.na.drop(subset=[user_col, ts_col])
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("week", F.col(ts_col)).alias("week"),
+        )
+        .distinct()
+    )
+    cohorts = active.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    joined = active.join(cohorts, "user_id").select(
+        "cohort_week",
+        "user_id",
+        (
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.where(F.col("week_offset") <= max_offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "active_users",
+            round4(F.col("active_users") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

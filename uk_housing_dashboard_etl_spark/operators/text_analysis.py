@@ -794,3 +794,51 @@ def chunk_documents(
         )
         .withColumn("chunk_md5", F.md5(F.col("chunk_text")))
     )
+
+
+def bpe_merge_candidates(
+    documents: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One BPE training iteration at corpus scale: frequency of every
+    adjacent character pair inside words, ranked — the merge table a
+    byte-pair-encoding tokenizer trainer consumes (Sennrich et al.
+    2016). Full BPE is a driver loop (apply top merge, recount); this
+    is the distributed inner step, starting from the character vocab.
+
+    Output: ``rank, pair, n_occurrences`` (top ``top_n``, count-desc
+    with pair tie-break).
+
+    Plan: the corpus collapses to DISTINCT-word counts first (word-keyed
+    combinable aggregate — at 100 TB distinct words are orders of
+    magnitude fewer than tokens), pairs explode from that compact frame
+    weighted by word frequency, and the pair aggregate is map-side
+    combinable over ≤ |alphabet|² keys. The final rank is the
+    TakeOrderedAndProject top-N.
+    """
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        r"\s+",
+    )
+    word_counts = (
+        documents.select(F.explode(toks).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))"
+    )
+    pairs = word_counts.select(
+        F.explode(pair_expr).alias("pair"), "n_words"
+    ).groupBy("pair").agg(F.sum("n_words").alias("n_occurrences"))
+    return deterministic_topk(
+        pairs, [F.col("n_occurrences").desc(), F.col("pair")], top_n
+    )
