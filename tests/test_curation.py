@@ -362,3 +362,37 @@ def test_importance_resample_deterministic_and_complete(spark):
     # ranks follow the key order with doc_id tie-break
     sk = list(out1.sort_values(["rank"]).sample_key)
     assert sk == sorted(sk, reverse=True)
+
+
+def test_split_leakage_flags_cross_split_near_dups(spark):
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        dataset_split,
+        split_leakage,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    # find ids landing in train vs eval under the real hash split
+    probe = dataset_split(
+        spark.range(0, 60).withColumnRenamed("id", "doc_id"), "doc_id"
+    ).toPandas()
+    train_ids = list(probe[probe.split == "train"].doc_id)
+    eval_ids = list(probe[probe.split != "train"].doc_id)
+    assert train_ids and eval_ids
+    t0, t1, e0 = train_ids[0], train_ids[1], eval_ids[0]
+    rows = [
+        (int(t0), base),                              # leaks: near-dup of e0
+        (int(e0), base.replace("lazy", "sleepy")),    # eval twin
+        (int(t1), "completely unrelated text about catalyst plans"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = split_leakage(df, threshold=0.5).toPandas().set_index("doc_id")
+    assert bool(out.loc[t0, "leaky"]) and out.loc[t0, "leaks_to"] == e0
+    assert not out.loc[t1, "leaky"] and out.loc[t1, "n_eval_dups"] == 0
+    assert e0 not in out.index  # output is train docs only
+    # minhash path flags the same leak
+    out2 = (
+        split_leakage(df, threshold=0.5, method="minhash")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert bool(out2.loc[t0, "leaky"])

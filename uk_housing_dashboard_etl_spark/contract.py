@@ -1682,6 +1682,16 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage guard: per-train-doc near-dup flags against
+    the val/test splits (exact Jaccard >= 0.5, hash split 10/10)."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        split_leakage,
+    )
+
+    return split_leakage(read_table(spark, sf_dir, "documents"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4482,6 +4492,40 @@ ORACLES["similarity_lsh_recall"] = (
 ORACLES["similarity_ivf_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
+ORACLES["split_leakage"] = (
+    "WITH pairs AS ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """)
+    , assign AS (
+        SELECT doc_id,
+               CASE WHEN h < 10 THEN 'test' WHEN h < 20 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (SELECT doc_id,
+                     (doc_id * 2654435761) % 1000000007 % 100 AS h
+              FROM documents)
+    ), crossed AS (
+        SELECT CASE WHEN a.split = 'train' THEN p.doc_a ELSE p.doc_b END
+                   AS train_id,
+               CASE WHEN a.split = 'train' THEN p.doc_b ELSE p.doc_a END
+                   AS eval_id,
+               CASE WHEN a.split = 'train' THEN a.split ELSE b.split END
+                   AS t
+        FROM pairs p
+        JOIN assign a ON p.doc_a = a.doc_id
+        JOIN assign b ON p.doc_b = b.doc_id
+        WHERE a.split <> b.split AND p.jaccard >= 0.5
+    ), off AS (
+        SELECT train_id AS doc_id, min(eval_id) AS leaks_to,
+               count(*) AS n_eval_dups
+        FROM crossed WHERE t = 'train' GROUP BY 1
+    )
+    SELECT t.doc_id, o.leaks_to,
+           coalesce(o.n_eval_dups, 0) AS n_eval_dups,
+           (o.leaks_to IS NOT NULL) AS leaky
+    FROM (SELECT doc_id FROM assign WHERE split = 'train') t
+    LEFT JOIN off o ON t.doc_id = o.doc_id
+    """
+)
 ORACLES["importance_resample"] = (
     "WITH s AS ("
     + ORACLES["dsir_scores"]
@@ -4712,6 +4756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_retention": q_weekly_retention,
     "cohort_matrix": q_cohort_matrix,
     "bpe_merges": q_bpe_merges,
+    "split_leakage": q_split_leakage,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,

@@ -611,3 +611,79 @@ def importance_resample(
     return deterministic_topk(
         keyed, [F.col("sample_key").desc(), F.col("doc_id")], k
     )
+
+
+def split_leakage(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    method: str = "exact",
+    val_percent: int = 10,
+    test_percent: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval leakage guard: after the hash split, find train
+    documents that are NEAR-DUPLICATES of a val/test document (n-gram
+    Jaccard ≥ ``threshold``) and flag them for removal — the
+    contamination ``decontaminate`` can't catch, because a paraphrased
+    eval doc shares few exact n-grams windows but a high Jaccard.
+    Benchmarks leak into training sets this way (Lee et al. 2022 §6).
+
+    Output: one row per train doc — ``doc_id, leaks_to, n_eval_dups,
+    leaky`` where ``leaks_to`` is the smallest offending eval doc id
+    (NULL when clean).
+
+    ``method='exact'`` uses the all-pairs shingle join (the oracle
+    baseline — quadratic, sf-scale only); ``method='minhash'`` swaps in
+    banded LSH pairs, the 100 TB path, same downstream shape. The pair
+    frame is filtered to cross-split pairs BEFORE the aggregate, so
+    the flag join carries only offending ids.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    split_doc = dataset_split(documents, id_col, val_percent, test_percent)
+    if method == "exact":
+        pairs = ngram_jaccard_pairs(
+            documents, text_col, id_col, threshold=threshold
+        )
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(
+            documents, text_col, id_col, threshold=threshold
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    assign = split_doc.select(F.col(id_col).alias("doc_id"), "split")
+    sa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.select("doc_a", "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+    # normalize to (train doc, eval doc) regardless of pair orientation
+    cross = tagged.where(F.col("split_a") != F.col("split_b")).select(
+        F.when(F.col("split_a") == "train", F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("train_id"),
+        F.when(F.col("split_a") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("eval_id"),
+        F.when(F.col("split_a") == "train", F.col("split_a"))
+        .otherwise(F.col("split_b"))
+        .alias("__t"),
+    ).where(F.col("__t") == "train")
+    offenders = cross.groupBy(F.col("train_id").alias("doc_id")).agg(
+        F.min("eval_id").alias("leaks_to"),
+        F.count(F.lit(1)).alias("n_eval_dups"),
+    )
+    train = assign.where(F.col("split") == "train").select("doc_id")
+    return train.join(offenders, "doc_id", "left").select(
+        "doc_id",
+        "leaks_to",
+        F.coalesce("n_eval_dups", F.lit(0)).alias("n_eval_dups"),
+        F.col("leaks_to").isNotNull().alias("leaky"),
+    )
