@@ -142,3 +142,93 @@ def test_approx_percentile_mode_close_to_exact(spark, sf_med):
     j = merged.join(band)
     ok = (j["price_median_a"] >= j["lo"]) & (j["price_median_a"] <= j["hi"])
     assert ok.all(), j[~ok][["price_median_e", "price_median_a", "lo", "hi"]]
+
+
+@st.composite
+def word_corpora(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n_docs = draw(st.integers(min_value=2, max_value=25))
+    vocab = [f"w{i}" for i in range(draw(st.integers(3, 12)))]
+    docs = []
+    for i in range(n_docs):
+        n_words = int(rng.integers(0, 30))
+        docs.append((i, " ".join(rng.choice(vocab, n_words))))
+    # plant one exact pair so dup machinery always has signal
+    if n_docs >= 2 and docs[0][1]:
+        docs[1] = (1, docs[0][1])
+    return docs
+
+
+@SLOW
+@given(docs=word_corpora())
+def test_dup_span_coverage_bounds_and_consistency(spark, docs):
+    from uk_housing_dashboard_etl_spark.operators.dedup import dup_span_stats
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = dup_span_stats(df, k=3).toPandas()
+    assert len(out) == len(docs)  # every doc appears
+    # ratio in [0,1]; covered <= n_tokens; zero starts <=> zero coverage
+    assert ((out.dup_ratio >= 0) & (out.dup_ratio <= 1)).all()
+    assert (out.covered_tokens <= out.n_tokens).all()
+    assert ((out.dup_starts == 0) == (out.covered_tokens == 0)).all()
+    # hashed and exact shingle keys agree on real corpora
+    out2 = dup_span_stats(df, k=3, hash_shingles=False).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+@SLOW
+@given(docs=word_corpora())
+def test_chunker_reconstructs_and_covers(spark, docs):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=8, overlap=2).toPandas()
+    for doc_id, text in docs:
+        toks = text.lower().split() if text.strip() else [""]
+        chunks = out[out.doc_id == doc_id].sort_values("chunk_idx")
+        assert len(chunks) >= 1
+        # chunks tile the doc: stride 6, every token covered, last chunk
+        # ends exactly at the doc end
+        last = chunks.iloc[-1]
+        assert last.start_token + last.chunk_len == len(toks)
+        for _, c in chunks.iterrows():
+            got = c.chunk_text.split() if c.chunk_text else [""]
+            assert got == toks[c.start_token : c.start_token + 8]
+
+
+@SLOW
+@given(seed=st.integers(0, 2**31))
+def test_scd2_intervals_partition_timeline(spark, seed):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        scd2_history,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(minutes=int(rng.integers(0, 500))),
+            int(rng.integers(1, 4)),
+            str(rng.choice(["A", "B", "C"])),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = scd2_history(df).toPandas()
+    for key, g in out.groupby("key"):
+        g = g.sort_values("version").reset_index(drop=True)
+        # versions are 1..n, exactly one current, intervals chain
+        assert list(g.version) == list(range(1, len(g) + 1))
+        assert g.is_current.sum() == 1 and bool(g.iloc[-1].is_current)
+        for i in range(len(g) - 1):
+            assert g.iloc[i].valid_to == g.iloc[i + 1].valid_from
+            # consecutive runs always differ in attribute
+            assert g.iloc[i].attr != g.iloc[i + 1].attr
