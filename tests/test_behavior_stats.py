@@ -238,3 +238,17 @@ def test_user_sequences_order_and_truncation(spark):
     assert out.loc[1, "seq_len"] == 3 and bool(out.loc[1, "truncated"])
     # user 2: tie broken by event_id -> A (id 9) before B (id 10)
     assert out.loc[2, "sequence"] == "A B" and not out.loc[2, "truncated"]
+
+
+def test_table_profile_counts(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], ["k", "v"]
+    )
+    out = table_profile(df).toPandas().set_index("column")
+    assert out.loc["k", "n_rows"] == 4 and out.loc["k", "n_nulls"] == 0
+    assert out.loc["k", "n_distinct"] == 3
+    assert out.loc["v", "n_nulls"] == 1 and out.loc["v", "n_distinct"] == 2
+    assert out.loc["v", "null_frac"] == 0.25
+    assert out.loc["k", "distinct_frac"] == 0.75

@@ -1692,6 +1692,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(read_table(spark, sf_dir, "documents"))
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of the events table: per-column row/null/
+    exact-distinct counts and 4dp fractions, long format."""
+    from uk_housing_dashboard_etl_spark.operators.stats import table_profile
+
+    return table_profile(read_table(spark, sf_dir, "events"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4235,6 +4243,20 @@ _EXTENSION_ORACLES["bpe_merges"] = f"""
     FROM agg QUALIFY rank <= 50
     """
 
+_EXTENSION_ORACLES["table_profile"] = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           floor(CAST(count(*) - count({c}) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS null_frac,
+           floor(CAST(count(DISTINCT {c}) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS distinct_frac
+    FROM events
+    """
+    for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+)
+
 _EXTENSION_ORACLES["cohort_matrix"] = """
     WITH active AS (
         SELECT DISTINCT user_id, date_trunc('week', ts) AS week
@@ -4757,6 +4779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_matrix": q_cohort_matrix,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
+    "table_profile": q_table_profile,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,

@@ -165,3 +165,49 @@ def key_skew_summary(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.col("max_count") * F.col("n_keys") / F.col("n_rows")
         ).alias("skew_factor"),
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style per-column profile: row count, null count and
+    fraction, exact distinct count and fraction — the statistics a
+    cost-based planner, data-contract check, or dataset card starts
+    from, as one long-format row per column.
+
+    Plan: ONE aggregate over the scan computes every column's counts
+    (the multi-column exact countDistinct goes through Spark's Expand —
+    one replicated row per profiled column before partial aggregation,
+    a deliberate |cols|× map-side cost bounded by column pruning to the
+    profiled set); the long-format melt of the 1-row result is
+    driver-trivial. At 100 TB profile hot columns individually or swap
+    exact ndv for ``approx_count_distinct`` (HLL, no Expand) — the
+    sketches module's mergeable path.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(per_col).alias("p"))
+        .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
+        .withColumn(
+            "null_frac", round4(F.col("n_nulls") / F.col("n_rows"))
+        )
+        .withColumn(
+            "distinct_frac", round4(F.col("n_distinct") / F.col("n_rows"))
+        )
+    )
