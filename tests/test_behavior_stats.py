@@ -252,3 +252,50 @@ def test_table_profile_counts(spark):
     assert out.loc["v", "n_nulls"] == 1 and out.loc["v", "n_distinct"] == 2
     assert out.loc["v", "null_frac"] == 0.25
     assert out.loc["k", "distinct_frac"] == 0.75
+
+
+def test_time_weighted_mean_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # value 10 held 1 min, value 20 held 3 min, last obs unweighted
+        (1, t(0), 1, "A", 10.0),
+        (2, t(1), 1, "A", 20.0),
+        (3, t(4), 1, "A", 99.0),
+        # single observation -> no elapsed time -> NULL twap
+        (4, t(0), 2, "A", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = time_weighted_mean(df).toPandas().set_index("key")
+    # (10*1 + 20*3) / 4 = 17.5
+    assert out.loc[1, "twap"] == 17.5 and out.loc[1, "n_obs"] == 3
+    assert out.loc[2, "n_obs"] == 1 and pd_isna(out.loc[2, "twap"])
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_join_cardinality_exact_product(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        join_cardinality,
+    )
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], ["k"]
+    )
+    out = join_cardinality(left, right, ["k"]).toPandas().iloc[0]
+    # key 1: 2*3=6, key 2: 1*1=1, key 3/9 unmatched
+    assert out.matched_keys == 2 and out.join_rows == 7
+    assert out.left_rows == 4 and out.right_rows == 5
+    assert out.amplification == 1.4  # 7 / max(4,5)

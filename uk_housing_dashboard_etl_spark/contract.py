@@ -1700,6 +1700,32 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(read_table(spark, sf_dir, "events"))
 
 
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user (each observation
+    weighted by its holding interval, exact integer-unit arithmetic)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    return time_weighted_mean(read_table(spark, sf_dir, "events"))
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted orders x lineitem join size from per-key counts —
+    matched keys, exact output rows, amplification factor."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        join_cardinality,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return join_cardinality(orders, lineitem, ["orderkey"])
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4257,6 +4283,41 @@ _EXTENSION_ORACLES["table_profile"] = " UNION ALL ".join(
     for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
 )
 
+_EXTENSION_ORACLES["twap"] = """
+    WITH base AS (
+        SELECT user_id AS key, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT key, count(*) AS n_obs,
+           floor((CAST(sum(CAST(round(value * 10000.0) AS BIGINT) * dt)
+                      AS DOUBLE) / 10000.0 / sum(dt))
+                 * 10000.0 + 0.5) / 10000.0 AS twap
+    FROM base GROUP BY key
+    """
+
+_EXTENSION_ORACLES["join_cardinality"] = """
+    WITH cl AS (
+        SELECT o_orderkey AS orderkey, count(*) AS nl FROM orders GROUP BY 1
+    ), cr AS (
+        SELECT l_orderkey AS orderkey, count(*) AS nr FROM lineitem GROUP BY 1
+    ), m AS (
+        SELECT count(*) AS matched_keys,
+               CAST(sum(nl * nr) AS BIGINT) AS join_rows
+        FROM cl JOIN cr USING (orderkey)
+    )
+    SELECT m.matched_keys, m.join_rows,
+           (SELECT count(*) FROM orders) AS left_rows,
+           (SELECT count(*) FROM lineitem) AS right_rows,
+           floor(CAST(m.join_rows AS DOUBLE)
+                 / greatest((SELECT count(*) FROM orders),
+                            (SELECT count(*) FROM lineitem))
+                 * 10000.0 + 0.5) / 10000.0 AS amplification
+    FROM m
+    """
+
 _EXTENSION_ORACLES["cohort_matrix"] = """
     WITH active AS (
         SELECT DISTINCT user_id, date_trunc('week', ts) AS week
@@ -4780,6 +4841,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,
+    "twap": q_twap,
+    "join_cardinality": q_join_cardinality,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,

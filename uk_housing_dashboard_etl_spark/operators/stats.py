@@ -211,3 +211,44 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             "distinct_frac", round4(F.col("n_distinct") / F.col("n_rows"))
         )
     )
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Exact predicted inner-join output size WITHOUT running the join:
+    Σ_k cL(k)·cR(k) over the shared keys — the number that decides
+    whether an equi-join is safe to run at all (a hot key on both sides
+    multiplies), plus the matched-key count and an amplification factor
+    vs the larger input. Run this (cost: two compact count aggregates)
+    before any fact-fact join a query planner hasn't seen.
+
+    Plan: each side collapses to (key, count) map-side; the count
+    frames join on the key (rows = distinct keys, not input rows) and
+    reduce to ONE row. Per-key products accumulate in decimal(38) —
+    two hot keys can overflow bigint.
+    """
+    cl = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+    cr = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+    tl = left.agg(
+        F.count(F.lit(1)).alias("left_rows"),
+    ).crossJoin(right.agg(F.count(F.lit(1)).alias("right_rows")))
+    prod = F.col("__nl").cast("decimal(38,0)") * F.col("__nr")
+    matched = cl.join(cr, keys).agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum(prod).cast("decimal(38,0)").alias("join_rows"),
+    )
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    return matched.crossJoin(F.broadcast(tl)).select(
+        "matched_keys",
+        F.col("join_rows").cast("bigint").alias("join_rows"),
+        "left_rows",
+        "right_rows",
+        round4(
+            F.col("join_rows").cast("double")
+            / F.greatest(F.col("left_rows"), F.col("right_rows"))
+        ).alias("amplification"),
+    )

@@ -143,3 +143,58 @@ def interpolate_gaps(
             "is_interpolated"
         ),
     )
+
+
+def time_weighted_mean(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average value per key (TWAP): each observation is
+    weighted by how long it was the latest one, Σ vᵢ·Δtᵢ / Σ Δtᵢ with
+    Δtᵢ = next_tsᵢ − tsᵢ — the correct mean for irregularly-sampled
+    state (prices, sensor readings, feature values), where the plain
+    mean over-weights bursts. The last observation of a key carries no
+    interval and contributes nothing; a single-observation key yields
+    NULL (no elapsed time to weight by).
+
+    Plan: ONE key-keyed exchange; lead() and the aggregate share the
+    partitioning. Weights are integer microseconds and values quantize
+    to 1e-4 units before the weighted sum, so the result is exact
+    integer arithmetic until the final divide (engine-independent;
+    the oracle reproduces it bit-for-bit), then 4dp-rounded.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    dt_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(
+        F.col(ts_col)
+    )
+    # value-units × µs-gaps overflows bigint (5e6 × 6e13 per row), so the
+    # weighted terms accumulate in decimal(38) — exact in Spark, and the
+    # oracle's hugeint sum matches it exactly
+    v_units = (
+        F.round(F.col(value_col) * F.lit(10000.0))
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    weighted = (
+        events.where(
+            F.col(ts_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            (v_units * dt_us).alias("__wv"),
+            dt_us.alias("__w"),
+        )
+    )
+    return weighted.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        round4(
+            F.sum("__wv").cast("double")
+            / F.lit(10000.0)
+            / F.sum("__w")
+        ).alias("twap"),
+    )
