@@ -411,3 +411,57 @@ def test_attribution_stream_joins_within_window_across_batches(spark, tmp_path):
     assert (r["user_id"], r["value"]) == (1, 99.0)
     assert r["view_ts"].to_pydatetime() == t0
     assert r["buy_ts"].to_pydatetime() == t0 + 30 * m
+
+
+def test_rate_cap_stream_counts_across_batches(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.streaming.rate_cap_stream import (
+        rate_cap_stream,
+    )
+
+    d = str(tmp_path / "rcap_landing")
+    ckpt = str(tmp_path / "rcap_ckpt")
+    out = str(tmp_path / "rcap_out")
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+
+    # day 1: user 1 fires 3 events in batch 1, then 2 more in batch 2 —
+    # the counter must CARRY so events 4 and 5 exceed the cap of 3
+    batch1 = [(i, t0 + i * m, 1, "click", 0.0, "") for i in range(3)]
+    batch2 = [(i, t0 + i * m, 1, "click", 0.0, "") for i in range(3, 5)]
+    # different day resets via a different state key
+    batch2 += [(9, t0 + dt.timedelta(days=1), 1, "click", 0.0, "")]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(d)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            rate_cap_stream(stream, max_per_day=3)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(d)
+    drain()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(d)
+    drain()
+
+    res = spark.read.parquet(out).toPandas().set_index("event_id")
+    assert list(res.sort_index().day_seq) == [1, 2, 3, 4, 5, 1]
+    assert res.loc[2, "kept"] and not res.loc[3, "kept"]
+    assert not res.loc[4, "kept"]
+    assert res.loc[9, "kept"] and res.loc[9, "day_seq"] == 1

@@ -1210,6 +1210,40 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user", "stage", "reached_at")
 
 
+def q_streaming_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming rate cap under the driver gate: one
+    AvailableNow drain assigns every event its within-(user, day)
+    sequence and keep flag, which must equal the batch
+    cap_events_per_key window row-for-row (same SQL oracle)."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.rate_cap_stream import (
+        rate_cap_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_rcap_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(land)
+    s = rate_cap_stream(raw, max_per_day=5)
+    with _stream_state_partitions(spark):
+        out = run_stream_once(
+            s, query_name=f"rcap_{uuid.uuid4().hex[:10]}", output_mode="update"
+        )
+    return out.select("event_id", "user_id", "ts", "day", "day_seq", "kept")
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked STREAM-STREAM JOIN under the driver gate: views
     and purchases of the same events stream joined on user + a 1-hour
@@ -4559,6 +4593,9 @@ _EXTENSION_ORACLES["sketch_quantiles"] = """
     GROUP BY event_type
     """
 
+# the streaming drain must equal the batch cap row-for-row
+_EXTENSION_ORACLES["streaming_rate_cap"] = _EXTENSION_ORACLES["cap_events"]
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -4843,6 +4880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "twap": q_twap,
     "join_cardinality": q_join_cardinality,
+    "streaming_rate_cap": q_streaming_rate_cap,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,
