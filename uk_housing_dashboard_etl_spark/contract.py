@@ -4786,12 +4786,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- §2 core re-confirm (green in CORRECTNESS_r01.json) ---
     "clean_transactions": q_clean_transactions,
     "weekly_by_la": q_weekly_by_la,
-    "type_breakdown": q_type_breakdown,
-    "coverage_report": q_coverage_report,
-    "grid_weekly": q_grid_weekly,
     "rolling_windows": q_rolling_windows,
     "anomalies": q_anomalies,
     "latest_snapshot": q_latest_snapshot,
+    "type_breakdown": q_type_breakdown,
+    "coverage_report": q_coverage_report,
+    "grid_weekly": q_grid_weekly,
     "qa_metrics": q_qa_metrics,
     "week_over_week": q_week_over_week,
     "props_json": q_props_json,
