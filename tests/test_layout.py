@@ -107,3 +107,22 @@ def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file z-ranges overlap: range partitioning broken"
+
+
+def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    from uk_housing_dashboard_etl_spark.sources.layout import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "frag")
+    # many tiny files (AQE may coalesce some of the 40 partitions)
+    spark.range(40).repartition(40).write.parquet(path)
+    assert len(glob.glob(path + "/part-*.parquet")) > 5
+    before = {r.id for r in spark.read.parquet(path).collect()}
+
+    n = compact_small_files(spark, path, target_mb=128)
+    files = glob.glob(path + "/part-*.parquet")
+    assert n == 1 and len(files) == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == before
