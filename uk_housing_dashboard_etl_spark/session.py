@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # stderr progress bars interleave with harness output (selfcheck/
+        # bench pipe through shells) and garble per-query log lines
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata parquet carries TIMESTAMP(NANOS); read as long and let
         # the reader convert to micros (matches DuckDB's truncation)
