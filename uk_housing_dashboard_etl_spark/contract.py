@@ -1244,6 +1244,44 @@ def q_streaming_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", "day", "day_seq", "kept")
 
 
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Welford stateful anomaly stream drained once (rows-only
+    check: per-row prequential z-scores depend on within-timestamp
+    arrival order, so values aren't oracle-comparable — the cross-batch
+    state semantics are pinned by tests/test_streaming.py instead)."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.stateful import (
+        streaming_anomaly_scores,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_anom_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(land)
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    )
+    s = streaming_anomaly_scores(raw)
+    with _stream_state_partitions(spark):
+        out = run_stream_once(
+            s, query_name=f"anom_{uuid.uuid4().hex[:10]}", output_mode="append"
+        )
+    return out.select("key", "ts", "value", "zscore", "is_anomaly", "n_seen")
+
+
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The watermarked STREAM-STREAM JOIN under the driver gate: views
     and purchases of the same events stream joined on user + a 1-hour
@@ -4881,6 +4919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twap": q_twap,
     "join_cardinality": q_join_cardinality,
     "streaming_rate_cap": q_streaming_rate_cap,
+    "streaming_anomaly": q_streaming_anomaly,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "cumulative_users": q_cumulative_users,
