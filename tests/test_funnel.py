@@ -160,3 +160,36 @@ def test_cohort_matrix_triangle(spark):
     assert c0.loc[2, "active_users"] == 2 and c0.loc[2, "retention"] == 1.0
     c1 = out[out.cohort_week == mon + wk].set_index("week_offset")
     assert c1.loc[0, "cohort_size"] == 1 and len(c1) == 1
+
+
+def test_funnel_timing_hand_computed(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.funnel import funnel_timing
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: signup -> view after 2 min -> click after 3 more
+        (1, t0, 1, "view2", 0.0),  # wrong-type noise
+        (2, t0, 1, "signup", 0.0),
+        (3, t0 + 2 * m, 1, "view", 0.0),
+        (4, t0 + 5 * m, 1, "click", 0.0),
+        # user 2: signup -> view after 4 min, never clicks
+        (5, t0, 2, "signup", 0.0),
+        (6, t0 + 4 * m, 2, "view", 0.0),
+        # user 3: view BEFORE signup must not count (strict order)
+        (7, t0, 3, "view", 0.0),
+        (8, t0 + m, 3, "signup", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    out = funnel_timing(
+        df, ["signup", "view", "click", "purchase"]
+    ).toPandas().set_index("stage_from")
+    # stage 1->2: users 1 (120 s) and 2 (240 s): median 180
+    assert out.loc[1, "n_users"] == 2 and out.loc[1, "median_s"] == 180.0
+    # stage 2->3: only user 1 (180 s)
+    assert out.loc[2, "n_users"] == 1 and out.loc[2, "median_s"] == 180.0
+    assert 3 not in out.index  # nobody purchased

@@ -1798,6 +1798,19 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality(orders, lineitem, ["orderkey"])
 
 
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert between adjacent funnel stages (strict greedy
+    semantics, exact median/p90 of elapsed seconds)."""
+    from uk_housing_dashboard_etl_spark.operators.funnel import (
+        funnel_timing,
+    )
+
+    return funnel_timing(
+        read_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+    )
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4390,6 +4403,42 @@ _EXTENSION_ORACLES["join_cardinality"] = """
     FROM m
     """
 
+_EXTENSION_ORACLES["funnel_timing"] = """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'signup' AND ts IS NOT NULL GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ), s4 AS (
+        SELECT e.user_id, min(e.ts) AS t FROM events e
+        JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    ), d AS (
+        SELECT 1 AS stage_from, epoch_us(s2.t) - epoch_us(s1.t) AS dt_us
+        FROM s1 JOIN s2 USING (user_id)
+        UNION ALL
+        SELECT 2, epoch_us(s3.t) - epoch_us(s2.t)
+        FROM s2 JOIN s3 USING (user_id)
+        UNION ALL
+        SELECT 3, epoch_us(s4.t) - epoch_us(s3.t)
+        FROM s3 JOIN s4 USING (user_id)
+    )
+    SELECT CAST(stage_from AS INT) AS stage_from,
+           CAST(stage_from + 1 AS INT) AS stage_to,
+           count(*) AS n_users,
+           floor(quantile_cont(dt_us, 0.5) / 1000000.0 * 10000.0 + 0.5)
+               / 10000.0 AS median_s,
+           floor(quantile_cont(dt_us, 0.9) / 1000000.0 * 10000.0 + 0.5)
+               / 10000.0 AS p90_s
+    FROM d GROUP BY stage_from
+    """
+
 _EXTENSION_ORACLES["cohort_matrix"] = """
     WITH active AS (
         SELECT DISTINCT user_id, date_trunc('week', ts) AS week
@@ -4913,6 +4962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_funnel": q_conversion_funnel,
     "weekly_retention": q_weekly_retention,
     "cohort_matrix": q_cohort_matrix,
+    "funnel_timing": q_funnel_timing,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

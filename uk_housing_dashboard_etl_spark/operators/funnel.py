@@ -204,3 +204,84 @@ def cohort_matrix(
             ),
         )
     )
+
+
+def funnel_timing(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert between adjacent funnel stages: for each stage
+    transition, among users who made it, the exact median and p90 of
+    the elapsed seconds — where the funnel is LOSING people slowly vs
+    fast, the follow-up question to :func:`funnel_steps`' counts.
+
+    Semantics share the strict greedy fold: the same single-shuffle
+    per-user ``aggregate`` as ``funnel_steps``, extended to carry the
+    ARRAY of satisfying timestamps, so both operators are one scan and
+    agree by construction. Elapsed times are integer microseconds into
+    the exact percentile (linear interpolation), divided to seconds and
+    4dp-rounded only at the end.
+
+    Output: ``stage_from, stage_to, n_users, median_s, p90_s``.
+    """
+    n = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    typed = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).where(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "etype")))
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("t"),
+        F.array().cast("array<timestamp>").alias("times"),
+    )
+
+    def _advance(acc: F.Column, e: F.Column) -> F.Column:
+        can = (
+            (acc.stage < F.lit(n))
+            & (e.etype == F.element_at(steps_arr, acc.stage + 1))
+            & ((acc.stage == 0) | (e.ts > acc.t))
+        )
+        return F.when(
+            can,
+            F.struct(
+                (acc.stage + 1).alias("stage"),
+                e.ts.alias("t"),
+                F.array_append(acc.times, e.ts).alias("times"),
+            ),
+        ).otherwise(acc)
+
+    times = typed.groupBy("user").agg(
+        F.aggregate(ordered, init, _advance).getField("times").alias("times")
+    )
+    # one row per achieved transition: stage i -> i+1 with elapsed µs
+    deltas = times.select(
+        F.posexplode(
+            F.expr(
+                # sequence(1, 0) would generate DESCENDING [1, 0]: guard
+                # single-stage users with an explicit empty array
+                "CASE WHEN size(times) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(times) - 1), i ->"
+                " unix_micros(times[i]) - unix_micros(times[i - 1])) END"
+            )
+        ).alias("idx", "dt_us")
+    ).select((F.col("idx") + 1).alias("stage_from"), "dt_us")
+    pcts = F.percentile("dt_us", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        deltas.where(F.col("dt_us").isNotNull())
+        .groupBy("stage_from")
+        .agg(F.count(F.lit(1)).alias("n_users"), pcts.alias("__p"))
+        .select(
+            F.col("stage_from").cast("int").alias("stage_from"),
+            (F.col("stage_from") + 1).cast("int").alias("stage_to"),
+            "n_users",
+            round4(F.col("__p")[0] / F.lit(1e6)).alias("median_s"),
+            round4(F.col("__p")[1] / F.lit(1e6)).alias("p90_s"),
+        )
+    )
