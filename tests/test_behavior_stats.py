@@ -299,3 +299,26 @@ def test_join_cardinality_exact_product(spark):
     assert out.matched_keys == 2 and out.join_rows == 7
     assert out.left_rows == 4 and out.right_rows == 5
     assert out.amplification == 1.4  # 7 / max(4,5)
+
+
+def test_grouped_slope_recovers_planted_line(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import grouped_slope
+
+    # y = 2.5x + 7 exactly; one flat group; one single-point group
+    rows = (
+        [("lin", x, 2.5 * x + 7.0) for x in range(10)]
+        + [("flat", x, 42.0) for x in range(5)]
+        + [("single", 3, 9.0)]
+    )
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = (
+        grouped_slope(df, ["g"], F.col("x"), F.col("y"))
+        .toPandas()
+        .set_index("g")
+    )
+    assert out.loc["lin", "slope"] == 2.5 and out.loc["lin", "intercept"] == 7.0
+    assert out.loc["flat", "slope"] == 0.0 and out.loc["flat", "intercept"] == 42.0
+    # zero x-variance -> NULL slope, not a crash or a division blowup
+    import pandas as pd
+
+    assert pd.isna(out.loc["single", "slope"])

@@ -1811,6 +1811,18 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value vs days-since-epoch (exact
+    decimal moment sums, 4dp slope/intercept)."""
+    from uk_housing_dashboard_etl_spark.operators.stats import grouped_slope
+
+    events = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    x = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    return grouped_slope(events, ["event_type"], x, F.col("value"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4403,6 +4415,33 @@ _EXTENSION_ORACLES["join_cardinality"] = """
     FROM m
     """
 
+_EXTENSION_ORACLES["value_trend"] = """
+    WITH base AS (
+        SELECT event_type,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(round(value * 10000.0) AS BIGINT) AS yu
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), agg AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yu) AS sy,
+               sum(CAST(x AS HUGEINT) * yu) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx
+        FROM base GROUP BY 1
+    ), su AS (
+        SELECT event_type, n, sx, sy,
+               CASE WHEN (n * sxx - sx * sx) <> 0 THEN
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS s
+        FROM agg
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_points,
+           floor(s / 10000.0 * 10000.0 + 0.5) / 10000.0 AS slope,
+           floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - s * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / 10000.0 * 10000.0 + 0.5) / 10000.0 AS intercept
+    FROM su
+    """
+
 _EXTENSION_ORACLES["funnel_timing"] = """
     WITH s1 AS (
         SELECT user_id, min(ts) AS t FROM events
@@ -4963,6 +5002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weekly_retention": q_weekly_retention,
     "cohort_matrix": q_cohort_matrix,
     "funnel_timing": q_funnel_timing,
+    "value_trend": q_value_trend,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

@@ -252,3 +252,54 @@ def join_cardinality(
             / F.greatest(F.col("left_rows"), F.col("right_rows"))
         ).alias("amplification"),
     )
+
+
+def grouped_slope(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+) -> DataFrame:
+    """Per-group OLS trend line (slope + intercept) from exact moment
+    sums: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) — the "is this metric
+    drifting" primitive (price trend per region, value trend per event
+    type) as ONE map-side-combinable aggregate, no window, no sort.
+
+    Determinism: x must be integer-valued (e.g. days since epoch); y
+    quantizes to 1e-4 units; all five moments accumulate in decimal(38)
+    (Σxy with day-scale x and 1e-4-unit y overflows bigint), so the
+    slope is exact integer arithmetic until the final divide, then
+    4dp-rounded — bit-identical in the SQL oracle's hugeint sums.
+    Groups with a single point (or constant x) have zero variance and
+    yield NULL slope/intercept.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    x = x_col.cast("decimal(38,0)")
+    yu = F.round(y_col * F.lit(10000.0)).cast("bigint").cast("decimal(38,0)")
+    agg = df.where(x_col.isNotNull() & y_col.isNotNull()).groupBy(
+        *group_cols
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(yu).alias("__sy"),
+        F.sum(x * yu).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    den = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    slope_units = F.when(den != 0, num / den)
+    mean_y = F.col("__sy").cast("double") / F.col("__n").cast("double")
+    mean_x = F.col("__sx").cast("double") / F.col("__n").cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("bigint").alias("n_points"),
+        round4(slope_units / F.lit(10000.0)).alias("slope"),
+        round4((mean_y - slope_units * mean_x) / F.lit(10000.0)).alias(
+            "intercept"
+        ),
+    )
