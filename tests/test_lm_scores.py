@@ -222,3 +222,31 @@ def test_bpe_merge_candidates_hand_computed(spark):
     assert out.loc["ab", "rank"] == 1
     # single-char word "x" contributes nothing
     assert len(out) == 2
+
+
+def test_pmi_pairs_hand_computed(spark):
+    import math
+
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        pmi_pairs,
+    )
+
+    # "a b" co-occur in all 6 docs; "a c" in 3 of 6; c alone in 0 others
+    rows = [(i, "a b" + (" c" if i < 3 else "")) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_pairs(df, min_support=2).toPandas().set_index(
+        ["word_a", "word_b"]
+    )
+    # PMI(a,b) = ln(6*6/(6*6)) = 0
+    assert out.loc[("a", "b"), "pmi"] == 0.0
+    # PMI(a,c) = ln(6*3/(6*3)) = 0; PMI(b,c) identical
+    assert out.loc[("a", "c"), "pmi"] == 0.0
+    # tighten: make c docs exclusive pairs with d
+    rows2 = [(i, "x y") for i in range(4)] + [(9, "x z"), (10, "y z")]
+    df2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    out2 = pmi_pairs(df2, min_support=2).toPandas().set_index(
+        ["word_a", "word_b"]
+    )
+    # x,y: both in 5 docs, together in 4 of 6: ln(6*4/25)
+    expected = math.floor(math.log(24 / 25) * 10000 + 0.5) / 10000
+    assert out2.loc[("x", "y"), "pmi"] == expected

@@ -1823,6 +1823,16 @@ def q_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_slope(events, ["event_type"], x, F.col("value"))
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word pairs by document-cooccurrence PMI (min support 5,
+    total PMI-desc/pair ordering)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        pmi_pairs,
+    )
+
+    return pmi_pairs(read_table(spark, sf_dir, "documents"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4415,6 +4425,36 @@ _EXTENSION_ORACLES["join_cardinality"] = """
     FROM m
     """
 
+_EXTENSION_ORACLES["pmi_pairs"] = f"""
+    WITH dw AS (
+        SELECT DISTINCT doc_id, w AS word
+        FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+        WHERE w <> ''
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM dw
+    ), cw AS (
+        SELECT word, count(*) AS c FROM dw GROUP BY 1
+    ), pairs AS (
+        SELECT a.word AS word_a, b.word AS word_b, count(*) AS n_docs_both
+        FROM dw a JOIN dw b
+          ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ), scored AS (
+        SELECT word_a, word_b, n_docs_both,
+               floor(ln((n.n_docs * n_docs_both)
+                        / CAST(ca.c * cb.c AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS pmi
+        FROM pairs
+        JOIN cw ca ON ca.word = word_a
+        JOIN cw cb ON cb.word = word_b
+        CROSS JOIN n
+    )
+    SELECT word_a, word_b, n_docs_both, pmi,
+           CAST(row_number() OVER (ORDER BY pmi DESC, word_a, word_b)
+               AS INT) AS rank
+    FROM scored QUALIFY rank <= 50
+    """
+
 _EXTENSION_ORACLES["value_trend"] = """
     WITH base AS (
         SELECT event_type,
@@ -5003,6 +5043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_matrix": q_cohort_matrix,
     "funnel_timing": q_funnel_timing,
     "value_trend": q_value_trend,
+    "pmi_pairs": q_pmi_pairs,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

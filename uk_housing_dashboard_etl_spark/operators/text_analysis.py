@@ -842,3 +842,83 @@ def bpe_merge_candidates(
     return deterministic_topk(
         pairs, [F.col("n_occurrences").desc(), F.col("pair")], top_n
     )
+
+
+def pmi_pairs(
+    documents: DataFrame,
+    top_n: int = 50,
+    min_support: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top word pairs by pointwise mutual information over document
+    co-occurrence: PMI(a,b) = ln(N·c_ab / (c_a·c_b)) with document
+    frequencies — the classic collocation/association statistic behind
+    phrase mining and embedding-era co-occurrence matrices
+    (word2vec/GloVe train on exactly these counts).
+
+    ``min_support`` drops rare pairs whose PMI is high by accident (the
+    standard correction); ranking is total (PMI desc, then pair).
+
+    Plan: distinct (doc, word) → per-doc pair fan-out via a doc-keyed
+    self-join — quadratic in each DOCUMENT'S vocabulary (bounded by doc
+    length), linear in documents, and the pair aggregate combines
+    map-side. At web scale cap per-doc vocabulary first (sample or
+    truncate long docs) — the fan-out bound is then a constant. The
+    PMI ratio is integer·integer / integer·integer in one double
+    divide, so both engines compute the identical ln input.
+    """
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        r"\s+",
+    )
+    dw = (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    n_docs = dw.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    cw = dw.groupBy("word").agg(F.count(F.lit(1)).alias("__cw"))
+    a = dw.alias("a")
+    b = dw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+        .where(F.col("n_docs_both") >= min_support)
+    )
+    ca = cw.select(F.col("word").alias("word_a"), F.col("__cw").alias("__ca"))
+    cb = cw.select(F.col("word").alias("word_b"), F.col("__cw").alias("__cb"))
+    scored = (
+        pairs.join(ca, "word_a")
+        .join(cb, "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            "n_docs_both",
+            round4(
+                F.log(
+                    (F.col("__n_docs") * F.col("n_docs_both"))
+                    / (F.col("__ca") * F.col("__cb"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return deterministic_topk(
+        scored,
+        [F.col("pmi").desc(), F.col("word_a"), F.col("word_b")],
+        top_n,
+    )
