@@ -496,3 +496,31 @@ def test_dedup_against_index_flags(spark):
     assert bool(out.loc[5, "keep"])
     assert bool(out.loc[7, "keep"]) and not out.loc[7, "exact_dup_in_batch"]
     assert bool(out.loc[9, "exact_dup_in_batch"]) and not out.loc[9, "keep"]
+
+
+def test_semantic_decontaminate_flags_eval_twins(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # identical to eval 100
+            (2, [0.0, 1.0, 0.0]),   # orthogonal to all eval vectors
+            (3, [0.9, 0.1, 0.0]),   # near eval 100
+        ],
+        ["vec_id", "embedding"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = (
+        semantic_decontaminate(corpus, eval_set, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[1, "contaminated"] and out.loc[1, "closest_eval_id"] == 100
+    assert out.loc[1, "max_eval_cosine"] == 1.0
+    assert not out.loc[2, "contaminated"] and out.loc[2, "max_eval_cosine"] == 0.0
+    assert bool(out.loc[3, "contaminated"])  # cos ~= 0.9939

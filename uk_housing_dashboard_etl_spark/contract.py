@@ -1833,6 +1833,21 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors (vec_id % 10 != 0)
+    flagged by max cosine vs the eval split (vec_id % 10 == 0)."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 10 != 0),
+        emb.where(F.col("vec_id") % 10 == 0),
+        threshold=0.4,
+    )
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4425,6 +4440,30 @@ _EXTENSION_ORACLES["join_cardinality"] = """
     FROM m
     """
 
+_EXTENSION_ORACLES["semantic_decontaminate"] = f"""
+    WITH c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+    ), e AS (
+        SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+        WHERE vec_id % 10 = 0
+    ), scored AS (
+        SELECT c.vec_id, e.eval_id,
+               floor(({_cos_sql('c.embedding', 'e.ev')})
+                     * 10000.0 + 0.5) / 10000.0 AS cos
+        FROM c CROSS JOIN e
+    )
+    , ranked AS (
+        SELECT vec_id, eval_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, eval_id) AS rn,
+               max(cos) OVER (PARTITION BY vec_id) AS mx
+        FROM scored
+    )
+    SELECT vec_id, mx AS max_eval_cosine, eval_id AS closest_eval_id,
+           (mx >= 0.4) AS contaminated
+    FROM ranked WHERE rn = 1
+    """
+
 _EXTENSION_ORACLES["pmi_pairs"] = f"""
     WITH dw AS (
         SELECT DISTINCT doc_id, w AS word
@@ -5044,6 +5083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_timing": q_funnel_timing,
     "value_trend": q_value_trend,
     "pmi_pairs": q_pmi_pairs,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

@@ -626,3 +626,54 @@ def quantize_embeddings(
         codes.alias("codes"),
         round4(dequant_err).alias("max_err"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose embedding is
+    too close (cosine ≥ threshold) to ANY eval-set vector — the
+    paraphrase-robust complement to n-gram decontamination
+    (``curation.decontaminate`` / ``decontaminate_bloom``), which a
+    reworded benchmark item slips past while its embedding stays put.
+
+    Output per corpus vector: ``vec_id, max_eval_cosine (4dp),
+    closest_eval_id, contaminated``.
+
+    Plan: the eval set (benchmarks — thousands of rows) broadcasts with
+    precomputed norms; each corpus partition scores locally (the same
+    prenormalized sequential-fold cosine as the top-k family, so the
+    flag is bit-reproducible) and reduces to one row per corpus vector
+    — the corpus never shuffles. At extreme eval-set sizes route
+    through ``lsh_bucketed_topk``'s sign-bucket join instead; the
+    brute broadcast is exact and preferred while the eval side fits a
+    broadcast (the common case).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm_expr("cv"))
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        _as_double(vec_col).alias("ev"),
+    ).withColumn("en", norm_expr("ev"))
+    cos = round4(cosine_prenorm_expr("cv", "ev", "cn", "en"))
+    scored = c.join(F.broadcast(e)).select(
+        "vec_id", "eval_id", cos.alias("cos")
+    )
+    best = F.max_by(
+        F.col("eval_id"), F.struct(F.col("cos"), (-F.col("eval_id")))
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cos").alias("max_eval_cosine"),
+        best.alias("closest_eval_id"),
+    ).select(
+        "vec_id",
+        "max_eval_cosine",
+        "closest_eval_id",
+        (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
+    )
