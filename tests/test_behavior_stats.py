@@ -322,3 +322,22 @@ def test_grouped_slope_recovers_planted_line(spark):
     import pandas as pd
 
     assert pd.isna(out.loc["single", "slope"])
+
+
+def test_psi_drift_detects_shift(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import psi_drift
+
+    # "stable": identical uniform values both periods -> psi ~ 0
+    # "shifted": current values land entirely in the top reference decile
+    rows = []
+    for i in range(100):
+        rows.append(("stable", float(i % 10), True))
+        rows.append(("stable", float(i % 10), False))
+        rows.append(("shifted", float(i % 10), True))
+        rows.append(("shifted", 100.0 + i, False))
+    df = spark.createDataFrame(rows, ["g", "value", "ref"])
+    out = psi_drift(df, ["g"], "value", F.col("ref")).toPandas().set_index("g")
+    assert out.loc["stable", "psi"] < 0.01
+    assert not out.loc["stable", "drifted"]
+    assert out.loc["shifted", "psi"] > 1.0 and bool(out.loc["shifted", "drifted"])
+    assert out.loc["shifted", "n_ref"] == 100 and out.loc["shifted", "n_cur"] == 100

@@ -1848,6 +1848,22 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of event value per type: first 15 days (reference) vs
+    the rest, reference-decile buckets, add-one smoothing."""
+    from uk_housing_dashboard_etl_spark.operators.stats import psi_drift
+
+    events = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    return psi_drift(
+        events,
+        ["event_type"],
+        "value",
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+    )
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4464,6 +4480,52 @@ _EXTENSION_ORACLES["semantic_decontaminate"] = f"""
     FROM ranked WHERE rn = 1
     """
 
+_EXTENSION_ORACLES["psi_drift"] = """
+    WITH tagged AS (
+        SELECT event_type, value AS v,
+               (ts < TIMESTAMP '2024-01-16') AS ref
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), edges AS (
+        SELECT event_type,
+               quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS e
+        FROM tagged WHERE ref GROUP BY 1
+    ), bucketed AS (
+        SELECT t.event_type, t.ref,
+               1 + len(list_filter(ed.e, x -> t.v > x)) AS b
+        FROM tagged t JOIN edges ed USING (event_type)
+    ), counts AS (
+        SELECT event_type, b,
+               sum(CASE WHEN ref THEN 1 ELSE 0 END) AS cr,
+               sum(CASE WHEN ref THEN 0 ELSE 1 END) AS cc
+        FROM bucketed GROUP BY 1, 2
+    ), dense AS (
+        SELECT ed.event_type, u.i AS b,
+               coalesce(c.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+        FROM edges ed
+        CROSS JOIN unnest(generate_series(1, 10)) AS u(i)
+        LEFT JOIN counts c ON c.event_type = ed.event_type AND c.b = u.i
+    ), terms AS (
+        SELECT event_type, cr, cc,
+               ((cr + 1) / (sum(cr) OVER (PARTITION BY event_type) + 10.0)
+                - (cc + 1) / (sum(cc) OVER (PARTITION BY event_type) + 10.0))
+               * ln(((cr + 1)
+                     / (sum(cr) OVER (PARTITION BY event_type) + 10.0))
+                    / ((cc + 1)
+                       / (sum(cc) OVER (PARTITION BY event_type) + 10.0)))
+                   AS t
+        FROM dense
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(cr) AS BIGINT) AS n_ref,
+               CAST(sum(cc) AS BIGINT) AS n_cur,
+               floor((CAST(sum(CAST(round(t * 10000.0) AS BIGINT)) AS DOUBLE)
+                      / 10000.0) * 10000.0 + 0.5) / 10000.0 AS psi
+        FROM terms GROUP BY 1
+    )
+    SELECT event_type, n_ref, n_cur, psi, (psi >= 0.2) AS drifted FROM agg
+    """
+
 _EXTENSION_ORACLES["pmi_pairs"] = f"""
     WITH dw AS (
         SELECT DISTINCT doc_id, w AS word
@@ -5084,6 +5146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_trend": q_value_trend,
     "pmi_pairs": q_pmi_pairs,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "psi_drift": q_psi_drift,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

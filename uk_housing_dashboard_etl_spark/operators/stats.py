@@ -303,3 +303,90 @@ def grouped_slope(
             "intercept"
         ),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    period_col,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group between two periods: bucket
+    the CURRENT period's values by the REFERENCE period's exact decile
+    edges and compute Σ (p−q)·ln(p/q) — the standard drift monitor for
+    model inputs/outputs (rule of thumb: <0.1 stable, >0.2 drifted).
+    ``period_col`` is a boolean column: true = reference, false =
+    current.
+
+    Add-one smoothing on bucket counts (p = (c+1)/(n+buckets)) keeps
+    empty buckets finite and the statistic exactly reproducible — no
+    epsilon tuning. The per-bucket ln terms are 1e-4-quantized before
+    the (10-row) sum (``dsum``) so partial-agg order can't perturb the
+    4dp result.
+
+    Plan: one pass for per-group reference deciles (exact percentile —
+    groups × 9 edges, a broadcastable frame), one pass assigning every
+    row its bucket via a codegen ``filter(edges, x -> v > x)`` count,
+    then a groups × buckets aggregate — nothing larger than
+    |groups|·|buckets| ever reaches the driver side of the plan.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import (
+        dsum,
+        round4,
+    )
+
+    tagged = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        period_col.alias("__ref"),
+    )
+    pts = F.array(
+        *[F.lit(i / n_buckets) for i in range(1, n_buckets)]
+    )
+    edges = (
+        tagged.where(F.col("__ref"))
+        .groupBy(*group_cols)
+        .agg(F.percentile("__v", pts).alias("__edges"))
+    )
+    bucketed = tagged.join(F.broadcast(edges), group_cols).select(
+        *group_cols,
+        "__ref",
+        (
+            F.lit(1)
+            + F.size(F.filter("__edges", lambda x: F.col("__v") > x))
+        ).alias("__b"),
+    )
+    counts = bucketed.groupBy(*group_cols, "__b").agg(
+        F.sum(F.when(F.col("__ref"), 1).otherwise(0)).alias("__cr"),
+        F.sum(F.when(~F.col("__ref"), 1).otherwise(0)).alias("__cc"),
+    )
+    # densify to all buckets so absent buckets still contribute
+    all_buckets = edges.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.lit(1), F.lit(n_buckets))
+        ).alias("__b"),
+    )
+    dense = all_buckets.join(counts, [*group_cols, "__b"], "left").select(
+        *group_cols,
+        "__b",
+        F.coalesce("__cr", F.lit(0)).alias("__cr"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    w = Window.partitionBy(*group_cols)
+    nb = F.lit(float(n_buckets))
+    p = (F.col("__cr") + 1) / (F.sum("__cr").over(w) + nb)
+    q = (F.col("__cc") + 1) / (F.sum("__cc").over(w) + nb)
+    term = (p - q) * F.log(p / q)
+    per_bucket = dense.select(
+        *group_cols,
+        F.col("__cr").alias("cr"),
+        F.col("__cc").alias("cc"),
+        term.alias("__t"),
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.sum("cr").alias("n_ref"),
+        F.sum("cc").alias("n_cur"),
+        round4(dsum(F.col("__t"))).alias("psi"),
+    ).withColumn("drifted", F.col("psi") >= 0.2)
