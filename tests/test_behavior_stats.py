@@ -341,3 +341,34 @@ def test_psi_drift_detects_shift(spark):
     assert not out.loc["stable", "drifted"]
     assert out.loc["shifted", "psi"] > 1.0 and bool(out.loc["shifted", "drifted"])
     assert out.loc["shifted", "n_ref"] == 100 and out.loc["shifted", "n_cur"] == 100
+
+
+def test_attribution_credit_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        attribution_credit,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # user 1: view, click -> purchase (0.5 each), then view -> purchase
+        (1, t(0), 1, "view"),
+        (2, t(1), 1, "click"),
+        (3, t(2), 1, "purchase"),
+        (4, t(3), 1, "view"),
+        (5, t(4), 1, "purchase"),
+        # user 2: purchase with NO touches -> unattributed
+        (6, t(0), 2, "purchase"),
+        # user 3: touches but no conversion -> zero credit
+        (7, t(0), 3, "view"),
+        (8, t(1), 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = attribution_credit(df).toPandas().set_index("event_type")
+    # view: 0.5 (first window) + 1.0 (second window) = 1.5
+    assert out.loc["view", "credit"] == 1.5 and out.loc["view", "n_touches"] == 2
+    assert out.loc["click", "credit"] == 0.5
+    assert out.loc["purchase", "credit"] == 1.0  # user 2 unattributed
+    # total credit equals the number of conversions
+    assert abs(out.credit.sum() - 3.0) < 1e-9
+    # user 3's touches earn nothing (click appears once, from user 1)
+    assert out.loc["click", "n_touches"] == 1

@@ -1864,6 +1864,16 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase splits one credit
+    unit equally over the touches since the previous purchase."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        attribution_credit,
+    )
+
+    return attribution_credit(read_table(spark, sf_dir, "events"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4480,6 +4490,44 @@ _EXTENSION_ORACLES["semantic_decontaminate"] = f"""
     FROM ranked WHERE rn = 1
     """
 
+_EXTENSION_ORACLES["attribution_credit"] = """
+    WITH rel AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IN ('purchase', 'view', 'click', 'signup')
+    ), marked AS (
+        SELECT user_id AS u, event_type AS etype,
+               coalesce(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS win,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_conv
+        FROM rel
+    ), touches AS (
+        SELECT u, etype, win FROM marked WHERE is_conv = 0
+    ), convs AS (
+        SELECT u, win AS cwin FROM marked WHERE is_conv = 1
+    ), sizes AS (
+        SELECT u, win, count(*) AS n FROM touches GROUP BY 1, 2
+    ), credited AS (
+        SELECT t.etype, 1.0 / s.n AS credit
+        FROM touches t
+        JOIN convs c ON t.u = c.u AND t.win = c.cwin
+        JOIN sizes s ON s.u = t.u AND s.win = t.win
+    ), unattributed AS (
+        SELECT 'purchase' AS etype, 1.0 AS credit
+        FROM convs c ANTI JOIN sizes s ON c.u = s.u AND c.cwin = s.win
+    )
+    SELECT etype AS event_type, count(*) AS n_touches,
+           floor((CAST(sum(CAST(round(credit * 10000.0) AS BIGINT))
+                      AS DOUBLE) / 10000.0) * 10000.0 + 0.5) / 10000.0
+               AS credit
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM unattributed)
+    GROUP BY 1
+    """
+
 _EXTENSION_ORACLES["psi_drift"] = """
     WITH tagged AS (
         SELECT event_type, value AS v,
@@ -5147,6 +5195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_pairs": q_pmi_pairs,
     "semantic_decontaminate": q_semantic_decontaminate,
     "psi_drift": q_psi_drift,
+    "attribution_credit": q_attribution_credit,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

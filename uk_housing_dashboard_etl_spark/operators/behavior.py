@@ -241,3 +241,82 @@ def user_sequences(
         (n > max_len).alias("truncated"),
         F.concat_ws(" ", tail).alias("sequence"),
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click", "signup"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion distributes one
+    unit of credit equally across the touch events since the user's
+    PREVIOUS conversion (exclusive) — the model marketing/behavior
+    teams reach for after last-touch stops explaining anything.
+    Conversions with no preceding touch keep their unit as
+    'unattributed' (credited to the conversion type itself).
+
+    Output per touch type: ``event_type, n_touches, credit`` (4dp),
+    plus one row for the conversion type holding the unattributed
+    credit. Total credit across rows = number of conversions.
+
+    Plan: ONE user-keyed sort shared by both windows — a running
+    conversion counter assigns every touch to the conversion window it
+    precedes; per-(user, window) touch counts come from a second pass
+    over the same partitioning; credits are exact rationals (1/n)
+    quantized through ``dsum``.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import dsum, round4
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    relevant = events.where(
+        F.col(ts_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(type_col).isin([conversion_type, *touch_types])
+    )
+    is_conv = (F.col(type_col) == conversion_type).cast("int")
+    # conversions BEFORE this row (exclusive): touches between conv k and
+    # conv k+1 carry window id k; conversion k itself also carries k
+    marked = relevant.select(
+        F.col(key_col).alias("user"),
+        F.col(type_col).alias("etype"),
+        F.coalesce(
+            F.sum(is_conv).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("win"),
+        is_conv.alias("is_conv"),
+    )
+    touches = marked.where(F.col("is_conv") == 0)
+    convs = marked.where(F.col("is_conv") == 1).select(
+        "user", F.col("win").alias("cwin")
+    )
+    sizes = touches.groupBy("user", "win").agg(
+        F.count(F.lit(1)).alias("n_in_win")
+    )
+    # each touch's window is credited only if that window ENDS in a
+    # conversion (join on the conversion's window id)
+    credited = (
+        touches.join(
+            convs, (touches.user == convs.user) & (touches.win == convs.cwin)
+        )
+        .drop(convs.user)
+        .join(sizes, ["user", "win"])
+        .select("etype", (F.lit(1.0) / F.col("n_in_win")).alias("credit"))
+    )
+    unattributed = (
+        convs.join(sizes, (convs.user == sizes.user) & (convs.cwin == sizes.win), "left_anti")
+        .select(F.lit(conversion_type).alias("etype"), F.lit(1.0).alias("credit"))
+    )
+    return (
+        credited.unionByName(unattributed)
+        .groupBy(F.col("etype").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            round4(dsum(F.col("credit"))).alias("credit"),
+        )
+    )
