@@ -524,3 +524,23 @@ def test_semantic_decontaminate_flags_eval_twins(spark):
     assert out.loc[1, "max_eval_cosine"] == 1.0
     assert not out.loc[2, "contaminated"] and out.loc[2, "max_eval_cosine"] == 0.0
     assert bool(out.loc[3, "contaminated"])  # cos ~= 0.9939
+
+
+def test_embedding_health_flags_bad_vectors(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero norm
+        (3, [float("nan"), 1.0]),   # NaN element
+        (4, None),                  # null vector
+        (5, [1.0, 0.0, 0.0]),       # dim mismatch
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_health(df).toPandas().iloc[0]
+    assert out.n_vectors == 5 and out.n_null == 1
+    assert out.n_nan == 1 and out.n_zero_norm == 1
+    assert out.dims_min == 2 and out.dims_max == 3
+    assert out.norm_p50 > 0

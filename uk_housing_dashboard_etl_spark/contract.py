@@ -1874,6 +1874,16 @@ def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_credit(read_table(spark, sf_dir, "events"))
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row embedding-store health profile: counts, dim consistency,
+    NaN/zero-norm tallies, exact norm percentiles."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    return embedding_health(read_table(spark, sf_dir, "embeddings"))
+
+
 def q_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: first-active week x week offset,
     active counts and 4dp retention fractions."""
@@ -4490,6 +4500,32 @@ _EXTENSION_ORACLES["semantic_decontaminate"] = f"""
     FROM ranked WHERE rn = 1
     """
 
+_EXTENSION_ORACLES["embedding_health"] = f"""
+    WITH base AS (
+        SELECT vec_id, embedding AS cv,
+               len(embedding) AS dim,
+               (len(list_filter(embedding,
+                    x -> isnan(CAST(x AS DOUBLE)) OR x IS NULL)) > 0)
+                   AS has_nan,
+               {_NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+    )
+    SELECT count(*) AS n_vectors,
+           count(CASE WHEN cv IS NULL THEN 1 END) AS n_null,
+           CAST(min(dim) AS INT) AS dims_min,
+           CAST(max(dim) AS INT) AS dims_max,
+           count(CASE WHEN has_nan THEN 1 END) AS n_nan,
+           count(CASE WHEN NOT has_nan AND nrm = 0.0 THEN 1 END)
+               AS n_zero_norm,
+           floor(quantile_cont(CASE WHEN NOT has_nan THEN nrm END, 0.01)
+                 * 10000.0 + 0.5) / 10000.0 AS norm_p1,
+           floor(quantile_cont(CASE WHEN NOT has_nan THEN nrm END, 0.5)
+                 * 10000.0 + 0.5) / 10000.0 AS norm_p50,
+           floor(quantile_cont(CASE WHEN NOT has_nan THEN nrm END, 0.99)
+                 * 10000.0 + 0.5) / 10000.0 AS norm_p99
+    FROM base
+    """
+
 _EXTENSION_ORACLES["attribution_credit"] = """
     WITH rel AS (
         SELECT user_id, event_type, ts, event_id FROM events
@@ -5196,6 +5232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "psi_drift": q_psi_drift,
     "attribution_credit": q_attribution_credit,
+    "embedding_health": q_embedding_health,
     "bpe_merges": q_bpe_merges,
     "split_leakage": q_split_leakage,
     "table_profile": q_table_profile,

@@ -677,3 +677,60 @@ def semantic_decontaminate(
         "closest_eval_id",
         (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
     )
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row health profile of an embedding store — the checks that
+    catch a broken embedder or a bad backfill BEFORE an index build or
+    ANN query spends cluster-hours on garbage: vector count, dimension
+    consistency (min = max or the store is mixed), null / NaN-element /
+    zero-norm counts, and the exact p1/p50/p99 of the L2 norms (a
+    collapsed or exploding norm distribution is the classic silent
+    embedder failure).
+
+    Plan: one scan, one aggregate; the norm is the same sequential-fold
+    expression the similarity family scores with, so "healthy here"
+    means healthy for the operators that consume the store.
+    """
+    v = _as_double(vec_col)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("cv"),
+    ).select(
+        "vec_id",
+        "cv",
+        F.size("cv").alias("__dim"),
+        F.expr(
+            "exists(cv, x -> isnan(x) OR x IS NULL)"
+        ).alias("__has_nan"),
+        norm_expr("cv").alias("__norm"),
+    )
+    pcts = F.percentile(
+        F.when(~F.col("__has_nan"), F.col("__norm")),
+        F.array(F.lit(0.01), F.lit(0.5), F.lit(0.99)),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count(F.when(F.col("cv").isNull(), 1)).alias("n_null"),
+        F.min("__dim").alias("dims_min"),
+        F.max("__dim").alias("dims_max"),
+        F.count(F.when(F.col("__has_nan"), 1)).alias("n_nan"),
+        F.count(
+            F.when(~F.col("__has_nan") & (F.col("__norm") == 0.0), 1)
+        ).alias("n_zero_norm"),
+        pcts.alias("__p"),
+    ).select(
+        "n_vectors",
+        "n_null",
+        "dims_min",
+        "dims_max",
+        "n_nan",
+        "n_zero_norm",
+        round4(F.col("__p")[0]).alias("norm_p1"),
+        round4(F.col("__p")[1]).alias("norm_p50"),
+        round4(F.col("__p")[2]).alias("norm_p99"),
+    )
