@@ -3780,6 +3780,45 @@ def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_TERM_SETS = [["spark", "filter", "window"], ["hash", "merge", "scan"]]
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two BM25 probe-query rankings (top-50,
+    exact 1e-4-unit contributions, doc_id tie-break)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import rrf_fusion
+
+    return rrf_fusion(
+        read_table(spark, sf_dir, "documents"), RRF_TERM_SETS, k=50
+    )
+
+
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile calibration of the quality score + keep
+    flag at the 20th within-source percentile."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        quality_calibrate,
+    )
+
+    return quality_calibrate(read_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct terms and
+    tokens over 10 contiguous doc-id buckets."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import vocab_growth
+
+    return vocab_growth(read_table(spark, sf_dir, "documents"), n_buckets=10)
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 5%-trimmed mean of order totals (exact rank cut,
+    fixed-point mean)."""
+    from uk_housing_dashboard_etl_spark.operators.relational import trimmed_stats
+
+    return trimmed_stats(read_table(spark, sf_dir, "orders"))
+
+
 _EXTENSION_ORACLES["cumulative_users"] = """
     WITH fw AS (
         SELECT user_id, date_trunc('week', min(ts)) AS week
@@ -4947,6 +4986,147 @@ _EXTENSION_ORACLES["sketch_quantiles"] = """
 # the streaming drain must equal the batch cap row-for-row
 _EXTENSION_ORACLES["streaming_rate_cap"] = _EXTENSION_ORACLES["cap_events"]
 
+# BM25 score expression shared by the bm25_scores and rrf_fusion oracles:
+# per-term contributions snapped to 1e-4 units (dsum), 4dp-rounded total.
+_BM25_SCORE_SQL = """floor((CAST(sum(CAST(round((
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * doc_len / avglen))
+                 ) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
+                 * 10000.0 + 0.5) / 10000.0"""
+
+
+def _bm25_list_cte(i: int, terms: list[str], depth: int) -> str:
+    """CTE block producing ``list{i}`` = (doc_id, rank): the top-``depth``
+    BM25 ranking for one probe term set. Shares the ``lens``/``stats``
+    CTEs of the enclosing statement."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""toks{i} AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                   AS term
+        FROM documents
+    ), tf{i} AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks{i} WHERE term IN ({tl}) GROUP BY 1, 2
+    ), scored{i} AS (
+        SELECT tf{i}.doc_id, tf{i}.tf, doc_len, n_docs, avglen,
+               count(*) OVER (PARTITION BY term) AS df
+        FROM tf{i} JOIN lens USING (doc_id) CROSS JOIN stats
+    ), list{i} AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {_BM25_SCORE_SQL} DESC,
+                    doc_id) AS INT) AS rank
+        FROM scored{i} GROUP BY doc_id, doc_len, n_docs, avglen
+        QUALIFY rank <= {depth}
+    )"""
+
+
+_EXTENSION_ORACLES["rrf_fusion"] = f"""
+    WITH lens AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(
+                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+                   x -> x <> '')) AS doc_len
+        FROM documents
+    ), stats AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(doc_len) AS DOUBLE) / count(*) AS avglen
+        FROM lens
+    ), {_bm25_list_cte(0, RRF_TERM_SETS[0], 100)},
+    {_bm25_list_cte(1, RRF_TERM_SETS[1], 100)},
+    fused AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               coalesce(CAST(floor(10000.0 / (60.0 + a.rank) + 0.5)
+                        AS BIGINT), 0)
+             + coalesce(CAST(floor(10000.0 / (60.0 + b.rank) + 0.5)
+                        AS BIGINT), 0) AS units,
+               (CASE WHEN a.rank IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+        FROM list0 a FULL OUTER JOIN list1 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, CAST(n_lists AS INT) AS n_lists,
+           CAST(units AS DOUBLE) / 10000.0 AS rrf,
+           CAST(row_number() OVER (ORDER BY units DESC, doc_id) AS INT)
+               AS rank
+    FROM fused
+    QUALIFY rank <= 50
+    """
+
+_EXTENSION_ORACLES["quality_calibrate"] = f"""
+    WITH s AS (
+        SELECT doc_id, source,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
+                   / len({_TOKS}) AS stopword_ratio,
+               (length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                   / length(text) AS punct_ratio
+        FROM documents
+    ), q AS (
+        SELECT doc_id, source,
+               round(0.4 * least(1.0, stopword_ratio * 5)
+                   + 0.3 * least(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+        FROM s
+    ), p AS (
+        SELECT doc_id, source, quality,
+               round(percent_rank() OVER (PARTITION BY source
+                     ORDER BY quality, doc_id), 4) AS src_pctile
+        FROM q
+    )
+    SELECT doc_id, source, quality, src_pctile,
+           CAST(CASE WHEN src_pctile >= 0.2 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM p
+    """
+
+_EXTENSION_ORACLES["vocab_growth"] = f"""
+    WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+    d AS (
+        SELECT doc_id,
+               CAST(floor(doc_id * 10 / (max_id + 1)) AS INT) AS bucket,
+               list_filter({_TOKS}, x -> x <> '') AS toks
+        FROM documents CROSS JOIN m
+    ), pb AS (
+        SELECT bucket, count(*) AS n_docs, sum(len(toks)) AS tokens
+        FROM d GROUP BY 1
+    ), fs AS (
+        SELECT term, min(bucket) AS bucket FROM (
+            SELECT bucket, unnest(toks) AS term FROM d
+        ) GROUP BY term
+    ), nt AS (
+        SELECT bucket, count(*) AS new_terms FROM fs GROUP BY 1
+    )
+    SELECT pb.bucket, pb.n_docs,
+           CAST(sum(pb.tokens) OVER (ORDER BY pb.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tokens_cum,
+           CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY pb.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vocab_cum
+    FROM pb LEFT JOIN nt USING (bucket)
+    """
+
+_EXTENSION_ORACLES["trimmed_stats"] = f"""
+    WITH r AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS val,
+               row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ), kept AS (
+        SELECT * FROM r
+        WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_total,
+           count(*) AS n_kept,
+           round({dmean_sql('val')}, 4) AS trimmed_mean,
+           min(val) AS kept_min, max(val) AS kept_max
+    FROM kept GROUP BY grp
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -5250,4 +5430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "range_rolling": q_range_rolling,
     "active_suppliers": q_active_suppliers,
+    "rrf_fusion": q_rrf_fusion,
+    "quality_calibrate": q_quality_calibrate,
+    "vocab_growth": q_vocab_growth,
+    "trimmed_stats": q_trimmed_stats,
 }

@@ -1031,3 +1031,66 @@ def active_suppliers(
         )
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
     )
+
+
+def trimmed_stats(
+    orders: DataFrame,
+    group_col: str = "o_orderpriority",
+    value_col: str = "o_totalprice",
+    key_col: str = "o_orderkey",
+    trim_pct: int = 5,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest ``trim_pct``
+    percent of rows by exact rank, then average what is left — the
+    robust central-tendency aggregate for heavy-tailed value columns
+    (an outlier-proof alternative to the pooled means in
+    ``anomaly.py``).
+
+    cut = (n·trim_pct) div 100 rows trimmed from EACH end, computed in
+    exact integer math. The rank is a total order (value, key) so which
+    tied boundary rows get trimmed is engine-independent; the kept-row
+    mean goes through the fixed-point ``dsum`` so summation order can't
+    move the result.
+
+    Plan: one shuffle partitions by the group key; the per-group sort
+    ranks within each partition. Group cardinality here is bounded (5
+    priorities) but each group is fact-sized — at 100 TB replace the
+    exact rank cut with approx-percentile boundaries at (trim, 100−trim)
+    and a filter, which needs no per-group sort.
+    """
+    ranked = orders.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(value_col, key_col)
+        ).alias("__rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+    )
+    cut = F.expr(f"(__n * {trim_pct}) div 100")
+    kept = ranked.where(
+        (F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut)
+    )
+    return (
+        kept.groupBy("grp")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            round4(dmean(F.col("val"))).alias("trimmed_mean"),
+            F.min("val").alias("kept_min"),
+            F.max("val").alias("kept_max"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_total",
+            "n_kept",
+            "trimmed_mean",
+            "kept_min",
+            "kept_max",
+        )
+    )

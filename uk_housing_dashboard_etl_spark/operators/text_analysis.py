@@ -922,3 +922,168 @@ def pmi_pairs(
         [F.col("pmi").desc(), F.col("word_a"), F.col("word_b")],
         top_n,
     )
+
+
+def rrf_fusion(
+    documents: DataFrame,
+    term_sets: list[list[str]],
+    k: int = 50,
+    k_rrf: int = 60,
+    depth: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of several BM25 probe-query rankings:
+
+        rrf(d) = Σ_lists  1 / (k_rrf + rank_list(d))
+
+    The standard way a curation pipeline merges retrieval lists from
+    different probe queries (or scorers) into one mining set without
+    calibrating their score scales. Each list is the top-``depth`` BM25
+    result for one term set; a doc absent from a list contributes 0.
+
+    Determinism: each contribution is snapped to exact 1e-4 units with
+    the floor(x+0.5) IEEE sequence (``rounding.py``), summed as bigint,
+    final rank ties break on doc_id.
+
+    Plan: each BM25 list is already a ``depth``-row frame (see
+    ``bm25_scores`` — TakeOrderedAndProject, corpus scanned per list but
+    never shuffled); the fusion full-outer-join runs over ≤ Σ depth rows,
+    driver-trivial at any corpus size.
+    """
+    fused = None
+    for i, terms in enumerate(term_sets):
+        ranked = bm25_scores(
+            documents, terms, k=depth, text_col=text_col, id_col=id_col
+        ).select("doc_id", F.col("rank").alias(f"rank_{i}"))
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, "doc_id", "full_outer")
+        )
+    unit_terms = []
+    hit_terms = []
+    for i in range(len(term_sets)):
+        r = F.col(f"rank_{i}")
+        unit_terms.append(
+            F.when(
+                r.isNotNull(),
+                F.floor(
+                    F.lit(10000.0) / (F.lit(float(k_rrf)) + r) + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0))
+        )
+        hit_terms.append(F.when(r.isNotNull(), 1).otherwise(0))
+    units = sum(unit_terms[1:], unit_terms[0])
+    n_lists = sum(hit_terms[1:], hit_terms[0])
+    scored = fused.select(
+        "doc_id",
+        n_lists.cast("int").alias("n_lists"),
+        units.cast("bigint").alias("__units"),
+    ).withColumn("rrf", F.col("__units").cast("double") / F.lit(10000.0))
+    return deterministic_topk(
+        scored, [F.col("__units").desc(), F.col("doc_id")], k
+    ).select("doc_id", "n_lists", "rrf", "rank")
+
+
+def quality_calibrate(
+    documents: DataFrame,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quantile calibration of the composite quality score.
+
+    A global quality threshold systematically biases against whole
+    sources (a clean-prose source dominates the top of a raw-score cut);
+    the standard fix is to rank WITHIN each source and threshold the
+    per-source percentile instead. Emits percent_rank within source
+    (ties broken by doc_id so the rank is a total order) and the keep
+    flag at ``threshold``.
+
+    Plan: one corpus scan computes the score (pure column exprs), one
+    shuffle partitions by source for the rank window. Source cardinality
+    is bounded, but one giant source serializes into a single reducer —
+    at scale swap the exact window for a per-source KLL quantile sketch
+    cut (``operators/sketches.py``), which needs no per-source sort.
+    """
+    q = quality_score(
+        documents, text_col=text_col, id_col=id_col, keep_cols=("source",)
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.select(
+            "doc_id",
+            "source",
+            "quality",
+            round4(F.percent_rank().over(w)).alias("src_pctile"),
+        )
+        .withColumn(
+            "keep", (F.col("src_pctile") >= F.lit(threshold)).cast("int")
+        )
+    )
+
+
+def vocab_growth(
+    documents: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over the corpus in doc-id order.
+
+    Buckets the corpus into ``n_buckets`` contiguous doc-id ranges and
+    reports, per bucket, the running token total and the running number
+    of DISTINCT terms (a term counts in the bucket where it first
+    appears). The curve is the standard corpus-card diagnostic for
+    vocabulary saturation / dedup effectiveness.
+
+    Plan: bucket = floor(doc_id·B/(max_id+1)) — exact integer math off a
+    broadcast 1-row max, so no global sort or ntile. First appearance is
+    min(bucket) per term: one shuffle keyed by term with map-side
+    combine. The cumulative sums run a window over B rows (constant).
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    maxid = documents.agg(
+        F.max(F.col(id_col)).cast("bigint").alias("__max_id")
+    )
+    b = F.floor(
+        F.col(id_col).cast("bigint")
+        * F.lit(n_buckets)
+        / (F.col("__max_id") + F.lit(1))
+    ).cast("int")
+    docs = documents.crossJoin(F.broadcast(maxid)).select(
+        F.col(id_col).alias("doc_id"),
+        b.alias("bucket"),
+        F.size(
+            F.filter(
+                F.split(_norm_text(F.col(text_col)), " "), lambda t: t != ""
+            )
+        ).alias("__len"),
+        F.split(_norm_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    per_bucket = docs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__len").alias("__tokens")
+    )
+    first_seen = (
+        docs.select("bucket", F.explode("__toks").alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__new_terms"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("__tokens").over(w).alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("__new_terms"), F.lit(0)))
+            .over(w)
+            .alias("vocab_cum"),
+        )
+        .orderBy("bucket")
+    )
