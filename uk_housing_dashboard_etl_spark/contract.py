@@ -3819,6 +3819,28 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_stats(read_table(spark, sf_dir, "orders"))
 
 
+def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: each part's closest other part name within 2
+    edits (blocked Levenshtein, ties to the smaller key)."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import best_fuzzy_match
+
+    part = read_table(spark, sf_dir, "part")
+    return best_fuzzy_match(part, part, max_dist=2)
+
+
+def q_fuzzy_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance histogram of the blocked fuzzy-pair frame (pair counts
+    and distinct touched keys per edit distance)."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import fuzzy_pairs
+
+    pairs = fuzzy_pairs(read_table(spark, sf_dir, "part"), max_dist=3)
+    return pairs.groupBy("distance").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("key_a").alias("n_left"),
+        F.countDistinct("key_b").alias("n_right"),
+    )
+
+
 _EXTENSION_ORACLES["cumulative_users"] = """
     WITH fw AS (
         SELECT user_id, date_trunc('week', min(ts)) AS week
@@ -5127,6 +5149,39 @@ _EXTENSION_ORACLES["trimmed_stats"] = f"""
     FROM kept GROUP BY grp
     """
 
+_EXTENSION_ORACLES["fuzzy_matches"] = """
+    WITH cand AS (
+        SELECT a.p_partkey AS left_key, a.p_name AS left_name,
+               b.p_partkey AS right_key, b.p_name AS right_name,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_partkey <> b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), r AS (
+        SELECT *, row_number() OVER (PARTITION BY left_key
+                      ORDER BY distance, right_key) AS rn
+        FROM cand
+    )
+    SELECT left_key, left_name, right_key AS match_key,
+           right_name AS match_name, distance
+    FROM r WHERE rn = 1
+    """
+
+_EXTENSION_ORACLES["fuzzy_pair_stats"] = """
+    SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance,
+           count(*) AS n_pairs,
+           count(DISTINCT a.p_partkey) AS n_left,
+           count(DISTINCT b.p_partkey) AS n_right
+    FROM part a JOIN part b
+      ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY 1
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -5434,4 +5489,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_calibrate": q_quality_calibrate,
     "vocab_growth": q_vocab_growth,
     "trimmed_stats": q_trimmed_stats,
+    "fuzzy_matches": q_fuzzy_matches,
+    "fuzzy_pair_stats": q_fuzzy_pair_stats,
 }
