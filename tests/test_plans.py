@@ -261,3 +261,44 @@ def test_incremental_dedup_broadcasts_batch_probes(spark):
     # the index side must never shuffle: every probe joins via broadcast
     plan = plan_of(spark, "incremental_dedup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_trimmed_stats_one_exchange_for_both_windows(spark):
+    plan = plan_of(spark, "trimmed_stats")
+    tree = plan.split("\n\n")[0]
+    # row_number and the per-group count share one Sort+Exchange; the
+    # only other exchange is the final aggregation's
+    assert tree.count("Exchange") <= 2, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_quality_calibrate_single_window_pass(spark):
+    plan = plan_of(spark, "quality_calibrate")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    window_nodes = [ln for ln in tree.splitlines() if "Window" in ln]
+    assert len(window_nodes) == 1, tree
+
+
+def test_fuzzy_matches_blocked_equi_join_not_cartesian(spark):
+    plan = plan_of(spark, "fuzzy_matches")
+    # blocking makes the self-join an equi join on the block key — a
+    # hash/sort-merge join, never a nested-loop over all pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fusion_topk_never_global_window_over_corpus(spark):
+    plan = plan_of(spark, "rrf_fusion")
+    # every rank cut (per list and fused) is TakeOrderedAndProject:
+    # per-partition k-row heaps, windows only over the k survivors
+    assert plan.count("TakeOrderedAndProject") >= 3
+
+
+def test_vocab_growth_no_cross_join_for_max_id(spark):
+    plan = plan_of(spark, "vocab_growth")
+    # max_id is a collected scalar, not a per-branch broadcast cross
+    # join — the documents scan appears once per aggregation branch only
+    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2, tree

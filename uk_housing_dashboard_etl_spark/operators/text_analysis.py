@@ -1039,21 +1039,24 @@ def vocab_growth(
     vocabulary saturation / dedup effectiveness.
 
     Plan: bucket = floor(doc_id·B/(max_id+1)) — exact integer math off a
-    broadcast 1-row max, so no global sort or ntile. First appearance is
-    min(bucket) per term: one shuffle keyed by term with map-side
-    combine. The cumulative sums run a window over B rows (constant).
+    1-row max collected once up front (a sanctioned driver-side scalar,
+    like the similarity query side), so no global sort or ntile, and the
+    two downstream aggregation branches don't each recompute the max
+    subtree. First appearance is min(bucket) per term: one shuffle keyed
+    by term with map-side combine. The cumulative sums run a window over
+    B rows (constant).
     """
     from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
 
-    maxid = documents.agg(
-        F.max(F.col(id_col)).cast("bigint").alias("__max_id")
-    )
+    max_id = documents.agg(
+        F.max(F.col(id_col)).cast("bigint")
+    ).collect()[0][0]
     b = F.floor(
         F.col(id_col).cast("bigint")
         * F.lit(n_buckets)
-        / (F.col("__max_id") + F.lit(1))
+        / F.lit(int(max_id) + 1)
     ).cast("int")
-    docs = documents.crossJoin(F.broadcast(maxid)).select(
+    docs = documents.select(
         F.col(id_col).alias("doc_id"),
         b.alias("bucket"),
         F.size(
