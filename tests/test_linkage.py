@@ -52,3 +52,41 @@ def test_best_match_argmin_tiebreak(parts):
     assert out[2]["match_key"] == 1
     assert out[3]["match_key"] == 1
     assert 4 not in out and 5 not in out
+
+
+def test_sorted_neighborhood_subset_and_linearity(parts, spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    full = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(parts, max_dist=2).collect()
+    }
+    snm = [
+        (r["key_a"], r["key_b"])
+        for r in sorted_neighborhood_pairs(parts, window=5, max_dist=2).collect()
+    ]
+    # subset property: the rank band only prunes, never invents pairs
+    assert set(snm) <= full
+    assert len(snm) == len(set(snm))
+    # with a window covering the whole block, recall is total
+    all_snm = {
+        (r["key_a"], r["key_b"])
+        for r in sorted_neighborhood_pairs(parts, window=100, max_dist=2).collect()
+    }
+    assert all_snm == full
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # one block of n identical-prefix names: candidate volume must be
+    # ~ n*window, not n^2/2
+    n, w = 60, 2
+    rows = [(i, "blk name%03d" % i) for i in range(n)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    got = sorted_neighborhood_pairs(df, window=w, max_dist=10).count()
+    assert got <= n * w

@@ -3828,6 +3828,42 @@ def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_fuzzy_match(part, part, max_dist=2)
 
 
+def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate for the sorted-neighborhood linkage path: every SNM pair
+    must be in the exact blocked set (subset property — SNM adds the
+    rank-band cut but no new pairs), recall reported as a metric (it is
+    data-dependent by design: this synthetic corpus forms dense
+    near-dup cliques that bound any linear-candidate method)."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    ex = (
+        fuzzy_pairs(part, max_dist=2)
+        .select("key_a", "key_b")
+        .withColumn("__e", F.lit(1))
+    )
+    snm = (
+        sorted_neighborhood_pairs(part, window=5, max_dist=2)
+        .select("key_a", "key_b")
+        .withColumn("__s", F.lit(1))
+    )
+    j = ex.join(snm, ["key_a", "key_b"], "full")
+    return j.agg(
+        F.count("__e").alias("n_exact"),
+        F.count("__s").alias("n_snm"),
+        F.count(F.when(F.col("__e").isNotNull() & F.col("__s").isNotNull(), 1)).alias("n_hit"),
+    ).select(
+        "n_exact",
+        "n_snm",
+        "n_hit",
+        round4(F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        (F.col("n_snm") == F.col("n_hit")).cast("int").alias("snm_subset"),
+    )
+
+
 def q_fuzzy_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance histogram of the blocked fuzzy-pair frame (pair counts
     and distinct touched keys per edit distance)."""
@@ -5169,6 +5205,42 @@ _EXTENSION_ORACLES["fuzzy_matches"] = """
     FROM r WHERE rn = 1
     """
 
+_EXTENSION_ORACLES["fuzzy_snm_recall"] = """
+    WITH base AS (
+        SELECT p_partkey AS key, p_name AS name,
+               split_part(p_name, ' ', 1) AS block,
+               row_number() OVER (PARTITION BY split_part(p_name, ' ', 1)
+                   ORDER BY p_name, p_partkey) AS rn
+        FROM part
+    ), snm AS (
+        SELECT least(a.key, b.key) AS key_a,
+               greatest(a.key, b.key) AS key_b
+        FROM base a JOIN base b
+          ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + 5
+        WHERE levenshtein(a.name, b.name) <= 2
+    ), ex AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+        FROM part a JOIN part b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), j AS (
+        SELECT coalesce(e.key_a, s.key_a) AS key_a,
+               e.key_a AS e_mark, s.key_a AS s_mark
+        FROM ex e FULL OUTER JOIN snm s
+          ON e.key_a = s.key_a AND e.key_b = s.key_b
+    )
+    SELECT count(e_mark) AS n_exact, count(s_mark) AS n_snm,
+           count(CASE WHEN e_mark IS NOT NULL AND s_mark IS NOT NULL
+                 THEN 1 END) AS n_hit,
+           round(count(CASE WHEN e_mark IS NOT NULL AND s_mark IS NOT NULL
+                 THEN 1 END) / count(e_mark), 4) AS recall,
+           CAST(count(s_mark) = count(CASE WHEN e_mark IS NOT NULL
+                 AND s_mark IS NOT NULL THEN 1 END) AS INT) AS snm_subset
+    FROM j
+    """
+
 _EXTENSION_ORACLES["fuzzy_pair_stats"] = """
     SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance,
            count(*) AS n_pairs,
@@ -5491,4 +5563,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trimmed_stats": q_trimmed_stats,
     "fuzzy_matches": q_fuzzy_matches,
     "fuzzy_pair_stats": q_fuzzy_pair_stats,
+    "fuzzy_snm_recall": q_fuzzy_snm_recall,
 }

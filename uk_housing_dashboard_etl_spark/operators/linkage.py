@@ -125,3 +125,57 @@ def best_fuzzy_match(
             F.col("m.distance").alias("distance"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    name_col: str = "p_name",
+    key_col: str = "p_partkey",
+    window: int = 5,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation: rank records within
+    each block by (name, key) and compare only neighbors whose ranks
+    differ by at most ``window``.
+
+    The scale-safe linkage path promised in SCALE.md: candidate volume
+    is ``window`` per record — LINEAR in block size where the blocked
+    self-join of :func:`fuzzy_pairs` is quadratic. The price is recall:
+    a true pair further than ``window`` positions apart in sort order is
+    missed (near-identical names sort adjacently, so misses are rare —
+    measure with the recall gate, don't assume).
+
+    Plan: one shuffle keyed by block, one per-block sort for the rank,
+    then an equi-join on block with a rank-band predicate evaluated on
+    the compact ranked frame. ``key_a < key_b`` holds because ranks are
+    a total order and the join takes only forward neighbors.
+    """
+    from pyspark.sql import Window as W
+
+    base = records.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        F.split(F.col(name_col), r"\s+")[0].alias("block"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("block").orderBy("name", "key")
+        ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + F.lit(window)),
+        )
+        .where(dist <= F.lit(max_dist))
+        .select(
+            F.least(F.col("a.key"), F.col("b.key")).alias("key_a"),
+            F.greatest(F.col("a.key"), F.col("b.key")).alias("key_b"),
+            dist.cast("int").alias("distance"),
+        )
+    )
