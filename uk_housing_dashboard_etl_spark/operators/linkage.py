@@ -145,10 +145,18 @@ def sorted_neighborhood_pairs(
     missed (near-identical names sort adjacently, so misses are rare —
     measure with the recall gate, don't assume).
 
-    Plan: one shuffle keyed by block, one per-block sort for the rank,
-    then an equi-join on block with a rank-band predicate evaluated on
-    the compact ranked frame. ``key_a < key_b`` holds because ranks are
-    a total order and the join takes only forward neighbors.
+    Plan: one shuffle keyed by block, one per-block sort for the rank.
+    The rank band is then folded INTO the equi-join key — each row gets
+    bucket = rn div window, the probe side fans out to [bucket,
+    bucket+1], and the join runs equi on (block, bucket). Any forward
+    neighbor within ``window`` ranks lives in the same or the next
+    bucket, so the band predicate only trims inside ≈window-sized hash
+    groups. Joining equi on block alone and filtering the band AFTER
+    would enumerate the full quadratic block pairs first — measured 10×
+    slower than the blocked join at 200k rows (tools/stress_linkage.py)
+    — exactly the mistake this shape exists to avoid. ``key_a < key_b``
+    holds because ranks are a total order and only forward neighbors
+    join.
     """
     from pyspark.sql import Window as W
 
@@ -162,13 +170,19 @@ def sorted_neighborhood_pairs(
             W.partitionBy("block").orderBy("name", "key")
         ),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    bucket = F.floor((F.col("rn") - 1) / F.lit(window)).cast("bigint")
+    a = (
+        base.withColumn(
+            "bucket", F.explode(F.array(bucket, bucket + F.lit(1)))
+        )
+    ).alias("a")
+    b = base.withColumn("bucket", bucket).alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("b.rn") > F.col("a.rn"))
             & (F.col("b.rn") <= F.col("a.rn") + F.lit(window)),
         )
