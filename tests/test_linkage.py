@@ -90,3 +90,29 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
     df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
     got = sorted_neighborhood_pairs(df, window=w, max_dist=10).count()
     assert got <= n * w
+
+
+def test_compressed_variants_equal_record_grain(parts, spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        best_fuzzy_match_compressed,
+        fuzzy_pair_histogram,
+    )
+
+    # duplicate some names so the compression actually compresses
+    extra = spark.createDataFrame(
+        [(10, "red widget"), (11, "red widget"), (12, "red widgets")],
+        ["p_partkey", "p_name"],
+    )
+    recs = parts.unionByName(extra)
+
+    plain = best_fuzzy_match(recs, recs, max_dist=2).collect()
+    comp = best_fuzzy_match_compressed(recs, recs, max_dist=2).collect()
+    key = lambda r: (r["left_key"], r["match_key"], r["distance"])
+    assert sorted(map(key, plain)) == sorted(map(key, comp))
+
+    hist = {
+        r["distance"]: r["n_pairs"]
+        for r in fuzzy_pair_histogram(recs, max_dist=2).collect()
+    }
+    brute = fuzzy_pairs(recs, max_dist=2).groupBy("distance").count().collect()
+    assert hist == {r["distance"]: r["count"] for r in brute}

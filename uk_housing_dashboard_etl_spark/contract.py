@@ -3821,11 +3821,15 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: each part's closest other part name within 2
-    edits (blocked Levenshtein, ties to the smaller key)."""
-    from uk_housing_dashboard_etl_spark.operators.linkage import best_fuzzy_match
+    edits (blocked Levenshtein, ties to the smaller key). Runs the
+    name-grain compressed plan; the oracle computes the same answer by
+    brute record-grain enumeration."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        best_fuzzy_match_compressed,
+    )
 
     part = read_table(spark, sf_dir, "part")
-    return best_fuzzy_match(part, part, max_dist=2)
+    return best_fuzzy_match_compressed(part, part, max_dist=2)
 
 
 def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3840,22 +3844,43 @@ def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = read_table(spark, sf_dir, "part")
-    ex = (
-        fuzzy_pairs(part, max_dist=2)
-        .select("key_a", "key_b")
-        .withColumn("__e", F.lit(1))
+    # exact-pair COUNT from the name-grain histogram (no key-pair
+    # enumeration); each SNM pair is then re-validated against the
+    # blocked criteria from its own names — n_hit counts the valid ones,
+    # so a band-join bug that invented pairs would break subset here
+    # exactly as the old materialized intersection did.
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pair_histogram,
     )
-    snm = (
-        sorted_neighborhood_pairs(part, window=5, max_dist=2)
-        .select("key_a", "key_b")
-        .withColumn("__s", F.lit(1))
+
+    n_exact = fuzzy_pair_histogram(part, max_dist=2).agg(
+        F.sum("n_pairs").alias("n_exact")
     )
-    j = ex.join(snm, ["key_a", "key_b"], "full")
-    return j.agg(
-        F.count("__e").alias("n_exact"),
-        F.count("__s").alias("n_snm"),
-        F.count(F.when(F.col("__e").isNotNull() & F.col("__s").isNotNull(), 1)).alias("n_hit"),
-    ).select(
+    names = part.select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
+    )
+    snm = sorted_neighborhood_pairs(part, window=5, max_dist=2)
+    na = names.alias("na")
+    nb = names.alias("nb")
+    snm_named = (
+        snm.join(F.broadcast(na), snm.key_a == F.col("na.key"))
+        .join(F.broadcast(nb), snm.key_b == F.col("nb.key"))
+        .select(
+            F.col("na.name").alias("name_a"), F.col("nb.name").alias("name_b")
+        )
+    )
+    valid = (
+        (
+            F.split(F.col("name_a"), r"\s+")[0]
+            == F.split(F.col("name_b"), r"\s+")[0]
+        )
+        & (F.levenshtein(F.col("name_a"), F.col("name_b")) <= F.lit(2))
+    )
+    counts = snm_named.agg(
+        F.count(F.lit(1)).alias("n_snm"),
+        F.count(F.when(valid, 1)).alias("n_hit"),
+    )
+    return counts.crossJoin(F.broadcast(n_exact)).select(
         "n_exact",
         "n_snm",
         "n_hit",
@@ -3865,16 +3890,14 @@ def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance histogram of the blocked fuzzy-pair frame (pair counts
-    and distinct touched keys per edit distance)."""
-    from uk_housing_dashboard_etl_spark.operators.linkage import fuzzy_pairs
-
-    pairs = fuzzy_pairs(read_table(spark, sf_dir, "part"), max_dist=3)
-    return pairs.groupBy("distance").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("key_a").alias("n_left"),
-        F.countDistinct("key_b").alias("n_right"),
+    """Distance histogram of the blocked fuzzy-pair frame, computed at
+    name grain (cnt_x·cnt_y per name pair); the oracle enumerates every
+    key pair record-grain and must land on identical counts."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pair_histogram,
     )
+
+    return fuzzy_pair_histogram(read_table(spark, sf_dir, "part"), max_dist=3)
 
 
 _EXTENSION_ORACLES["cumulative_users"] = """
@@ -5244,8 +5267,8 @@ _EXTENSION_ORACLES["fuzzy_snm_recall"] = """
 _EXTENSION_ORACLES["fuzzy_pair_stats"] = """
     SELECT CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance,
            count(*) AS n_pairs,
-           count(DISTINCT a.p_partkey) AS n_left,
-           count(DISTINCT b.p_partkey) AS n_right
+           count(DISTINCT least(a.p_name, b.p_name) || '||'
+                 || greatest(a.p_name, b.p_name)) AS n_name_pairs
     FROM part a JOIN part b
       ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
      AND a.p_partkey < b.p_partkey
