@@ -103,3 +103,26 @@ def test_trimmed_stats_no_cut_small_group(spark):
     orders = spark.createDataFrame(rows, ["o_orderkey", "o_orderpriority", "o_totalprice"])
     r = trimmed_stats(orders).collect()[0]
     assert r["n_total"] == 19 and r["n_kept"] == 19
+
+
+def test_ewma_fold_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import ewma_smooth
+
+    rows = [
+        ("A", "2024-01-01", 4),
+        ("A", "2024-01-08", 8),
+        ("A", "2024-01-15", 2),
+        ("B", "2024-01-01", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, ["local_authority", "week", "transactions"]
+    ).withColumn("week", F.col("week").cast("timestamp"))
+    out = {
+        (r["local_authority"], str(r["week"])): r["ewma"]
+        for r in ewma_smooth(df).collect()
+    }
+    # seed = first value; then 0.5*x + 0.5*prev, exact dyadic doubles
+    assert out[("A", "2024-01-01 00:00:00")] == 4.0
+    assert out[("A", "2024-01-08 00:00:00")] == 6.0      # .5*8 + .5*4
+    assert out[("A", "2024-01-15 00:00:00")] == 4.0      # .5*2 + .5*6
+    assert out[("B", "2024-01-01 00:00:00")] == 10.0

@@ -5208,6 +5208,37 @@ _EXTENSION_ORACLES["trimmed_stats"] = f"""
     FROM kept GROUP BY grp
     """
 
+def q_ewma_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LA EWMA smoothing of weekly transactions (α=0.5) — a
+    recursive fold expressed as a pure F.aggregate column expression;
+    dyadic α keeps every step exact in IEEE double, so the recursive-CTE
+    oracle matches bit-for-bit with no rounding."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import ewma_smooth
+
+    return ewma_smooth(_weekly(spark, sf_dir))
+
+
+_EXTENSION_ORACLES["ewma_weekly"] = _BASE.replace(
+    "WITH", "WITH RECURSIVE", 1
+) + """
+    , base AS (
+        SELECT local_authority, week,
+               CAST(transactions AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY local_authority
+                   ORDER BY week) AS rn
+        FROM weekly
+    ), e AS (
+        SELECT local_authority, week, x, rn, x AS ewma
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.local_authority, b.week, b.x, b.rn,
+               0.5 * b.x + 0.5 * e.ewma AS ewma
+        FROM base b JOIN e ON b.local_authority = e.local_authority
+                          AND b.rn = e.rn + 1
+    )
+    SELECT local_authority, week, x AS transactions, ewma FROM e
+    """
+
 _EXTENSION_ORACLES["fuzzy_matches"] = """
     WITH cand AS (
         SELECT a.p_partkey AS left_key, a.p_name AS left_name,
@@ -5587,4 +5618,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_matches": q_fuzzy_matches,
     "fuzzy_pair_stats": q_fuzzy_pair_stats,
     "fuzzy_snm_recall": q_fuzzy_snm_recall,
+    "ewma_weekly": q_ewma_weekly,
 }

@@ -198,3 +198,66 @@ def time_weighted_mean(
             / F.sum("__w")
         ).alias("twap"),
     )
+
+
+def ewma_smooth(
+    weekly: DataFrame,
+    value_col: str = "transactions",
+    key_col: str = "local_authority",
+    time_col: str = "week",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-key exponential moving average over the time series:
+
+        ewma_t = α·x_t + (1−α)·ewma_{t−1},   ewma_0 = x_0
+
+    EWMA is a RECURSIVE fold, which no window frame expresses — but it
+    is still a pure column expression: collect each key's (time, value)
+    series sorted, fold it with ``F.aggregate`` building the running
+    array, then zip-and-explode back to rows. No UDF, no Python.
+
+    Determinism: with dyadic α (0.5, 0.25 …) and integer inputs every
+    step is exact in IEEE double, and the oracle's recursive CTE runs
+    the identical operation sequence — bit-equal without rounding.
+
+    Plan: one shuffle keyed by ``key_col`` (the same exchange any
+    per-key window needs); each key's series folds row-locally. Series
+    length per key is bounded (weeks, not facts) — this operates on the
+    MART, the same size discipline as ``rolling.py``.
+    """
+    series = (
+        weekly.groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(time_col, value_col))
+            ).alias("__s")
+        )
+    )
+    vals = F.col("__s").getField(value_col).cast("array<double>")
+    ewma_arr = F.aggregate(
+        vals,
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x).otherwise(
+                    F.lit(alpha) * x
+                    + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    zipped = F.arrays_zip(
+        F.col("__s").getField(time_col).alias("t"),
+        vals.alias("x"),
+        ewma_arr.alias("e"),
+    )
+    return (
+        series.select(key_col, F.explode(zipped).alias("__z"))
+        .select(
+            key_col,
+            F.col("__z.t").alias(time_col),
+            F.col("__z.x").alias(value_col),
+            F.col("__z.e").alias("ewma"),
+        )
+    )
