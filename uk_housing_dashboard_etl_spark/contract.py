@@ -3839,7 +3839,7 @@ def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent by design: this synthetic corpus forms dense
     near-dup cliques that bound any linear-candidate method)."""
     from uk_housing_dashboard_etl_spark.operators.linkage import (
-        fuzzy_pairs,
+        fuzzy_pair_histogram,
         sorted_neighborhood_pairs,
     )
 
@@ -3849,9 +3849,6 @@ def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocked criteria from its own names — n_hit counts the valid ones,
     # so a band-join bug that invented pairs would break subset here
     # exactly as the old materialized intersection did.
-    from uk_housing_dashboard_etl_spark.operators.linkage import (
-        fuzzy_pair_histogram,
-    )
 
     n_exact = fuzzy_pair_histogram(part, max_dist=2).agg(
         F.sum("n_pairs").alias("n_exact")
