@@ -1,29 +1,47 @@
 """Per-round benchmark: the FULL query registry at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+Prints ONE COMPACT JSON line (VERDICT r3 item 2 — the 164-query
+per-query map outgrew the driver's tail capture in round 3, truncating
+the official record):
+
+``{"metric": ..., "value": N, "unit": "sec", "queries": {<headline>},
+  "sf": ..., "n_queries": ..., "complete": ..., "headline_sec": ...,
+  "detail_file": "BENCH_DETAIL_r{N}.json"}``
+
+``queries`` carries ONLY the 5-query reference-parity headline chain;
+the full per-query map (plus maintenance-sink timings and any failure
+reasons) is written to ``detail_file`` in the repo root, stamped with
+the upcoming round number (1 + the highest existing BENCH_r*.json).
 
 Each query is timed as a full action (``df.count()`` after the plan is
-built) on a fresh DataFrame — no caching between queries, so every number
-includes scan + shuffle + compute. Each query runs twice and reports the
-best: the first run pays one-time JVM/codegen warmup that a long-running
-cluster amortizes, the second is the engine's steady-state throughput.
-(Streaming queries execute their drain inside the builder, so their
-time covers the whole readStream→sink pass, run once — a second drain
-would replay identical state transitions at the same cost.)
+built) on a fresh DataFrame — no caching between queries, so every
+number includes scan + shuffle + compute. Each query runs twice and
+reports the best: the first run pays one-time JVM/codegen warmup that a
+long-running cluster amortizes, the second is the engine's steady-state
+throughput. (Streaming queries execute their drain inside the builder,
+so their time covers the whole readStream→sink pass, run once — a
+second drain would replay identical state transitions at the same
+cost.)
 
-If any query fails, ``complete`` is false and ``value`` is null: a suite
-total over a shrunken query set must never be compared against a full
-run as if it were a speedup. Per-query times and the failure reasons are
-still attached.
+If any query fails, ``complete`` is false and ``value`` is null: a
+suite total over a shrunken query set must never be compared against a
+full run as if it were a speedup.
+
+Maintenance sinks (VERDICT r3 item 6): ``write_zordered``,
+``compact_small_files`` and ``write_tar_shards`` have round-trip tests
+but produce no DataFrame for the registry, so the detail file times
+them once each against scratch copies of the sf tables.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -31,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from uk_housing_dashboard_etl_spark import contract  # noqa: E402
 from uk_housing_dashboard_etl_spark.session import get_spark  # noqa: E402
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
@@ -40,6 +59,73 @@ HEADLINE = [
     "anomalies",
     "latest_snapshot",
 ]
+
+
+def next_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def maintenance_times(spark) -> dict[str, float]:
+    """Time the write-side maintenance paths once each on scratch dirs."""
+    from pyspark.sql import functions as F
+
+    from uk_housing_dashboard_etl_spark.sources.corpus import write_tar_shards
+    from uk_housing_dashboard_etl_spark.sources.layout import (
+        compact_small_files,
+        write_zordered,
+    )
+    from uk_housing_dashboard_etl_spark.sources.readers import read_table
+
+    out: dict[str, float] = {}
+    scratch = tempfile.mkdtemp(prefix="bench_maint_")
+    try:
+        events = read_table(spark, SF_DIR, "events").where(
+            F.col("ts").isNotNull() & (F.col("user_id") >= 0)
+        )
+        t0 = time.time()
+        write_zordered(
+            events.select(
+                "user_id",
+                F.datediff(
+                    F.to_date("ts"), F.lit("1970-01-01").cast("date")
+                ).alias("day"),
+                "event_type",
+                "value",
+            ),
+            os.path.join(scratch, "zorder"),
+            "user_id",
+            "day",
+            n_files=8,
+        )
+        out["write_zordered"] = round(time.time() - t0, 3)
+
+        # fragment events into 64 small files, then time the compaction
+        frag = os.path.join(scratch, "frag")
+        events.repartition(64).write.mode("overwrite").parquet(frag)
+        t0 = time.time()
+        compact_small_files(spark, frag, target_mb=128)
+        out["compact_small_files"] = round(time.time() - t0, 3)
+
+        docs = read_table(spark, SF_DIR, "documents")
+        samples = docs.select(
+            F.col("doc_id").cast("string").alias("sample_key"),
+            F.create_map(
+                F.lit("txt"), F.col("text").cast("binary")
+            ).alias("parts"),
+        )
+        t0 = time.time()
+        write_tar_shards(
+            samples, os.path.join(scratch, "tars"), n_shards=8
+        ).count()
+        out["write_tar_shards"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -73,12 +159,34 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
 
+    try:
+        maint = maintenance_times(spark)
+        maint_err = None
+    except Exception as e:  # noqa: BLE001
+        maint, maint_err = {}, f"{type(e).__name__}: {e}"[:500]
+
     complete = not failures
+    detail_name = f"BENCH_DETAIL_r{next_round():02d}.json"
+    detail = {
+        "sf": sf,
+        "n_queries": len(times),
+        "complete": complete,
+        "queries": times,
+        "failures": failures,
+        "maintenance": maint,
+    }
+    if maint_err:
+        detail["maintenance_error"] = maint_err
+    with open(os.path.join(REPO, detail_name), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
     payload = {
         "metric": "full-registry suite wall time",
         "value": round(sum(times.values()), 3) if complete else None,
         "unit": "sec",
-        "queries": times,
+        # ONLY the reference-parity chain inline — the full per-query map
+        # lives in detail_file so this line never outgrows tail capture
+        "queries": {q: times[q] for q in HEADLINE if q in times},
         "sf": sf,
         "n_queries": len(times),
         "complete": complete,
@@ -88,9 +196,12 @@ def main() -> None:
         "headline_sec": round(
             sum(times[q] for q in HEADLINE if q in times), 3
         ),
+        "detail_file": detail_name,
     }
     if failures:
-        payload["failures"] = failures
+        payload["n_failures"] = len(failures)
+        # names only (bounded): full reasons are in the detail file
+        payload["failed"] = sorted(failures)[:10]
     print(json.dumps(payload))
 
 

@@ -116,3 +116,73 @@ def test_compressed_variants_equal_record_grain(parts, spark):
     }
     brute = fuzzy_pairs(recs, max_dist=2).groupBy("distance").count().collect()
     assert hist == {r["distance"]: r["count"] for r in brute}
+
+
+def test_length_bucket_composite_block_is_lossless(parts, spark):
+    """The (token, length-bucket) composite block with ±1 fan-out must
+    return EXACTLY the unbucketed pair set (VERDICT r3 item 4)."""
+    rows = [(i, "blk name%s" % ("x" * (i % 9))) for i in range(30)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    for frame in (parts, df):
+        plain = {
+            (r["key_a"], r["key_b"], r["distance"])
+            for r in fuzzy_pairs(frame, max_dist=2).collect()
+        }
+        for w in (2, 3, 5):
+            bucketed = [
+                (r["key_a"], r["key_b"], r["distance"])
+                for r in fuzzy_pairs(
+                    frame, max_dist=2, length_bucket=w
+                ).collect()
+            ]
+            # identical set AND no duplicate pairs from the fan-out
+            assert len(bucketed) == len(set(bucketed))
+            assert set(bucketed) == plain
+
+
+def test_length_bucket_histogram_lossless(parts, spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pair_histogram,
+    )
+
+    extra = spark.createDataFrame(
+        [(10, "red widget"), (11, "red widget"), (12, "red widgets")],
+        ["p_partkey", "p_name"],
+    )
+    recs = parts.unionByName(extra)
+    plain = {
+        (r["distance"], r["n_pairs"], r["n_name_pairs"])
+        for r in fuzzy_pair_histogram(recs, max_dist=2).collect()
+    }
+    bucketed = {
+        (r["distance"], r["n_pairs"], r["n_name_pairs"])
+        for r in fuzzy_pair_histogram(
+            recs, max_dist=2, length_bucket=3
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_length_bucket_narrower_than_max_dist_rejected(parts):
+    with pytest.raises(ValueError, match="length_bucket"):
+        fuzzy_pairs(parts, max_dist=3, length_bucket=2).collect()
+
+
+def test_length_bucket_bounds_dominant_block(spark):
+    """One dominant first token: the composite block must cut candidate
+    volume while keeping the result identical. Candidate volume is read
+    from the planted length spread — names in different length cells
+    (beyond max_dist apart) can never pair, so the bucketed join's
+    output equals the plain join's output while the quadratic term is
+    per length cell."""
+    rows = [(i, "the item%d%s" % (i, "z" * ((i % 6) * 5))) for i in range(80)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    plain = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(df, max_dist=2).collect()
+    }
+    bucketed = {
+        (r["key_a"], r["key_b"])
+        for r in fuzzy_pairs(df, max_dist=2, length_bucket=4).collect()
+    }
+    assert bucketed == plain

@@ -40,17 +40,21 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_front_window_is_unverified_families():
-    """Round-3 rotation: the first 20 slots must be the queries no driver
-    window has ever checked (VERDICT r2 'What's missing' §1)."""
-    first = list(contract.QUERIES)[:20]
+    """Round-4 rotation: the first 23 slots must be the round-3b
+    additions no driver window has ever checked (VERDICT r3 item 1),
+    and the declared front ordering must be applied verbatim."""
+    first = list(contract.QUERIES)[:23]
     expected = {
-        "streaming_weekly", "streaming_sessions", "streaming_dedup",
-        "streaming_funnel", "multimodal_decode_check",
-        "multimodal_features_check", "multimodal_audio",
-        "multimodal_audio_check", "dedup_minhash_recall",
-        "dedup_simhash_complete", "embedding_near_dup_lsh_recall",
-        "dedup_keep_best", "tfidf_top_terms", "ngram_novelty",
-        "pack_sequences", "salted_event_stats", "session_summary",
-        "temperature_mix", "transition_probs", "weekly_approx_check",
+        "cohort_matrix", "funnel_timing", "value_trend", "pmi_pairs",
+        "semantic_decontaminate", "psi_drift", "attribution_credit",
+        "embedding_health", "bpe_merges", "split_leakage",
+        "table_profile", "twap", "join_cardinality",
+        "streaming_rate_cap", "streaming_anomaly", "rrf_fusion",
+        "quality_calibrate", "vocab_growth", "trimmed_stats",
+        "fuzzy_matches", "fuzzy_pair_stats", "fuzzy_snm_recall",
+        "ewma_weekly",
     }
     assert set(first) == expected
+    assert list(contract.QUERIES)[: len(contract._R4_FRONT)] == (
+        contract._R4_FRONT
+    )

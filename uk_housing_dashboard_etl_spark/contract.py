@@ -3897,6 +3897,21 @@ def q_fuzzy_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pair_histogram(read_table(spark, sf_dir, "part"), max_dist=3)
 
 
+def q_fuzzy_pair_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_fuzzy_pair_stats` under composite (token, length-bucket)
+    blocking — the dominant-token scale path (SCALE.md §4). The bucket
+    fan-out is LOSSLESS (±1-cell probe, bucket width ≥ max_dist), so it
+    shares the unbucketed record-grain oracle verbatim: any dropped or
+    duplicated pair hash-mismatches."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pair_histogram,
+    )
+
+    return fuzzy_pair_histogram(
+        read_table(spark, sf_dir, "part"), max_dist=3, length_bucket=4
+    )
+
+
 _EXTENSION_ORACLES["cumulative_users"] = """
     WITH fw AS (
         SELECT user_id, date_trunc('week', min(ts)) AS week
@@ -5304,6 +5319,10 @@ _EXTENSION_ORACLES["fuzzy_pair_stats"] = """
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     GROUP BY 1
     """
+# the composite-blocked variant is lossless, so the oracle is identical
+_EXTENSION_ORACLES["fuzzy_pair_stats_bucketed"] = _EXTENSION_ORACLES[
+    "fuzzy_pair_stats"
+]
 
 ORACLES.update(_EXTENSION_ORACLES)
 
@@ -5614,6 +5633,72 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trimmed_stats": q_trimmed_stats,
     "fuzzy_matches": q_fuzzy_matches,
     "fuzzy_pair_stats": q_fuzzy_pair_stats,
+    "fuzzy_pair_stats_bucketed": q_fuzzy_pair_stats_bucketed,
     "fuzzy_snm_recall": q_fuzzy_snm_recall,
     "ewma_weekly": q_ewma_weekly,
+}
+
+# Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
+# the first ~50 registry entries each round, so the front is re-ordered
+# every round to guarantee no family goes two consecutive rounds without
+# a driver verification. Round 4 front-loads: the 23 round-3b additions
+# no window has ever checked, the new round-4 queries, a sample of every
+# r2-verified family (similarity / text / curation / behavior — unseen
+# since round 2), the §2 reference core, and the aging r1-era TPC-H
+# shapes. Everything else keeps its round-3 relative order at the tail.
+_R4_FRONT = [
+    # --- slots 1-23: round-3b additions, never driver-checked ---
+    "cohort_matrix",
+    "funnel_timing",
+    "value_trend",
+    "pmi_pairs",
+    "semantic_decontaminate",
+    "psi_drift",
+    "attribution_credit",
+    "embedding_health",
+    "bpe_merges",
+    "split_leakage",
+    "table_profile",
+    "twap",
+    "join_cardinality",
+    "streaming_rate_cap",
+    "streaming_anomaly",
+    "rrf_fusion",
+    "quality_calibrate",
+    "vocab_growth",
+    "trimmed_stats",
+    "fuzzy_matches",
+    "fuzzy_pair_stats",
+    "fuzzy_snm_recall",
+    "ewma_weekly",
+    # --- new in round 4 ---
+    "fuzzy_pair_stats_bucketed",
+    # --- r2-family rotation (green in r2, unseen since) ---
+    "similarity_topk",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "embedding_near_dup_lsh",
+    "text_stats",
+    "quality_score",
+    "curate_corpus",
+    "sessionize",
+    # --- §2 reference-core re-confirmation ---
+    "clean_transactions",
+    "weekly_by_la",
+    "rolling_windows",
+    "anomalies",
+    "latest_snapshot",
+    # --- aging r1-era TPC-H shapes (verified r1 only) ---
+    "top_parts_per_nation",
+    "shipping_priority",
+    "market_share",
+    # --- window-tail fill: more r2 greens ---
+    "dedup_minhash",
+    "doc_fingerprint",
+    "dataset_split",
+    "range_join",
+]
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R4_FRONT + [q for q in QUERIES if q not in _R4_FRONT]
 }

@@ -16,12 +16,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# best_fuzzy_match_compressed broadcasts ≤2 option rows per distinct left
+# name (~100 B each); above this many distinct names the hint is dropped
+# and the planner/AQE picks the join strategy instead (same convention as
+# similarity.ARROW_TOPK_MAX_QUERY_MB: estimate first, never OOM).
+COMPRESSED_BROADCAST_MAX_NAMES = 1_000_000
+
+
+def _bucketed_sides(base: DataFrame, length_bucket: int, max_dist: int):
+    """Composite-block the two sides of a blocked self-join on
+    (first token, length bucket) — LOSSLESSLY.
+
+    Bucket = floor(len / w) with width ``w ≥ max_dist``. Any surviving
+    pair has ``|len_a − len_b| ≤ max_dist ≤ w``, so the two buckets
+    differ by at most 1; fanning the probe side out to
+    [bucket−1, bucket, bucket+1] therefore reaches every partner while
+    the build side keeps a single bucket — each pair joins exactly once
+    (the three fan-out values are distinct and the partner holds one).
+    This is the SCALE.md §4 composite-block fix for a dominant first
+    token: candidate volume drops from |block|² to Σ 3·|cell|² over
+    length cells, at the price of a 3× fan-out of one side's compact
+    (key, name, len) rows — no recall loss, same output, same oracle.
+    """
+    if length_bucket < max(max_dist, 1):
+        raise ValueError(
+            f"length_bucket={length_bucket} must be >= max_dist={max_dist}: "
+            "a narrower bucket lets a matching pair span more than one "
+            "bucket boundary and the single-step fan-out would miss it."
+        )
+    bkt = F.floor(F.col("len") / F.lit(length_bucket)).cast("bigint")
+    a = base.withColumn(
+        "bucket", F.explode(F.array(bkt - F.lit(1), bkt, bkt + F.lit(1)))
+    ).alias("a")
+    b = base.withColumn("bucket", bkt).alias("b")
+    return a, b, (F.col("a.bucket") == F.col("b.bucket"))
+
 
 def fuzzy_pairs(
     records: DataFrame,
     name_col: str = "p_name",
     key_col: str = "p_partkey",
     max_dist: int = 3,
+    length_bucket: int | None = None,
 ) -> DataFrame:
     """All record pairs whose names are within ``max_dist`` edits,
     generated block-wise.
@@ -33,12 +69,20 @@ def fuzzy_pairs(
     the expensive Levenshtein runs on a fraction of block pairs.
     ``key_a < key_b`` canonicalizes pair order.
 
-    Plan: one shuffle keyed by block on compact (key, name, len) rows;
-    Levenshtein evaluates JVM-side inside the join. Block size drives
-    cost quadratically — at 100 TB use a finer block (first token +
-    length bucket, or a sorted-neighborhood pass within block) and cap
-    block cardinality the same way `ngram_jaccard_pairs` caps shingle
-    document frequency.
+    ``length_bucket`` (≥ max_dist) refines the block to the composite
+    (first token, length bucket) with a lossless ±1-bucket fan-out —
+    see :func:`_bucketed_sides`. Use it when one first token dominates
+    the corpus ("THE …" product names): the quadratic term shrinks from
+    the token-block size to the largest (token, length-cell) size, and
+    the output is IDENTICAL to the unbucketed run (pinned by the
+    ``fuzzy_pair_stats_bucketed`` driver query sharing the unbucketed
+    oracle, and by ``tools/stress_linkage.py``'s dominant-token run).
+
+    Plan: one shuffle keyed by the (composite) block on compact
+    (key, name, len) rows; Levenshtein evaluates JVM-side inside the
+    join. Block size drives cost quadratically — at 100 TB always pass
+    ``length_bucket`` (or use :func:`sorted_neighborhood_pairs` for a
+    linear-candidate pass).
     """
     base = records.select(
         F.col(key_col).alias("key"),
@@ -46,13 +90,16 @@ def fuzzy_pairs(
         F.split(F.col(name_col), r"\s+")[0].alias("block"),
         F.length(name_col).alias("len"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
+    if length_bucket is not None:
+        a, b, bucket_eq = _bucketed_sides(base, length_bucket, max_dist)
+    else:
+        a, b, bucket_eq = base.alias("a"), base.alias("b"), F.lit(True)
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & bucket_eq
             & (F.col("a.key") < F.col("b.key"))
             & (
                 F.abs(F.col("a.len") - F.col("b.len"))
@@ -223,6 +270,7 @@ def fuzzy_pair_histogram(
     name_col: str = "p_name",
     key_col: str = "p_partkey",
     max_dist: int = 3,
+    length_bucket: int | None = None,
 ) -> DataFrame:
     """Distance histogram of the blocked fuzzy-pair frame, computed at
     NAME grain: record-pair counts are cnt_x·cnt_y per cross-name pair
@@ -231,15 +279,20 @@ def fuzzy_pair_histogram(
     |records|² per block. THE scale move when values repeat (real
     catalogs: few distinct dirty spellings, many rows). Emits per
     distance the record-pair count and the distinct name-pair count.
+    ``length_bucket`` composite-blocks the name-grain self-join exactly
+    as in :func:`fuzzy_pairs` — lossless, identical output.
     """
     names = _name_grain(records, name_col, key_col)
-    a = names.alias("a")
-    b = names.alias("b")
+    if length_bucket is not None:
+        a, b, bucket_eq = _bucketed_sides(names, length_bucket, max_dist)
+    else:
+        a, b, bucket_eq = names.alias("a"), names.alias("b"), F.lit(True)
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     cross = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & bucket_eq
             & (F.col("a.name") < F.col("b.name"))
             & (
                 F.abs(F.col("a.len") - F.col("b.len"))
@@ -282,6 +335,15 @@ def best_fuzzy_match_compressed(
     own — at most one option can collide with it (keys are unique), so
     two options always suffice. The per-name rank runs over the tiny
     name-pair frame; records only broadcast-join the 2-row option list.
+
+    The option list is ≤2 rows per DISTINCT left name — dimension-sized
+    for real catalogs (few dirty spellings, many rows), but nothing in
+    the type system enforces that, so the broadcast is size-guarded:
+    above ``COMPRESSED_BROADCAST_MAX_NAMES`` distinct left names the
+    hint is dropped and the join falls back to a shuffle join (AQE may
+    still re-plan it). The count is one cheap distinct aggregate over
+    the name column — trivial next to the Levenshtein pass, same
+    estimate-before-collect convention as ``arrow_topk``.
     """
     from pyspark.sql import Window as W
 
@@ -327,8 +389,14 @@ def best_fuzzy_match_compressed(
     recs = left.select(
         F.col(key_col).alias("left_key"), F.col(name_col).alias("left_name")
     )
+    n_names = lnames.count()
+    options = (
+        F.broadcast(top2)
+        if n_names <= COMPRESSED_BROADCAST_MAX_NAMES
+        else top2
+    )
     joined = recs.join(
-        F.broadcast(top2), recs.left_name == top2.lname
+        options, recs.left_name == top2.lname
     ).where(F.col("cand_key") != F.col("left_key"))
     pick = F.min(F.struct("distance", "cand_key", "cand_name")).alias("m")
     return (

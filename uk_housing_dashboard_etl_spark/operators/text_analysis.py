@@ -1051,6 +1051,13 @@ def vocab_growth(
     max_id = documents.agg(
         F.max(F.col(id_col)).cast("bigint")
     ).collect()[0][0]
+    if max_id is None:
+        # empty corpus: no bucket boundaries exist — return an empty
+        # frame with the output schema instead of int(None) blowing up
+        return documents.sparkSession.createDataFrame(
+            [],
+            "bucket int, n_docs bigint, tokens_cum bigint, vocab_cum bigint",
+        )
     b = F.floor(
         F.col(id_col).cast("bigint")
         * F.lit(n_buckets)

@@ -206,6 +206,7 @@ def ewma_smooth(
     key_col: str = "local_authority",
     time_col: str = "week",
     alpha: float = 0.5,
+    max_series_len: int = 10_000,
 ) -> DataFrame:
     """Per-key exponential moving average over the time series:
 
@@ -216,14 +217,23 @@ def ewma_smooth(
     series sorted, fold it with ``F.aggregate`` building the running
     array, then zip-and-explode back to rows. No UDF, no Python.
 
-    Determinism: with dyadic α (0.5, 0.25 …) and integer inputs every
-    step is exact in IEEE double, and the oracle's recursive CTE runs
-    the identical operation sequence — bit-equal without rounding.
+    Determinism: oracle parity rests on IDENTICAL OPERATION SEQUENCES,
+    not exactness — the oracle's recursive CTE runs the same
+    ``α·x + (1−α)·prev`` fold in the same order, so both engines round
+    identically at every step. (With dyadic α and small integer inputs
+    the steps happen to be exact in IEEE double, but once ewma_t needs
+    more than 53 mantissa bits — long series × large values — steps DO
+    round; they just round the same way on both sides.)
 
     Plan: one shuffle keyed by ``key_col`` (the same exchange any
-    per-key window needs); each key's series folds row-locally. Series
-    length per key is bounded (weeks, not facts) — this operates on the
-    MART, the same size discipline as ``rolling.py``.
+    per-key window needs); each key's series folds row-locally. The
+    fold rebuilds the accumulator array each step (O(n²) copies per
+    key), which is fine at MART grain (weeks per key — the same size
+    discipline as ``rolling.py``) but pathological on fact-grain input,
+    so the contract is enforced: any key whose series exceeds
+    ``max_series_len`` raises inside the plan rather than grinding
+    quadratically. Re-aggregate to mart grain first, or raise the bound
+    deliberately.
     """
     series = (
         weekly.groupBy(key_col)
@@ -232,6 +242,25 @@ def ewma_smooth(
                 F.collect_list(F.struct(time_col, value_col))
             ).alias("__s")
         )
+    )
+    guard_msg = F.concat(
+        F.lit("ewma_smooth: series length "),
+        F.size("__s").cast("string"),
+        F.lit(
+            f" for key '{key_col}'="
+        ),
+        F.col(key_col).cast("string"),
+        F.lit(
+            f" exceeds max_series_len={max_series_len}; the F.aggregate "
+            "fold copies the accumulator each step (quadratic). Pass "
+            "mart-grain input or raise max_series_len explicitly."
+        ),
+    )
+    series = series.withColumn(
+        "__s",
+        F.when(
+            F.size("__s") > F.lit(max_series_len), F.raise_error(guard_msg)
+        ).otherwise(F.col("__s")),
     )
     vals = F.col("__s").getField(value_col).cast("array<double>")
     ewma_arr = F.aggregate(
