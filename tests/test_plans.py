@@ -302,3 +302,34 @@ def test_vocab_growth_no_cross_join_for_max_id(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") <= 2, tree
+
+
+def test_strip_boilerplate_broadcasts_boiler_set_only(spark):
+    plan = plan_of(spark, "strip_boilerplate")
+    # the anti-join against the (tiny) boilerplate chunk set must be a
+    # broadcast, so document bodies never reshuffle for the filter
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_interarrival_single_exchange_for_window_and_agg(spark):
+    plan = plan_of(spark, "interarrival_stats")
+    # the lag window and the per-user aggregate share the user_id
+    # partitioning: exactly one shuffle of fact rows (plus AQE reads)
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_benford_is_single_scan_two_phase_agg(spark):
+    plan = plan_of(spark, "benford_prices")
+    # partial aggregate before the 9-group exchange; only the price
+    # column is read
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_cusum_single_key_exchange(spark):
+    plan = plan_of(spark, "cusum_weekly")
+    # the fold itself adds no exchange beyond the groupBy(la) that
+    # builds the series (upstream weekly-mart exchanges are its own)
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan

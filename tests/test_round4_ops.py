@@ -1,0 +1,265 @@
+"""Unit tests for the round-4 operators: interarrival/burstiness,
+Benford profile, CUSUM changepoints, shingle containment, rare-token
+blocking, and chunk-grain boilerplate removal. Each pins hand-computed
+semantics on tiny fixtures; oracle parity at sf0.01 is covered by the
+contract registry (tools/selfcheck.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_interarrival_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        interarrival_stats,
+    )
+
+    rows = [
+        # user 1: gaps 60s, 120s, 180s -> mean 120, sd 60 (ddof=1), cv .5
+        (1, _ts(0), 1),
+        (2, _ts(1), 1),
+        (3, _ts(3), 1),
+        (4, _ts(6), 1),
+        # user 2: one gap only -> below min_gaps, dropped
+        (5, _ts(0), 2),
+        (6, _ts(5), 2),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {r["user_id"]: r for r in interarrival_stats(df).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert r["n_gaps"] == 3
+    assert r["mean_gap_s"] == 120.0
+    assert r["cv_gap"] == 0.5
+    # burstiness = (0.5 - 1) / (0.5 + 1) = -1/3
+    assert r["burstiness"] == pytest.approx(-0.3333, abs=1e-4)
+
+
+def test_interarrival_ties_deterministic(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        interarrival_stats,
+    )
+
+    # same-timestamp burst: the (ts, event_id) total order makes the
+    # zero gaps well-defined instead of partition-order dependent
+    rows = [(i, _ts(0), 7) for i in range(3)] + [(9, _ts(2), 7)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    r = interarrival_stats(df).collect()[0]
+    assert r["n_gaps"] == 3  # gaps 0, 0, 120s
+    assert r["mean_gap_s"] == 40.0
+
+
+def test_benford_digits_and_expectation(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import benford_profile
+
+    # 10 ones-leading, 5 twos-leading, across magnitudes + boundary cases
+    vals = (
+        [1.0, 10.0, 100.0, 1000.0, 19.99, 150.0, 1.5, 17.0, 123.4, 1999.0]
+        + [2.0, 25.0, 200.0, 2999.0, 2.5]
+        + [0.5]  # below min_value: excluded
+    )
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n"] == 10 and out[2]["n"] == 5
+    assert out[1]["share"] == pytest.approx(0.6667, abs=1e-4)
+    assert out[1]["benford"] == pytest.approx(round(math.log10(2), 4), abs=1e-4)
+    assert out[2]["benford"] == pytest.approx(
+        round(math.log10(1.5), 4), abs=1e-4
+    )
+    # chi2 term is n_total * (share-expected)^2 / expected
+    t = 15.0
+    sh, ex = 10.0 / 15.0, math.log10(2)
+    assert out[1]["chi2_term"] == pytest.approx(
+        t * (sh - ex) ** 2 / ex, abs=1e-3
+    )
+
+
+def test_cusum_detects_level_shift(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    # 10 weeks at 10 then 2 weeks at 22: mu = 12. slack=2.5 absorbs the
+    # low-regime drift on BOTH sides (10-12-2.5 < 0 pins s+ at 0;
+    # 10-12+2.5 > 0 pins s- at 0), so only the genuine upward shift
+    # accumulates: s+ = 7.5 then 15.0, crossing threshold=12 on the
+    # second high week
+    rows = [
+        ("LA1", dt.date(2024, 1, 1) + dt.timedelta(weeks=i), 10 if i < 10 else 22)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, ["local_authority", "week", "transactions"]
+    )
+    out = (
+        cusum_changepoints(df, slack=2.5, threshold=12.0)
+        .orderBy("week")
+        .collect()
+    )
+    assert [r["changepoint"] for r in out] == [False] * 11 + [True]
+    assert all(r["cusum_pos"] == 0.0 for r in out[:10])
+    assert all(r["cusum_neg"] == 0.0 for r in out)
+    assert out[10]["cusum_pos"] == pytest.approx(7.5, abs=1e-4)
+    assert out[11]["cusum_pos"] == pytest.approx(15.0, abs=1e-4)
+
+
+def test_cusum_series_length_guard(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = [
+        ("LA1", dt.date(2024, 1, 1) + dt.timedelta(days=i), i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, ["local_authority", "week", "transactions"]
+    )
+    with pytest.raises(SparkRuntimeException, match="max_series_len"):
+        cusum_changepoints(df, max_series_len=10).collect()
+
+
+def test_containment_asymmetric(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    short = "alpha beta gamma delta"  # 2 shingles, both inside long
+    long = "alpha beta gamma delta epsilon zeta eta theta"  # 6 shingles
+    other = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    # short is fully contained in long; long is only 2/6 contained in short
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["containment"] == 1.0
+    assert out[(1, 2)]["n_common"] == 2 and out[(1, 2)]["size_a"] == 2
+    # lowering the threshold surfaces the reverse direction at 2/6
+    both = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.1).collect()
+    }
+    assert both[(2, 1)] == pytest.approx(0.3333, abs=1e-4)
+
+
+def test_containment_df_cap_is_lower_bound(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, f"all rights reserved body{i // 2} tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(
+            df, threshold=0.0, max_shingle_df=2
+        ).collect()
+    }
+    for pair, c in capped.items():
+        assert c <= exact[pair] + 1e-9
+
+
+def test_rare_token_blocking_recall_beats_first_token(spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pairs,
+        rare_token_pairs,
+    )
+
+    # the edit is in the FIRST word: first-token blocking separates the
+    # pair, rarest-token blocking ("widget" is rarer than the typo'd
+    # first words) keeps it together
+    rows = [
+        (1, "red widget"),
+        (2, "ted widget"),
+        (3, "red wagon"),
+        (4, "red wheel"),
+        (5, "red window"),
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    first = {
+        (r["key_a"], r["key_b"]) for r in fuzzy_pairs(df, max_dist=1).collect()
+    }
+    rare = {
+        (r["key_a"], r["key_b"])
+        for r in rare_token_pairs(df, max_dist=1).collect()
+    }
+    assert (1, 2) not in first
+    assert (1, 2) in rare
+
+
+def test_rare_token_block_bounded_by_df(spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        rare_token_pairs,
+    )
+
+    # every name shares dominant token 'the' (df=8) and a df=2 middle
+    # token; the trailing v{i} tokens are df=1 and excluded from the
+    # argmin -> blocks form on the df=2 tokens, never on 'the', so the
+    # dominant token cannot create a quadratic block
+    rows = [(i, f"the part{i // 2} v{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in rare_token_pairs(df, max_dist=10).collect()
+    }
+    assert got == {(0, 1), (2, 3), (4, 5), (6, 7)}
+
+
+def test_strip_boilerplate_chunks(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        strip_boilerplate_chunks,
+    )
+
+    boiler = "w1 w2 w3 w4 w5"  # one 5-token chunk shared by 3 docs
+    rows = [
+        (1, f"{boiler} u1a u1b u1c u1d u1e"),
+        (2, f"{boiler} u2a u2b u2c u2d u2e"),
+        (3, f"{boiler} u3a u3b u3c u3d u3e"),
+        (4, boiler),  # pure boilerplate -> empty output
+        (5, "v1 v2 v3 v4 v5 v6 v7"),  # unique chunks, untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_chunks(
+            df, chunk_tokens=5, max_chunk_df=2
+        ).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["clean_text"] == "u1a u1b u1c u1d u1e"
+    assert out[4]["n_removed"] == 1 and out[4]["clean_text"] == ""
+    assert out[5]["n_removed"] == 0
+    assert out[5]["clean_text"] == "v1 v2 v3 v4 v5 v6 v7"
+
+
+def test_strip_boilerplate_preserves_order(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        strip_boilerplate_chunks,
+    )
+
+    # 30 tokens -> 10 chunks of 3; chunks must reassemble in position
+    # order even though collect_list is unordered
+    text = " ".join(f"t{i:02d}" for i in range(30))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = strip_boilerplate_chunks(df, chunk_tokens=3, max_chunk_df=5).collect()[0]
+    assert r["clean_text"] == text
+    assert r["n_chunks"] == 10 and r["n_removed"] == 0

@@ -5324,6 +5324,253 @@ _EXTENSION_ORACLES["fuzzy_pair_stats_bucketed"] = _EXTENSION_ORACLES[
     "fuzzy_pair_stats"
 ]
 
+
+# ---------------------------------------------------------------- round 4
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile (mean gap, CV, Goh-Barabási
+    burstiness) — exact integer moment sums, one keyed exchange."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        interarrival_stats,
+    )
+
+    return interarrival_stats(read_table(spark, sf_dir, "events"))
+
+
+_EXTENSION_ORACLES["interarrival_stats"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap
+        FROM (SELECT user_id, ts, event_id, epoch_us(ts) AS us
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+    ), m AS (
+        SELECT user_id,
+               count(*) AS n_gaps,
+               CAST(count(*) AS DOUBLE) AS nd,
+               CAST(sum(gap) AS DOUBLE) AS sd,
+               CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2d
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_gaps,
+           round(sd / nd / 1000000.0, 4) AS mean_gap_s,
+           round(sqrt((s2d - sd * sd / nd) / (nd - 1.0))
+                 / (sd / nd), 4) AS cv_gap,
+           round((sqrt((s2d - sd * sd / nd) / (nd - 1.0)) / (sd / nd) - 1.0)
+                 / (sqrt((s2d - sd * sd / nd) / (nd - 1.0)) / (sd / nd) + 1.0),
+                 4) AS burstiness
+    FROM m WHERE n_gaps >= 2
+    """
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of lineitem gross prices with
+    chi-square contributions — data-quality screen, single fact scan."""
+    from uk_housing_dashboard_etl_spark.operators.stats import benford_profile
+
+    return benford_profile(
+        read_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+
+
+_EXTENSION_ORACLES["benford_prices"] = """
+    WITH src AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0
+    ), e0s AS (
+        SELECT x, CAST(floor(log10(x)) AS INT) AS e0 FROM src
+    ), es AS (
+        SELECT x, CASE WHEN x < pow(10.0, CAST(e0 AS DOUBLE)) THEN e0 - 1
+                       WHEN x >= pow(10.0, CAST(e0 AS DOUBLE)) * 10.0
+                            THEN e0 + 1
+                       ELSE e0 END AS e
+        FROM e0s
+    ), counts AS (
+        SELECT CAST(floor(x / pow(10.0, CAST(e AS DOUBLE))) AS INT) AS digit,
+               count(*) AS n
+        FROM es GROUP BY 1
+    ), shares AS (
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS sh,
+               log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS ex,
+               CAST(sum(n) OVER () AS DOUBLE) AS t
+        FROM counts
+    )
+    SELECT digit, n, round(sh, 4) AS share, round(ex, 4) AS benford,
+           round(t * (sh - ex) * (sh - ex) / ex, 4) AS chi2_term
+    FROM shares
+    """
+
+
+def q_cusum_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detector over the weekly mart —
+    recursive fold vs the oracle's recursive CTE (identical op
+    sequence, like ewma_weekly)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(_weekly(spark, sf_dir), threshold=5.0)
+
+
+_EXTENSION_ORACLES["cusum_weekly"] = _BASE.replace(
+    "WITH", "WITH RECURSIVE", 1
+) + """
+    , base AS (
+        SELECT local_authority, week,
+               CAST(transactions AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY local_authority
+                   ORDER BY week) AS rn
+        FROM weekly
+    ), mu AS (
+        SELECT local_authority,
+               CAST(sum(CAST(transactions AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mu
+        FROM weekly GROUP BY 1
+    ), c AS (
+        SELECT b.local_authority, b.week, b.x, b.rn,
+               greatest(0.0, 0.0 + (b.x - m.mu - 0.0)) AS spos,
+               least(0.0, 0.0 + (b.x - m.mu + 0.0)) AS sneg
+        FROM base b JOIN mu m ON b.local_authority = m.local_authority
+        WHERE b.rn = 1
+        UNION ALL
+        SELECT b.local_authority, b.week, b.x, b.rn,
+               greatest(0.0, c.spos + (b.x - m.mu - 0.0)),
+               least(0.0, c.sneg + (b.x - m.mu + 0.0))
+        FROM base b
+        JOIN c ON b.local_authority = c.local_authority
+              AND b.rn = c.rn + 1
+        JOIN mu m ON b.local_authority = m.local_authority
+    )
+    SELECT local_authority, week, x AS transactions,
+           round(spos, 4) AS cusum_pos, round(sneg, 4) AS cusum_neg,
+           (spos > 5.0 OR sneg < -5.0) AS changepoint
+    FROM c
+    """
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (Broder): ordered doc pairs where
+    ≥50% of doc_a's 3-gram set sits inside doc_b — the quote/nesting
+    relation symmetric Jaccard misses."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        read_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+_EXTENSION_ORACLES["dedup_containment"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), directed AS (
+        SELECT doc_x AS doc_a, doc_y AS doc_b, n_common FROM inter
+        UNION ALL
+        SELECT doc_y AS doc_a, doc_x AS doc_b, n_common FROM inter
+    )
+    SELECT doc_a, doc_b, n_common, s.n AS size_a,
+           round(n_common / s.n, 4) AS containment
+    FROM directed JOIN sizes s ON s.doc_id = doc_a
+    WHERE round(n_common / s.n, 4) >= 0.5
+    """
+
+
+def q_rare_token_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy pairs blocked on each name's RAREST corpus token — higher
+    recall than first-token blocking (edits in the first word no longer
+    split a pair across blocks) with block sizes bounded by the
+    blocking token's document frequency."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        rare_token_pairs,
+    )
+
+    return rare_token_pairs(read_table(spark, sf_dir, "part"), max_dist=2)
+
+
+_EXTENSION_ORACLES["rare_token_linkage"] = """
+    WITH tok AS (
+        SELECT DISTINCT p_name AS name, u.t AS tok
+        FROM part, unnest(string_split_regex(p_name, '\\s+')) AS u(t)
+    ), df AS (
+        SELECT tok, count(*) AS df FROM tok GROUP BY 1 HAVING count(*) >= 2
+    ), rar AS (
+        SELECT name, tok AS block FROM (
+            SELECT tok.name, tok.tok,
+                   row_number() OVER (PARTITION BY tok.name
+                       ORDER BY df.df, tok.tok) AS rn
+            FROM tok JOIN df ON tok.tok = df.tok
+        ) WHERE rn = 1
+    ), named AS (
+        SELECT p.p_partkey AS key, p.p_name AS name, r.block,
+               length(p.p_name) AS len
+        FROM part p JOIN rar r ON p.p_name = r.name
+    )
+    SELECT a.key AS key_a, b.key AS key_b,
+           a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS distance
+    FROM named a JOIN named b
+      ON a.block = b.block AND a.key < b.key AND abs(a.len - b.len) <= 2
+    WHERE levenshtein(a.name, b.name) <= 2
+    """
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal at 10-token chunk grain
+    (CCNet-style line dedup for newline-free docs): chunks appearing in
+    >2 distinct docs are dropped and survivors reassembled in order."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        strip_boilerplate_chunks,
+    )
+
+    return strip_boilerplate_chunks(
+        read_table(spark, sf_dir, "documents"),
+        chunk_tokens=10,
+        max_chunk_df=2,
+    )
+
+
+_EXTENSION_ORACLES["strip_boilerplate"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), chunks AS (
+        SELECT doc_id, u.c AS pos,
+               array_to_string(t[(u.c*10+1):(u.c*10+10)], ' ') AS chunk
+        FROM toks, unnest(generate_series(0,
+                 CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS u(c)
+    ), df AS (
+        SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY 1
+    ), kept AS (
+        SELECT c.doc_id, c.pos, c.chunk
+        FROM chunks c JOIN df ON c.chunk = df.chunk WHERE df.df <= 2
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY 1
+    ), tot AS (
+        SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_chunks, 0) AS n_chunks,
+           CAST(coalesce(t.n_chunks, 0) - coalesce(a.n_kept, 0) AS INT)
+               AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -5636,6 +5883,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_pair_stats_bucketed": q_fuzzy_pair_stats_bucketed,
     "fuzzy_snm_recall": q_fuzzy_snm_recall,
     "ewma_weekly": q_ewma_weekly,
+    "interarrival_stats": q_interarrival_stats,
+    "benford_prices": q_benford_prices,
+    "cusum_weekly": q_cusum_weekly,
+    "dedup_containment": q_dedup_containment,
+    "rare_token_linkage": q_rare_token_linkage,
+    "strip_boilerplate": q_strip_boilerplate,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -5673,6 +5926,12 @@ _R4_FRONT = [
     "ewma_weekly",
     # --- new in round 4 ---
     "fuzzy_pair_stats_bucketed",
+    "rare_token_linkage",
+    "cusum_weekly",
+    "interarrival_stats",
+    "benford_prices",
+    "dedup_containment",
+    "strip_boilerplate",
     # --- r2-family rotation (green in r2, unseen since) ---
     "similarity_topk",
     "similarity_lsh_recall",

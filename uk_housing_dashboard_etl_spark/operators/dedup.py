@@ -727,3 +727,83 @@ def dedup_against_index(
             & F.col("__near").isNull()
         ).alias("keep"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: c(A→B) = |A∩B| / |A|,
+    emitted as ordered (doc_a, doc_b) rows where doc_a's shingle set is
+    ≥ ``threshold`` contained in doc_b's.
+
+    Containment is the quote/nesting detector symmetric Jaccard misses:
+    a short document fully embedded in a long one has tiny Jaccard
+    (|A∪B| is dominated by B) but containment 1.0 — exactly the
+    relationship that matters when curating training data against
+    wholesale inclusion of one source inside another (Broder's
+    original distinction between resemblance and containment).
+
+    Mechanics mirror :func:`ngram_jaccard_pairs`: distinct-shingle
+    self-join for |A∩B| (each unordered join row fans out to both
+    directions), set sizes joined back, exact integer ratio → 4dp.
+    ``max_shingle_df`` caps the self-join exactly as there — the capped
+    containment only LOSES common shingles (lower bound, never a false
+    positive). Scale path: cap + the MinHash candidate generator.
+    """
+    sh = _word_shingles(documents, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = sh
+    if max_shingle_df is not None:
+        if max_shingle_df < 2:
+            raise ValueError(
+                f"max_shingle_df must be >= 2 (a shingle needs df >= 2 to "
+                f"link any pair), got {max_shingle_df}"
+            )
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_x"), F.col("b.doc_id").alias("doc_y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # one unordered intersection row serves both directions
+    directed = inter.select(
+        F.col("doc_x").alias("doc_a"),
+        F.col("doc_y").alias("doc_b"),
+        "n_common",
+    ).unionByName(
+        inter.select(
+            F.col("doc_y").alias("doc_a"),
+            F.col("doc_x").alias("doc_b"),
+            "n_common",
+        )
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    return (
+        directed.join(sa, "doc_a")
+        .withColumn(
+            "containment", round4(F.col("n_common") / F.col("size_a"))
+        )
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "containment")
+    )

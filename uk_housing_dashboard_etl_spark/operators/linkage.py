@@ -410,3 +410,76 @@ def best_fuzzy_match_compressed(
             F.col("m.distance").alias("distance"),
         )
     )
+
+
+def rare_token_pairs(
+    records: DataFrame,
+    name_col: str = "p_name",
+    key_col: str = "p_partkey",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy pairs with the block = each name's RAREST token
+    (minimum corpus document frequency, ties → lexicographically
+    smallest token) instead of its first token.
+
+    Recall rationale: first-token blocking misses pairs whose edit sits
+    in the first word ("red widget" vs "ted widget"); the rarest SHARED
+    token of two near-identical names is almost always the same token,
+    since they share most words and rarity is a corpus-global property.
+    Tokens with name-frequency 1 are EXCLUDED from the argmin: a token
+    only one distinct name contains can never co-block a pair, yet it
+    would always win the argmin (typos create unique tokens — exactly
+    the names that most need linking). A name with no df≥2 token shares
+    no token with any other name and is correctly unblockable.
+
+    The scale property is stronger than first-token blocking, not
+    weaker: a block's size is bounded by its token's name frequency
+    (every member contains the token), and every member CHOSE it as its
+    rarest — dominant tokens ("THE") can never form a block; they lose
+    the argmin to any rarer word in the name.
+
+    Plan: token df = one aggregate over distinct (name, token) pairs;
+    the argmin per name is a combinable struct-min; then the same
+    blocked self-join + length prefilter + JVM Levenshtein as
+    :func:`fuzzy_pairs`. Three shuffles total (token df, name argmin,
+    block join), each on compact rows.
+    """
+    toks = records.select(
+        F.col(name_col).alias("name"),
+        F.explode(F.split(F.col(name_col), r"\s+")).alias("tok"),
+    ).distinct()
+    df = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= 2)
+    )
+    rare = (
+        toks.join(df, "tok")
+        .groupBy("name")
+        .agg(F.min(F.struct("__df", "tok")).alias("__m"))
+        .select("name", F.col("__m.tok").alias("block"))
+    )
+    base = records.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        F.length(name_col).alias("len"),
+    ).join(rare, "name")
+    a = base.alias("a")
+    b = base.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") < F.col("b.key"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist)),
+        )
+        .where(dist <= F.lit(max_dist))
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            dist.cast("int").alias("distance"),
+        )
+    )

@@ -390,3 +390,61 @@ def psi_drift(
         F.sum("cc").alias("n_cur"),
         round4(dsum(F.col("__t"))).alias("psi"),
     ).withColumn("drifted", F.col("psi") >= 0.2)
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    min_value: float = 1.0,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic data-quality / fraud screen for multiplicative magnitudes
+    (prices, revenues): natural data follows P(d) = log10(1 + 1/d),
+    fabricated or truncated data doesn't. Emits, per digit 1-9, the
+    observed count, observed share, Benford-expected share, and the
+    chi-square contribution n·(share − expected)²/expected.
+
+    Digit extraction is engine-deterministic: e = floor(log10(x)) is
+    CLAMPED one step either way against exact powers of 10 (libm log10
+    may differ by an ulp between engines near a boundary; the clamp
+    re-derives e from the order comparison, which is exact because
+    10^e is an exact double for 0 ≤ e ≤ 22), then digit =
+    floor(x / 10^e) on exactly-rounded IEEE division. Values below
+    ``min_value`` (≥ 1 keeps e non-negative) are excluded.
+
+    Plan: one projection + a 9-group partial aggregate; the share
+    normalization is a window over the 9-row aggregate. Scales as a
+    single fact scan.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    x = F.col(value_col).cast("double")
+    e0 = F.floor(F.log10(x)).cast("int")
+    p0 = F.pow(F.lit(10.0), e0.cast("double"))
+    # clamp against ulp-level log10 disagreement: the comparisons below
+    # are exact, so every engine lands on the same (e, p)
+    e = (
+        F.when(x < p0, e0 - F.lit(1))
+        .when(x >= p0 * F.lit(10.0), e0 + F.lit(1))
+        .otherwise(e0)
+    )
+    p = F.pow(F.lit(10.0), e.cast("double"))
+    digit = F.floor(x / p).cast("int")
+    counts = (
+        df.where(F.col(value_col).isNotNull() & (x >= F.lit(min_value)))
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()  # 9 aggregated rows — total-order window is fine
+    total = F.sum("n").over(w).cast("double")
+    share = F.col("n").cast("double") / total
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.select(
+        "digit",
+        "n",
+        round4(share).alias("share"),
+        round4(expected).alias("benford"),
+        round4(
+            total * (share - expected) * (share - expected) / expected
+        ).alias("chi2_term"),
+    )

@@ -1097,3 +1097,87 @@ def vocab_growth(
         )
         .orderBy("bucket")
     )
+
+
+def strip_boilerplate_chunks(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    max_chunk_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal at fixed token-chunk grain —
+    the CCNet/RefinedWeb line-dedup move, generalized to corpora whose
+    documents carry no newline structure: split each normalized doc
+    into consecutive ``chunk_tokens``-token chunks, drop every chunk
+    whose corpus document frequency exceeds ``max_chunk_df`` (headers,
+    footers, license blocks, navigation text — anything repeated
+    verbatim across more docs than independent authorship explains),
+    and reassemble the survivors in order.
+
+    Output: one row per input document — (doc_id, n_chunks, n_removed,
+    clean_text). Documents whose every chunk is boilerplate come back
+    with ``clean_text = ''`` (they are pure template; downstream
+    quality filters drop them).
+
+    Plan, scale-first: chunking is transform/slice inside codegen (no
+    Python); the df count shuffles (doc, chunk-hash)-grain rows once;
+    the BOILERPLATE SET (chunks with df > cap) is the only thing joined
+    back — by construction it is tiny relative to the corpus (it's the
+    repeated tail of the chunk distribution), so the anti-join
+    broadcasts and the reassembly never reshuffles document bodies. The
+    chunk texts themselves never travel: both the df count and the
+    anti-join key on a 64-bit xxhash of the chunk.
+    """
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_tokens))).cast(
+        "int"
+    )
+    chunk_at = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda c: F.array_join(
+            F.slice(F.col("__toks"), c * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    chunks = (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .select("doc_id", F.posexplode(chunk_at).alias("pos", "chunk"))
+        .withColumn("__h", F.xxhash64("chunk"))
+    )
+    boiler = (
+        chunks.select("doc_id", "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > F.lit(max_chunk_df))
+        .select("__h")
+    )
+    kept = chunks.join(F.broadcast(boiler), "__h", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "chunk"))).getField(
+                "chunk"
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            (
+                F.coalesce("n_chunks", F.lit(0))
+                - F.coalesce("__n_kept", F.lit(0))
+            ).cast("int").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -290,3 +290,109 @@ def ewma_smooth(
             F.col("__z.e").alias("ewma"),
         )
     )
+
+
+def cusum_changepoints(
+    weekly: DataFrame,
+    value_col: str = "transactions",
+    key_col: str = "local_authority",
+    time_col: str = "week",
+    slack: float = 0.0,
+    threshold: float = 5.0,
+    max_series_len: int = 10_000,
+) -> DataFrame:
+    """Per-key two-sided CUSUM level-shift detector over the series:
+
+        s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − slack))
+        s⁻_t = min(0, s⁻_{t−1} + (x_t − μ + slack)),   s⁺_0 = s⁻_0 = 0
+
+    with μ the key's own series mean. A sustained shift accumulates in
+    one of the sums until it crosses ``threshold``; single-point blips
+    decay — the complement to the z-score anomaly operator
+    (point outliers) in the monitoring family.
+
+    Like :func:`ewma_smooth`, CUSUM is a recursive fold no window frame
+    expresses, run as a pure column expression: collect each key's
+    sorted series and fold with ``F.aggregate``. Oracle parity rests on
+    the IDENTICAL operation sequence — μ is one exact-integer-sum
+    division, and both engines then run the same add/max chain, so
+    every intermediate rounds identically. Same mart-grain contract as
+    ``ewma_smooth``: series longer than ``max_series_len`` raise inside
+    the plan rather than folding quadratically.
+
+    Plan: one shuffle keyed by ``key_col``; the fold is row-local.
+    """
+    series = weekly.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(time_col, value_col))
+        ).alias("__s")
+    )
+    guard_msg = F.concat(
+        F.lit("cusum_changepoints: series length "),
+        F.size("__s").cast("string"),
+        F.lit(f" for key '{key_col}'="),
+        F.col(key_col).cast("string"),
+        F.lit(
+            f" exceeds max_series_len={max_series_len}; pass mart-grain "
+            "input or raise max_series_len explicitly."
+        ),
+    )
+    series = series.withColumn(
+        "__s",
+        F.when(
+            F.size("__s") > F.lit(max_series_len), F.raise_error(guard_msg)
+        ).otherwise(F.col("__s")),
+    )
+    vals = F.col("__s").getField(value_col).cast("array<double>")
+    # μ = exact Σx / n: one double division, identical on the oracle side
+    mu = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("__s").cast("double")
+    series = series.withColumn("__mu", mu)
+
+    def fold(step) -> F.Column:
+        return F.aggregate(
+            vals,
+            F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    step(
+                        F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+                            F.element_at(acc, -1)
+                        ),
+                        x,
+                    )
+                ),
+            ),
+        )
+
+    spos = fold(
+        lambda prev, x: F.greatest(
+            F.lit(0.0), prev + (x - F.col("__mu") - F.lit(slack))
+        )
+    )
+    sneg = fold(
+        lambda prev, x: F.least(
+            F.lit(0.0), prev + (x - F.col("__mu") + F.lit(slack))
+        )
+    )
+    zipped = F.arrays_zip(
+        F.col("__s").getField(time_col).alias("t"),
+        vals.alias("x"),
+        spos.alias("sp"),
+        sneg.alias("sn"),
+    )
+    return series.select(
+        key_col, F.explode(zipped).alias("__z")
+    ).select(
+        key_col,
+        F.col("__z.t").alias(time_col),
+        F.col("__z.x").alias(value_col),
+        round4(F.col("__z.sp")).alias("cusum_pos"),
+        round4(F.col("__z.sn")).alias("cusum_neg"),
+        (
+            (F.col("__z.sp") > F.lit(threshold))
+            | (F.col("__z.sn") < F.lit(-threshold))
+        ).alias("changepoint"),
+    )
