@@ -263,3 +263,104 @@ def test_strip_boilerplate_preserves_order(spark):
     r = strip_boilerplate_chunks(df, chunk_tokens=3, max_chunk_df=5).collect()[0]
     assert r["clean_text"] == text
     assert r["n_chunks"] == 10 and r["n_removed"] == 0
+
+
+def test_rare_token_histogram_equals_record_grain(spark):
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        rare_token_pair_histogram,
+        rare_token_pairs,
+    )
+
+    # duplicated names so the name-grain compression actually compresses
+    rows = [(i, f"the part{i // 3} x{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    brute = (
+        rare_token_pairs(df, max_dist=3)
+        .groupBy("distance")
+        .count()
+        .collect()
+    )
+    hist = {
+        r["distance"]: r["n_pairs"]
+        for r in rare_token_pair_histogram(df, max_dist=3).collect()
+    }
+    assert hist == {r["distance"]: r["count"] for r in brute}
+    # and the length_bucket refinement is lossless here too
+    hist_b = {
+        r["distance"]: r["n_pairs"]
+        for r in rare_token_pair_histogram(
+            df, max_dist=3, length_bucket=3
+        ).collect()
+    }
+    assert hist_b == hist
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.stats import theil_sen_slope
+
+    # perfect slope 1/day with one wild outlier week: the median of
+    # pairwise slopes stays ~1 where OLS would be dragged far off
+    rows = [
+        ("LA1", dt.date(2024, 1, 1) + dt.timedelta(days=7 * i),
+         7 * i if i != 5 else 10_000)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, ["local_authority", "week", "transactions"]
+    )
+    r = theil_sen_slope(df).collect()[0]
+    assert r["n_pairs"] == 45
+    assert abs(r["theil_sen_slope"] - 1.0) < 0.01
+
+
+def test_holt_tracks_linear_trend(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.timeseries import holt_linear
+
+    # on a pure linear ramp Holt's trend converges to the slope and the
+    # one-step forecast converges to the next value; EWMA would lag
+    rows = [
+        ("LA1", dt.date(2024, 1, 1) + dt.timedelta(weeks=i), 10 * i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, ["local_authority", "week", "transactions"]
+    )
+    out = holt_linear(df).orderBy("week").collect()
+    # hand-check the first two steps: l2 = .5*10 + .5*(0+0) = 5,
+    # b2 = .5*(5-0) + .5*0 = 2.5
+    assert out[1]["level"] == 5.0 and out[1]["trend"] == 2.5
+    # convergence: late forecasts within 1% of the next true value
+    assert abs(out[-1]["forecast"] - 200.0) / 200.0 < 0.02
+
+
+def test_basket_lift_hand_computed(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.behavior import basket_lift
+
+    def ev(i, u, day, t):
+        return (i, dt.datetime(2024, 1, day, 12), u, t)
+
+    rows = [
+        # 4 baskets: {a,b}, {a,b}, {a}, {b,c}
+        ev(1, 1, 1, "a"), ev(2, 1, 1, "b"),
+        ev(3, 2, 1, "a"), ev(4, 2, 1, "b"),
+        ev(5, 3, 1, "a"),
+        ev(6, 4, 1, "b"), ev(7, 4, 1, "c"),
+        # duplicate event in a basket must not double-count
+        ev(8, 1, 1, "a"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {(r["item_a"], r["item_b"]): r for r in basket_lift(df).collect()}
+    # only (a,b) reaches min_pair_count=2: c_ab=2, c_a=3, c_b=3, N=4
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["pair_baskets"] == 2
+    assert r["baskets_a"] == 3 and r["baskets_b"] == 3
+    assert r["support"] == 0.5
+    assert abs(r["confidence"] - 2 / 3) < 1e-3
+    assert abs(r["lift"] - (2 * 4) / (3 * 3)) < 1e-3

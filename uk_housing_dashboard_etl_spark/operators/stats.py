@@ -448,3 +448,53 @@ def benford_profile(
             total * (share - expected) * (share - expected) / expected
         ).alias("chi2_term"),
     )
+
+
+def theil_sen_slope(
+    weekly: DataFrame,
+    value_col: str = "transactions",
+    key_col: str = "local_authority",
+    time_col: str = "week",
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i), i<j on the time axis — the breakdown-robust
+    complement to :func:`grouped_slope`'s OLS (one wild week moves OLS
+    arbitrarily; Theil-Sen tolerates ~29% outliers).
+
+    Pairwise slopes are quadratic in SERIES length, so this is a
+    mart-grain operator by contract (weeks per key, like the rolling
+    family): the per-key self-join emits C(w,2) rows per key — at 10
+    years of weeks that is ~135k pairs per key, still trivially
+    partition-local. Never point it at fact-grain data; aggregate
+    first. Slopes are exact integer differences divided once in double
+    (identical IEEE op in the oracle); the median is the engine-shared
+    linear-interpolation percentile.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    base = weekly.select(
+        F.col(key_col).alias("key"),
+        F.datediff(
+            F.to_date(time_col), F.lit("1970-01-01").cast("date")
+        ).alias("x"),
+        F.col(value_col).cast("bigint").alias("y"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    slopes = a.join(
+        b, (F.col("a.key") == F.col("b.key")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.key").alias("key"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            round4(F.percentile("slope", 0.5)).alias("theil_sen_slope"),
+        )
+        .withColumnRenamed("key", key_col)
+    )

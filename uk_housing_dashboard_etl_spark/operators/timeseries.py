@@ -396,3 +396,111 @@ def cusum_changepoints(
             | (F.col("__z.sn") < F.lit(-threshold))
         ).alias("changepoint"),
     )
+
+
+def holt_linear(
+    weekly: DataFrame,
+    value_col: str = "transactions",
+    key_col: str = "local_authority",
+    time_col: str = "week",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    max_series_len: int = 10_000,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + trend):
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        l_1 = x_1,  b_1 = 0
+
+    The trending sibling of :func:`ewma_smooth` — EWMA lags a trending
+    series by design; Holt's coupled level/trend recursion tracks it.
+    Emits per row the level, trend, and one-step-ahead forecast
+    (l + b) the NEXT observation should be compared against.
+
+    Two COUPLED recursions in one fold: the ``F.aggregate`` accumulator
+    is an array of (l, b) structs, so the pattern that expressed
+    EWMA/CUSUM generalizes to multi-state recursions without Python.
+    Oracle parity is the identical-operation-sequence argument: the
+    recursive CTE computes l then b with the same expressions in the
+    same order. Same mart-grain contract and in-plan length guard as
+    the siblings.
+    """
+    series = weekly.groupBy(key_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(time_col, value_col))
+        ).alias("__s")
+    )
+    guard_msg = F.concat(
+        F.lit("holt_linear: series length "),
+        F.size("__s").cast("string"),
+        F.lit(f" for key '{key_col}'="),
+        F.col(key_col).cast("string"),
+        F.lit(
+            f" exceeds max_series_len={max_series_len}; pass mart-grain "
+            "input or raise max_series_len explicitly."
+        ),
+    )
+    series = series.withColumn(
+        "__s",
+        F.when(
+            F.size("__s") > F.lit(max_series_len), F.raise_error(guard_msg)
+        ).otherwise(F.col("__s")),
+    )
+    vals = F.col("__s").getField(value_col).cast("array<double>")
+    lb = F.aggregate(
+        vals,
+        F.expr("CAST(array() AS ARRAY<STRUCT<l: DOUBLE, b: DOUBLE>>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    F.struct(
+                        x.alias("l"), F.lit(0.0).alias("b")
+                    ),
+                ).otherwise(
+                    F.struct(
+                        (
+                            F.lit(alpha) * x
+                            + F.lit(1.0 - alpha)
+                            * (
+                                F.element_at(acc, -1).getField("l")
+                                + F.element_at(acc, -1).getField("b")
+                            )
+                        ).alias("l"),
+                        (
+                            F.lit(beta)
+                            * (
+                                (
+                                    F.lit(alpha) * x
+                                    + F.lit(1.0 - alpha)
+                                    * (
+                                        F.element_at(acc, -1).getField("l")
+                                        + F.element_at(acc, -1).getField("b")
+                                    )
+                                )
+                                - F.element_at(acc, -1).getField("l")
+                            )
+                            + F.lit(1.0 - beta)
+                            * F.element_at(acc, -1).getField("b")
+                        ).alias("b"),
+                    )
+                )
+            ),
+        ),
+    )
+    zipped = F.arrays_zip(
+        F.col("__s").getField(time_col).alias("t"),
+        vals.alias("x"),
+        lb.getField("l").alias("l"),
+        lb.getField("b").alias("b"),
+    )
+    return series.select(key_col, F.explode(zipped).alias("__z")).select(
+        key_col,
+        F.col("__z.t").alias(time_col),
+        F.col("__z.x").alias(value_col),
+        round4(F.col("__z.l")).alias("level"),
+        round4(F.col("__z.b")).alias("trend"),
+        round4(F.col("__z.l") + F.col("__z.b")).alias("forecast"),
+    )
