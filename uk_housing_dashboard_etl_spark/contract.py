@@ -5323,6 +5323,8 @@ _EXTENSION_ORACLES["fuzzy_pair_stats"] = """
 _EXTENSION_ORACLES["fuzzy_pair_stats_bucketed"] = _EXTENSION_ORACLES[
     "fuzzy_pair_stats"
 ]
+# pure-SQL twin of the flagship mart: same answer, same oracle
+_EXTENSION_ORACLES["sql_weekly_by_la"] = ORACLES["weekly_by_la"]
 
 
 # ---------------------------------------------------------------- round 4
@@ -5641,6 +5643,120 @@ _EXTENSION_ORACLES["basket_lift"] = """
     JOIN singles sb ON pc.item_b = sb.item
     CROSS JOIN tot
     """
+
+
+def q_streaming_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL++ weekly distinct users under the driver gate:
+    ``approx_count_distinct`` is the only distinct aggregate a stream
+    can run (exact needs unbounded window-member state); the drain is
+    joined against the exact batch distinct and every week must sit
+    inside the 5% envelope (the streaming twin of
+    ``sketch_weekly_distinct``). Exact values are emitted for the
+    oracle's value hash; the flags must all read TRUE."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        distinct_stream,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_dstream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    sdf = distinct_stream(spark, land)
+    with _stream_state_partitions(spark):
+        approx = run_stream_once(
+            sdf, query_name=f"dstr_{uuid.uuid4().hex[:10]}"
+        )
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.count_distinct("user_id").alias("exact_weekly_distinct"))
+    )
+    return exact.join(approx, "week", "left").select(
+        "week",
+        "exact_weekly_distinct",
+        (
+            F.col("approx_users").isNotNull()
+            & (
+                F.abs(
+                    F.col("approx_users") - F.col("exact_weekly_distinct")
+                )
+                <= F.col("exact_weekly_distinct") * F.lit(0.05)
+            )
+        ).alias("within_5pct"),
+    )
+
+
+_EXTENSION_ORACLES["streaming_distinct_check"] = """
+    SELECT date_trunc('week', ts) AS week,
+           COUNT(DISTINCT user_id) AS exact_weekly_distinct,
+           TRUE AS within_5pct
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """
+
+
+def q_sql_weekly_by_la(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship weekly mart expressed in PURE Spark SQL over temp
+    views — proving the engine's SQL surface produces the identical
+    answer to the DataFrame composition (same oracle as
+    ``weekly_by_la``). Catalyst compiles both to the same plan shape:
+    broadcast dimension join, split count-distinct / percentile
+    aggregates notwithstanding, identical rounding conventions."""
+    read_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__sql_events"
+    )
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__sql_customer"
+    )
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "__sql_nation"
+    )
+    return spark.sql(
+        """
+        WITH lookup AS (
+            SELECT CAST(c_custkey AS STRING) AS key,
+                   n_name AS local_authority
+            FROM __sql_customer JOIN __sql_nation
+              ON c_nationkey = n_nationkey
+            WHERE c_custkey % 7 <> 3
+        ), enriched AS (
+            SELECT e.ts AS date, e.event_id AS transaction_id,
+                   e.value AS price, l.local_authority
+            FROM __sql_events e
+            LEFT JOIN lookup l ON CAST(e.user_id AS STRING) = l.key
+            WHERE e.ts IS NOT NULL
+        ), weekly AS (
+            SELECT date_trunc('week', date) AS week, local_authority,
+                   count(DISTINCT transaction_id) AS transactions,
+                   (CAST(sum(CAST(round(price * 10000.0) AS BIGINT))
+                         AS DOUBLE) / 10000.0) / count(price) AS price_mean,
+                   percentile(price, 0.5) AS price_median,
+                   percentile(price, 0.1) AS price_p10,
+                   percentile(price, 0.9) AS price_p90
+            FROM enriched
+            WHERE local_authority IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT week, local_authority, transactions,
+               floor(price_mean * 10000.0 + 0.5) / 10000.0 AS price_mean,
+               floor(price_median * 10000.0 + 0.5) / 10000.0
+                   AS price_median,
+               floor(price_p10 * 10000.0 + 0.5) / 10000.0 AS price_p10,
+               floor(price_p90 * 10000.0 + 0.5) / 10000.0 AS price_p90
+        FROM weekly
+        """
+    )
 
 
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6009,6 +6125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_weekly": q_theil_sen_weekly,
     "holt_weekly": q_holt_weekly,
     "basket_lift": q_basket_lift,
+    "streaming_distinct_check": q_streaming_distinct_check,
+    "sql_weekly_by_la": q_sql_weekly_by_la,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6055,6 +6173,8 @@ _R4_FRONT = [
     "theil_sen_weekly",
     "holt_weekly",
     "basket_lift",
+    "streaming_distinct_check",
+    "sql_weekly_by_la",
     # --- r2-family rotation (green in r2, unseen since) ---
     "similarity_topk",
     "similarity_lsh_recall",
@@ -6077,8 +6197,6 @@ _R4_FRONT = [
     # --- window-tail fill: more r2 greens ---
     "dedup_minhash",
     "doc_fingerprint",
-    "dataset_split",
-    "range_join",
 ]
 QUERIES = {
     name: QUERIES[name]

@@ -454,9 +454,10 @@ def rare_token_pairs(
     :func:`fuzzy_pairs`. Three shuffles total (token df, name argmin,
     block join), each on compact rows. ``length_bucket`` composes the
     same lossless (block, length-cell) refinement as
-    :func:`fuzzy_pairs` — on TPC-H part names (92 color tokens over
-    20k names at sf0.1, rare-token blocks of hundreds) it cut the
-    registered query 28.5 s → single digits with identical output.
+    :func:`fuzzy_pairs`. On heavily-duplicated catalogs prefer
+    :func:`rare_token_pair_histogram` — the sf0.1 part table (20k
+    records over 64 distinct names) takes ~21 s here at record grain
+    vs 1.5 s at name grain for identical pair counts.
     """
     toks = records.select(
         F.col(name_col).alias("name"),

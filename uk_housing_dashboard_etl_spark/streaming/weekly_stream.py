@@ -140,3 +140,29 @@ def run_stream_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def distinct_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "14 days",
+    schema: StructType = EVENTS_STREAM_SCHEMA,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming weekly distinct-user counts via the HLL++ sketch —
+    ``approx_count_distinct`` is the ONLY distinct aggregate a streaming
+    query can run (exact COUNT DISTINCT needs unbounded per-window
+    member state; the sketch keeps 2^p registers per open window,
+    independent of cardinality). The batch twin is
+    ``sketches.mergeable_daily_distinct``; the driver gate joins this
+    stream's drain against the exact batch distinct and asserts the
+    HLL error envelope, exactly like the batch sketch gates.
+    """
+    raw = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        raw.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "7 days", MONDAY_ANCHOR).alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(F.col("win.start").alias("week"), "approx_users")
+    )
