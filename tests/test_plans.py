@@ -305,10 +305,15 @@ def test_vocab_growth_no_cross_join_for_max_id(spark):
 
 
 def test_strip_boilerplate_broadcasts_boiler_set_only(spark):
-    plan = plan_of(spark, "strip_boilerplate")
-    # the anti-join against the (tiny) boilerplate chunk set must be a
-    # broadcast, so document bodies never reshuffle for the filter
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the anti-join against the boilerplate chunk set carries NO static
+    # broadcast hint (a template-heavy corpus makes the set unbounded);
+    # AQE must convert it to a broadcast at runtime when it IS small —
+    # so the assertion reads the executed plan after an action
+    df = contract.QUERIES["strip_boilerplate"](spark, SF)
+    df.count()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in executed
+    assert "Broadcast" in executed
 
 
 def test_interarrival_single_exchange_for_window_and_agg(spark):

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -217,6 +218,26 @@ def main() -> None:
         t0 = time.time()
         counts["mix_rows"] = temperature_mix(tagged).count()
         times["temperature_mix"] = round(time.time() - t0, 2)
+
+        from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+            strip_boilerplate_chunks,
+        )
+
+        # round-4 corpus ops: boilerplate chunk removal (AQE-adaptive
+        # anti-join) and df-capped containment on the planted near-dups
+        t0 = time.time()
+        counts["boiler_chunks_removed"] = int(
+            strip_boilerplate_chunks(docs, chunk_tokens=10, max_chunk_df=4)
+            .agg(F.sum("n_removed"))
+            .collect()[0][0]
+        )
+        times["strip_boilerplate"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        counts["containment_pairs"] = containment_pairs(
+            docs, threshold=0.9, max_shingle_df=8
+        ).count()
+        times["containment_capped"] = round(time.time() - t0, 2)
 
         t0 = time.time()
         packed = pack_sequences(docs, budget_tokens=2048, n_shards=64)

@@ -1123,11 +1123,17 @@ def strip_boilerplate_chunks(
     Plan, scale-first: chunking is transform/slice inside codegen (no
     Python); the df count shuffles (doc, chunk-hash)-grain rows once;
     the BOILERPLATE SET (chunks with df > cap) is the only thing joined
-    back — by construction it is tiny relative to the corpus (it's the
-    repeated tail of the chunk distribution), so the anti-join
-    broadcasts and the reassembly never reshuffles document bodies. The
-    chunk texts themselves never travel: both the df count and the
-    anti-join key on a 64-bit xxhash of the chunk.
+    back — normally the tiny repeated tail of the chunk distribution,
+    so the anti-join broadcasts, but the broadcast decision is left to
+    AQE's runtime size check rather than a static hint: a pathological
+    template corpus (most chunks repeated) makes the set arbitrarily
+    large, and a forced broadcast there would OOM executors where the
+    AQE fallback is a correct shuffled anti-join (the same
+    unbounded-frame reasoning as the best_fuzzy_match_compressed
+    guard, solved adaptively because sizing the set up front would
+    cost a second corpus scan). The chunk texts themselves never
+    travel: both the df count and the anti-join key on a 64-bit
+    xxhash of the chunk.
     """
     from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
 
@@ -1154,7 +1160,7 @@ def strip_boilerplate_chunks(
         .where(F.col("__df") > F.lit(max_chunk_df))
         .select("__h")
     )
-    kept = chunks.join(F.broadcast(boiler), "__h", "left_anti")
+    kept = chunks.join(boiler, "__h", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__n_kept"),
         F.array_join(
