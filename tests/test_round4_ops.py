@@ -364,3 +364,46 @@ def test_basket_lift_hand_computed(spark):
     assert r["support"] == 0.5
     assert abs(r["confidence"] - 2 / 3) < 1e-3
     assert abs(r["lift"] - (2 * 4) / (3 * 3)) < 1e-3
+
+
+def test_cdc_boundaries_survive_insertion(spark):
+    """The CDC property: an insertion near the start of a copy shifts
+    every FIXED chunk after it, but content-defined boundaries re-align
+    downstream — most chunks still match."""
+    import random
+
+    from uk_housing_dashboard_etl_spark.operators.dedup import cdc_chunk_pairs
+
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(300)]
+    base = [random.choice(vocab) for _ in range(120)]
+    shifted = base[:3] + ["zzz"] + base[3:]
+    unrelated = [random.choice(vocab) for _ in range(120)]
+    df = spark.createDataFrame(
+        [(1, " ".join(base)), (2, " ".join(shifted)), (3, " ".join(unrelated))],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in cdc_chunk_pairs(df, threshold=0.3).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # only the chunk containing the inserted token differs
+    assert r["shared_chunks"] >= r["chunks_a"] - 2
+    assert r["overlap"] >= 0.7
+
+
+def test_cdc_chunks_partition_the_doc(spark):
+    """Chunks must tile the token stream: rejoining them in any order
+    of discovery reproduces the token multiset, and a doc shorter than
+    the hash window is one single chunk."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import cdc_chunk_pairs
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = cdc_chunk_pairs(tiny, threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["chunks_a"] == 1 and out[0]["shared_chunks"] == 1
+    assert out[0]["overlap"] == 1.0

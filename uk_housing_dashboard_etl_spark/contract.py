@@ -5706,6 +5706,68 @@ _EXTENSION_ORACLES["streaming_distinct_check"] = """
     """
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking near-dup pairs (FastCDC-style gear
+    boundaries over token streams): edit-resistant chunk-grain overlap
+    — an insertion shifts fixed chunks but CDC boundaries re-align.
+    Exact int64 rolling hashes on both engines; the oracle re-derives
+    boundaries, chunks and overlaps from scratch."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        cdc_chunk_pairs,
+    )
+
+    return cdc_chunk_pairs(
+        read_table(spark, sf_dir, "documents"),
+        window=4,
+        divisor=16,
+        threshold=0.5,
+    )
+
+
+_EXTENSION_ORACLES["cdc_chunk_dedup"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), th AS (
+        SELECT doc_id, t,
+               list_transform(t, tok -> list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(tok)),
+                           i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT))),
+                   (a, c) -> (a * 31 + c) % 1000003)) AS th
+        FROM toks
+    ), bp AS (
+        SELECT doc_id, t,
+               list_sort(list_distinct(list_concat(list_concat(
+                   [0],
+                   list_filter(list_transform(generate_series(4, len(th)),
+                       j -> CASE WHEN (th[j-3] * 2248091 + th[j-2] * 17161
+                                       + th[j-1] * 131 + th[j]) % 16 = 0
+                                 THEN j ELSE -1 END), p -> p > 0)),
+                   [len(t)]))) AS bpos
+        FROM th
+    ), ch AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(t[(bpos[i] + 1):(bpos[i + 1])], ' '))
+                   AS chunk_md5
+        FROM bp, unnest(generate_series(1, len(bpos) - 1)) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM ch GROUP BY 1
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS shared_chunks
+        FROM ch a JOIN ch b
+          ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_chunks, sa.n AS chunks_a, sb.n AS chunks_b,
+           round(shared_chunks / least(sa.n, sb.n), 4) AS overlap
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared_chunks / least(sa.n, sb.n), 4) >= 0.5
+    """
+
+
 def q_sql_weekly_by_la(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship weekly mart expressed in PURE Spark SQL over temp
     views — proving the engine's SQL surface produces the identical
@@ -6127,6 +6189,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_lift": q_basket_lift,
     "streaming_distinct_check": q_streaming_distinct_check,
     "sql_weekly_by_la": q_sql_weekly_by_la,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6175,15 +6238,7 @@ _R4_FRONT = [
     "basket_lift",
     "streaming_distinct_check",
     "sql_weekly_by_la",
-    # --- r2-family rotation (green in r2, unseen since) ---
-    "similarity_topk",
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
-    "embedding_near_dup_lsh",
-    "text_stats",
-    "quality_score",
-    "curate_corpus",
-    "sessionize",
+    "cdc_chunk_dedup",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",
@@ -6194,6 +6249,15 @@ _R4_FRONT = [
     "top_parts_per_nation",
     "shipping_priority",
     "market_share",
+    # --- r2-family rotation (green in r2, unseen since) ---
+    "similarity_topk",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "embedding_near_dup_lsh",
+    "text_stats",
+    "quality_score",
+    "curate_corpus",
+    "sessionize",
     # --- window-tail fill: more r2 greens ---
     "dedup_minhash",
     "doc_fingerprint",

@@ -807,3 +807,145 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_common", "size_a", "containment")
     )
+
+
+# CDC rolling-hash constants: token hashes mod a small prime keep the
+# 4-term windowed gear sum inside exact int64 range in BOTH engines
+# (max term ≈ 1e6 · 131³ ≈ 2.3e12; four terms ≈ 9e12 « 2^63).
+CDC_TOKEN_MOD = 1_000_003
+CDC_BASE = 131
+
+
+def cdc_chunk_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    divisor: int = 16,
+    threshold: float = 0.5,
+    max_chunk_df: int | None = None,
+) -> DataFrame:
+    """Content-defined-chunking near-dup pairs: split each document at
+    positions where a rolling hash of the last ``window`` tokens is
+    ≡ 0 mod ``divisor`` (average chunk ≈ ``divisor`` tokens), then pair
+    documents by shared chunk hashes with overlap = shared /
+    min(chunks_a, chunks_b).
+
+    WHY CDC instead of fixed chunks: boundaries are a function of local
+    CONTENT, not position — inserting one token near the start of a
+    copy shifts every fixed ``strip_boilerplate_chunks``-style chunk
+    after it (zero shared chunks), while CDC boundaries downstream of
+    the edit land on the same token patterns and the tail chunks still
+    match (the rsync/FastCDC property, pinned by
+    ``test_cdc_boundaries_survive_insertion``). This is the dedup
+    family's edit-resistant complement to shingle Jaccard: chunk grain
+    (≈ ``divisor`` tokens) instead of n-gram grain, so the join carries
+    |doc|/divisor keys per doc instead of |doc| shingles.
+
+    Determinism: token hashes are the repo's polynomial ascii fold mod
+    ``CDC_TOKEN_MOD``; the gear sum is exact int64 in both engines, so
+    boundaries — and therefore chunks — are bit-identical under any
+    partitioning. Chunk identity travels as md5; document bodies never
+    join. ``max_chunk_df`` caps the self-join exactly like
+    ``ngram_jaccard_pairs`` (shared-chunk counts only LOSE repeated
+    chunks — lower bound, never a false positive).
+
+    Plan: chunking is pure row-local array codegen (nested
+    transform/aggregate/filter/slice — no Python, no shuffle); the
+    pair join shuffles (doc, chunk-md5) rows once.
+    """
+    w = int(window)
+    if w < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    b1 = CDC_BASE
+    b2, b3 = b1 * b1, b1 * b1 * b1
+    coefs = [b3, b2, b1, 1][-w:] if w <= 4 else None
+    if coefs is None:
+        raise ValueError("window > 4 would overflow the exact int64 gear sum")
+    gear = " + ".join(
+        f"element_at(__th, j - {w - 1 - k}) * {c}" if c != 1
+        else f"element_at(__th, j)"
+        for k, c in enumerate(coefs)
+    )
+    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    th = F.expr(
+        "transform(__toks, tok -> aggregate("
+        "  transform(sequence(1, length(tok)),"
+        "            i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),"
+        "  CAST(0 AS BIGINT),"
+        f" (a, c) -> (a * 31 + c) % {CDC_TOKEN_MOD}))"
+    )
+    # Spark's sequence(lo, hi) DESCENDS when lo > hi, so short docs must
+    # short-circuit to an empty boundary-candidate list explicitly
+    bpos = F.expr(
+        "array_sort(array_distinct(concat("
+        "  array(0),"
+        f" CASE WHEN size(__th) < {w} THEN CAST(array() AS ARRAY<INT>)"
+        f"      ELSE filter(transform(sequence({w}, size(__th)),"
+        f"             j -> CASE WHEN ({gear}) % {divisor} = 0"
+        "                       THEN j ELSE -1 END),"
+        "             p -> p > 0) END,"
+        "  array(size(__toks)))))"
+    )
+    chunks_arr = F.expr(
+        "transform(sequence(1, size(__bpos) - 1),"
+        " i -> array_join(slice(__toks, element_at(__bpos, i) + 1,"
+        "        element_at(__bpos, i + 1) - element_at(__bpos, i)), ' '))"
+    )
+    ch = (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .withColumn("__th", th)
+        .withColumn("__bpos", bpos)
+        .select("doc_id", F.explode(chunks_arr).alias("__chunk"))
+        .select("doc_id", F.md5("__chunk").alias("chunk_md5"))
+        .distinct()
+    )
+    sizes = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    joinable = ch
+    if max_chunk_df is not None:
+        if max_chunk_df < 2:
+            raise ValueError(
+                f"max_chunk_df must be >= 2, got {max_chunk_df}"
+            )
+        rare = (
+            ch.groupBy("chunk_md5")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_chunk_df)
+            .select("chunk_md5")
+        )
+        joinable = ch.join(rare, "chunk_md5")
+    a = joinable.alias("a")
+    b = joinable.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.chunk_md5") == F.col("b.chunk_md5"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_chunks").alias("chunks_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chunks").alias("chunks_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            round4(
+                F.col("shared_chunks")
+                / F.least(F.col("chunks_a"), F.col("chunks_b"))
+            ),
+        )
+        .where(F.col("overlap") >= threshold)
+        .select(
+            "doc_a", "doc_b", "shared_chunks", "chunks_a", "chunks_b",
+            "overlap",
+        )
+    )
