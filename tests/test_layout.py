@@ -126,3 +126,31 @@ def test_compact_small_files_merges_and_preserves_rows(spark, tmp_path):
     files = glob.glob(path + "/part-*.parquet")
     assert n == 1 and len(files) == 1
     assert {r.id for r in spark.read.parquet(path).collect()} == before
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitioned layout must turn an equality filter into
+    PARTITION pruning (directory skip), not a data filter: the scan's
+    PartitionFilters carries the predicate and only the matching
+    partition's files are opened."""
+    from pyspark.sql import functions as F
+
+    from uk_housing_dashboard_etl_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("bucket"),
+    )
+    path = str(tmp_path / "part_events")
+    write_partitioned_parquet(df, path, ["bucket"])
+
+    rd = spark.read.parquet(path).where(F.col("bucket") == 2)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate lands in PartitionFilters (directory skip)
+    # and never appears as a post-scan data Filter
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "bucket" in pf and "2" in pf
+    assert "PushedFilters: []" in plan  # nothing left to push into data
+    assert rd.count() == 250
