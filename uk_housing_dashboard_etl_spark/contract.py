@@ -5768,6 +5768,44 @@ _EXTENSION_ORACLES["cdc_chunk_dedup"] = f"""
     """
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact D×D covariance of the embedding table from integer moment
+    sums — PCA/whitening prep and the representation-drift statistic;
+    shuffle carries |dims|² rows, never vectors."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    return embedding_covariance(read_table(spark, sf_dir, "embeddings"))
+
+
+_EXTENSION_ORACLES["embedding_covariance"] = """
+    WITH u AS (
+        SELECT list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS u
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), prods AS (
+        SELECT i.i AS dim_i, j.j AS dim_j,
+               CAST(sum(CAST(u[i.i] * u[j.j] AS HUGEINT)) AS DOUBLE) AS sxy
+        FROM u, unnest(generate_series(1, len(u))) AS i(i),
+                unnest(generate_series(i.i, len(u))) AS j(j)
+        GROUP BY 1, 2
+    ), singles AS (
+        SELECT i.i AS dim, count(*) AS n, CAST(sum(u[i.i]) AS DOUBLE) AS s
+        FROM u, unnest(generate_series(1, len(u))) AS i(i)
+        GROUP BY 1
+    )
+    SELECT p.dim_i, p.dim_j, si.n,
+           round(p.sxy / 1000000000000.0 / CAST(si.n AS DOUBLE)
+                 - (si.s / 1000000.0 / CAST(si.n AS DOUBLE))
+                   * (sj.s / 1000000.0 / CAST(si.n AS DOUBLE)), 4) AS cov
+    FROM prods p
+    JOIN singles si ON p.dim_i = si.dim
+    JOIN singles sj ON p.dim_j = sj.dim
+    """
+
+
 def q_sql_weekly_by_la(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship weekly mart expressed in PURE Spark SQL over temp
     views — proving the engine's SQL surface produces the identical
@@ -6190,6 +6228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_distinct_check": q_streaming_distinct_check,
     "sql_weekly_by_la": q_sql_weekly_by_la,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "embedding_covariance": q_embedding_covariance,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6239,6 +6278,7 @@ _R4_FRONT = [
     "streaming_distinct_check",
     "sql_weekly_by_la",
     "cdc_chunk_dedup",
+    "embedding_covariance",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

@@ -734,3 +734,85 @@ def embedding_health(
         round4(F.col("__p")[1]).alias("norm_p50"),
         round4(F.col("__p")[2]).alias("norm_p99"),
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact covariance matrix of the embedding dimensions — the
+    whitening / PCA-prep / representation-drift statistic (compare two
+    snapshots' covariance to detect encoder drift; feed the matrix to a
+    driver-side eigensolver for PCA, which is the CORRECT split at
+    scale: the distributed part is the outer-product aggregation, the
+    D×D eigenproblem is trivially driver-sized).
+
+    Emits one row per dimension pair i ≤ j (1-based):
+    cov = Σxy/n − (Σx/n)(Σy/n), computed from EXACT integer moment
+    sums — each float quantizes once to 1e-6 units (floor(x·1e6+0.5),
+    the repo's deterministic rounding), products accumulate in
+    decimal(38), and only the final covariance arithmetic runs in
+    double with the identical operation sequence on the oracle side.
+
+    Plan: one corpus scan; the row-local pair fan-out (D(D+1)/2 per
+    vector, codegen transform/flatten) feeds a map-side-combinable
+    aggregate on D(D+1)/2 keys — shuffle carries |dims|² rows, never
+    vectors. Two cost decisions, each ~2×: products multiply in BIGINT
+    (exact — units ≤ ~2^21, products ≤ ~2^42) and only the partial SUM
+    widens to decimal(38), so the hot explode carries no decimal
+    arithmetic; and the FIRST moments come from a separate D-per-row
+    singles pass joined back at the 2080-row mart grain instead of
+    riding every pair row. Diagonal rows are the per-dimension
+    variances.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    units = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE)"
+        " * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    base = embeddings.where(F.col(vec_col).isNotNull()).select(
+        units.alias("__u")
+    )
+    pair_terms = F.expr(
+        "flatten(transform(sequence(1, size(__u)), i ->"
+        " transform(sequence(i, size(__u)), j -> struct("
+        "   i AS dim_i, j AS dim_j,"
+        "   element_at(__u, i) * element_at(__u, j) AS xy))))"
+    )
+    prods = (
+        base.select(F.explode(pair_terms).alias("__p"))
+        .groupBy(
+            F.col("__p.dim_i").alias("dim_i"),
+            F.col("__p.dim_j").alias("dim_j"),
+        )
+        .agg(F.sum(F.col("__p.xy").cast("decimal(38,0)")).alias("__sxy"))
+    )
+    singles = (
+        base.select(F.posexplode("__u").alias("__pos", "__x"))
+        .groupBy((F.col("__pos") + 1).alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__x").alias("__s"))
+    )
+    si = singles.select(
+        F.col("dim").alias("dim_i"),
+        F.col("n"),
+        F.col("__s").alias("__sx"),
+    )
+    sj = singles.select(
+        F.col("dim").alias("dim_j"), F.col("__s").alias("__sy")
+    )
+    agg = prods.join(F.broadcast(si), "dim_i").join(
+        F.broadcast(sj), "dim_j"
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        F.col("__sxy").cast("double") / F.lit(1e12) / nd
+        - (F.col("__sx").cast("double") / F.lit(1e6) / nd)
+        * (F.col("__sy").cast("double") / F.lit(1e6) / nd)
+    )
+    return agg.select(
+        F.col("dim_i").cast("bigint").alias("dim_i"),
+        F.col("dim_j").cast("bigint").alias("dim_j"),
+        "n",
+        round4(cov).alias("cov"),
+    )
