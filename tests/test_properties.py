@@ -232,3 +232,164 @@ def test_scd2_intervals_partition_timeline(spark, seed):
             assert g.iloc[i].valid_to == g.iloc[i + 1].valid_from
             # consecutive runs always differ in attribute
             assert g.iloc[i].attr != g.iloc[i + 1].attr
+
+
+@st.composite
+def series_frames(draw):
+    """Per-key integer time series (weeks grain, 1-30 points/key)."""
+    n_keys = draw(st.integers(1, 4))
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    rows = []
+    for k in range(n_keys):
+        n = int(rng.integers(1, 30))
+        for i in range(n):
+            rows.append(
+                (
+                    f"LA{k}",
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=i),
+                    int(rng.integers(0, 5000)),
+                )
+            )
+    return pd.DataFrame(rows, columns=["local_authority", "week", "transactions"])
+
+
+@SLOW
+@given(pdf=series_frames())
+def test_ewma_matches_pandas_ewm(spark, pdf):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import ewma_smooth
+
+    got = (
+        ewma_smooth(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["local_authority", "week"])
+        .reset_index(drop=True)
+    )
+    for key, grp in pdf.groupby("local_authority"):
+        ref = (
+            grp.sort_values("week")["transactions"]
+            .ewm(alpha=0.5, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        ours = got[got["local_authority"] == key]["ewma"].to_numpy()
+        assert np.allclose(ours, ref, atol=1e-9)
+
+
+@SLOW
+@given(pdf=series_frames())
+def test_cusum_matches_reference_fold(spark, pdf):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    got = (
+        cusum_changepoints(spark.createDataFrame(pdf), slack=1.0, threshold=100.0)
+        .toPandas()
+        .sort_values(["local_authority", "week"])
+    )
+    for key, grp in pdf.groupby("local_authority"):
+        x = grp.sort_values("week")["transactions"].to_numpy(dtype=float)
+        mu = x.sum() / len(x)
+        sp = sn = 0.0
+        ref_p, ref_n = [], []
+        for v in x:
+            sp = max(0.0, sp + (v - mu - 1.0))
+            sn = min(0.0, sn + (v - mu + 1.0))
+            ref_p.append(sp)
+            ref_n.append(sn)
+        sub = got[got["local_authority"] == key]
+        assert np.allclose(sub["cusum_pos"].to_numpy(), ref_p, atol=1e-3)
+        assert np.allclose(sub["cusum_neg"].to_numpy(), ref_n, atol=1e-3)
+
+
+@SLOW
+@given(pdf=series_frames())
+def test_holt_matches_reference_fold(spark, pdf):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import holt_linear
+
+    got = (
+        holt_linear(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["local_authority", "week"])
+    )
+    for key, grp in pdf.groupby("local_authority"):
+        x = grp.sort_values("week")["transactions"].to_numpy(dtype=float)
+        l_ref, b_ref = [x[0]], [0.0]
+        for v in x[1:]:
+            l_new = 0.5 * v + 0.5 * (l_ref[-1] + b_ref[-1])
+            b_ref.append(0.5 * (l_new - l_ref[-1]) + 0.5 * b_ref[-1])
+            l_ref.append(l_new)
+        sub = got[got["local_authority"] == key]
+        assert np.allclose(sub["level"].to_numpy(), l_ref, atol=1e-3)
+        assert np.allclose(sub["trend"].to_numpy(), b_ref, atol=1e-3)
+
+
+@SLOW
+@given(
+    seed=st.integers(0, 2**31),
+    n_docs=st.integers(1, 8),
+    doc_len=st.integers(1, 150),
+)
+def test_cdc_chunks_tile_the_document(spark, seed, n_docs, doc_len):
+    """CDC boundaries must PARTITION each token stream: joining a doc's
+    chunks back in boundary order reproduces its normalized text."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        CDC_TOKEN_MOD,
+        cdc_chunk_pairs,  # noqa: F401 — operator under test builds chunks
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            i,
+            " ".join(
+                f"t{int(rng.integers(0, 50))}" for _ in range(doc_len)
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # rebuild the chunker's plumbing to expose chunk TEXTS (the operator
+    # itself only ships md5s), then check the tiling invariant
+    from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
+
+    toks = F.split(_norm_text(F.col("text")), r"\s+")
+    th = F.expr(
+        "transform(__toks, tok -> aggregate("
+        "  transform(sequence(1, length(tok)),"
+        "            i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),"
+        "  CAST(0 AS BIGINT),"
+        f" (a, c) -> (a * 31 + c) % {CDC_TOKEN_MOD}))"
+    )
+    bpos = F.expr(
+        "array_sort(array_distinct(concat("
+        "  array(0),"
+        "  CASE WHEN size(__th) < 4 THEN CAST(array() AS ARRAY<INT>)"
+        "       ELSE filter(transform(sequence(4, size(__th)),"
+        "              j -> CASE WHEN (element_at(__th, j-3) * 2248091"
+        "                              + element_at(__th, j-2) * 17161"
+        "                              + element_at(__th, j-1) * 131"
+        "                              + element_at(__th, j)) % 16 = 0"
+        "                        THEN j ELSE -1 END),"
+        "              p -> p > 0) END,"
+        "  array(size(__toks)))))"
+    )
+    chunks_arr = F.expr(
+        "transform(sequence(1, size(__bpos) - 1),"
+        " i -> array_join(slice(__toks, element_at(__bpos, i) + 1,"
+        "        element_at(__bpos, i + 1) - element_at(__bpos, i)), ' '))"
+    )
+    out = (
+        df.select(
+            F.col("doc_id"),
+            _norm_text(F.col("text")).alias("norm"),
+            toks.alias("__toks"),
+        )
+        .withColumn("__th", th)
+        .withColumn("__bpos", bpos)
+        .select("doc_id", "norm", F.array_join(chunks_arr, " ").alias("rejoined"))
+        .collect()
+    )
+    for r in out:
+        assert r["rejoined"] == r["norm"]
