@@ -83,3 +83,73 @@ def test_range_join_boundaries_and_bins(spark):
     assert sorted(out["event_id"]) == [1, 2]
     # no duplicate pairs despite the interval spanning 7 bins
     assert len(out) == len(out.drop_duplicates(["event_id"]))
+
+
+def test_asof_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import (
+        asof_join,
+    )
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, t(0)), (1, t(10)), (1, t(30)), (2, t(5))],
+        ["user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(25), 200.0)],
+        ["user_id", "ts", "px"],
+    )
+    fwd = {
+        (r["user_id"], r["ts"].minute): r["asof_px"]
+        for r in asof_join(
+            left, right, "user_id", direction="forward"
+        ).collect()
+    }
+    # earliest at-or-after: t0 -> 100 (t10), t10 -> 100 (exact match
+    # visible forward), t30 -> null (nothing after), user 2 -> null
+    assert fwd == {(1, 0): 100.0, (1, 10): 100.0, (1, 30): None, (2, 5): None}
+
+    tol = {
+        (r["user_id"], r["ts"].minute): r["asof_px"]
+        for r in asof_join(
+            left,
+            right,
+            "user_id",
+            direction="forward",
+            tolerance_seconds=300,
+        ).collect()
+    }
+    # 5-minute tolerance: t0 -> t10 is 10 min away -> nulled; t10 exact
+    # match survives
+    assert tol == {(1, 0): None, (1, 10): 100.0, (1, 30): None, (2, 5): None}
+
+    back_tol = {
+        (r["user_id"], r["ts"].minute): r["asof_px"]
+        for r in asof_join(
+            left, right, "user_id", tolerance_seconds=300
+        ).collect()
+    }
+    # backward with tolerance: t30's latest prior is t25 (5 min) -> kept;
+    # t10 exact kept; t0 has no prior
+    assert back_tol == {
+        (1, 0): None,
+        (1, 10): 100.0,
+        (1, 30): 200.0,
+        (2, 5): None,
+    }
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import (
+        asof_join,
+    )
+
+    df = spark.createDataFrame([(1, None)], "user_id long, ts timestamp")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "user_id", direction="nearest")

@@ -604,6 +604,63 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward'): each event annotated with the user's EARLIEST
+    purchase at-or-after it, nulled when further than 1 hour away. Same
+    one-exchange union + ordered-carry plan as the backward direction,
+    with the interleave order flipped; the oracle enumerates candidate
+    future purchases and picks the deterministic (ts, tie) minimum."""
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import (
+        asof_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_tie"),
+    )
+    return asof_join(
+        ev,
+        purchases,
+        key="user_id",
+        ts="ts",
+        right_value_cols=["purchase_value", "purchase_ts"],
+        tie_col="purchase_tie",
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+
+
+_ASOF_FORWARD_ORACLE = """
+    WITH ev AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    ), purchases AS (
+        SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts,
+               event_id AS tie
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+               p.purchase_value, p.purchase_ts,
+               row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY p.ts, p.tie) AS rn
+        FROM ev e
+        LEFT JOIN purchases p
+          ON e.user_id = p.user_id
+         AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR
+    )
+    SELECT event_id, ts, user_id, event_type, value,
+           purchase_value AS asof_purchase_value,
+           purchase_ts AS asof_purchase_ts
+    FROM ranked WHERE rn = 1
+    """
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via time binning: events landing in
     the hour after each purchase by the same user, counted per user."""
@@ -5325,6 +5382,7 @@ _EXTENSION_ORACLES["fuzzy_pair_stats_bucketed"] = _EXTENSION_ORACLES[
 ]
 # pure-SQL twin of the flagship mart: same answer, same oracle
 _EXTENSION_ORACLES["sql_weekly_by_la"] = ORACLES["weekly_by_la"]
+_EXTENSION_ORACLES["asof_forward"] = _ASOF_FORWARD_ORACLE
 
 
 # ---------------------------------------------------------------- round 4
@@ -6229,6 +6287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_weekly_by_la": q_sql_weekly_by_la,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "embedding_covariance": q_embedding_covariance,
+    "asof_forward": q_asof_forward,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6279,6 +6338,7 @@ _R4_FRONT = [
     "sql_weekly_by_la",
     "cdc_chunk_dedup",
     "embedding_covariance",
+    "asof_forward",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

@@ -32,13 +32,32 @@ def asof_join(
     ts: str = "ts",
     right_value_cols: list[str] | None = None,
     tie_col: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: append the latest right values at-or-before each
-    left row's timestamp (null when no prior right row exists).
+    """Left as-of join: append the matched right values per left row
+    (null when no match exists) — pandas ``merge_asof`` semantics.
 
-    ``tie_col`` orders simultaneous right rows (latest wins
-    deterministically).
+    ``direction='backward'`` (default) matches the LATEST right row
+    at-or-before the left timestamp; ``'forward'`` matches the EARLIEST
+    right row at-or-after it. ``tolerance_seconds`` nulls the match
+    when the matched right row is further than that from the left
+    timestamp (pandas ``tolerance``). ``tie_col`` orders simultaneous
+    right rows (backward: latest wins; forward: earliest wins —
+    deterministic either way).
+
+    Plan (both directions): ONE key-keyed exchange; the union + ordered
+    carry window scans each key's merged timeline once — backward uses
+    a last-ignorenulls over the preceding frame, forward a
+    first-ignorenulls over the following frame, with the left/right
+    interleave order at equal timestamps flipped so exact matches stay
+    visible. Tolerance is a row-local post-filter on the carried right
+    timestamp (exact integer µs, no extra shuffle).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     rvals = right_value_cols or [
         c for c in right.columns if c not in (key, ts)
     ]
@@ -54,23 +73,55 @@ def asof_join(
         (F.col(tie_col) if tie_col else F.lit(0)).cast("long").alias("__rtie"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
     )
-    # right rows sort BEFORE left rows at equal ts (__is_left asc) so an
-    # exactly-simultaneous right row is visible to the left row
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts), F.col("__is_left"), F.col("__rtie"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if tolerance_seconds is not None:
+        # carry the matched right timestamp so tolerance can compare it
+        lhs = lhs.withColumn("__rv___match_ts", F.lit(None).cast("long"))
+        rhs = rhs.withColumn("__rv___match_ts", F.unix_micros(F.col(ts)))
+        rvals_int = [*rvals, "__match_ts"]
+    else:
+        rvals_int = list(rvals)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (__is_left asc)
+        # so an exactly-simultaneous right row is visible; among
+        # simultaneous rights the LATEST tie wins (last over asc ties)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts), F.col("__is_left"), F.col("__rtie"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picks = {
+            c: F.last(f"__rv_{c}", ignorenulls=True).over(w)
+            for c in rvals_int
+        }
+    else:
+        # left rows sort BEFORE right rows at equal ts (__is_left desc)
+        # so an exactly-simultaneous right row is inside the FOLLOWING
+        # frame; among simultaneous rights the EARLIEST tie wins
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts), F.col("__is_left").desc(), F.col("__rtie"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        picks = {
+            c: F.first(f"__rv_{c}", ignorenulls=True).over(w)
+            for c in rvals_int
+        }
     carried = lhs.unionByName(rhs).select(
         "*",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in rvals
-        ],
+        *[picks[c].alias(f"__asof_{c}") for c in rvals_int],
     )
+    keep = F.lit(True)
+    if tolerance_seconds is not None:
+        keep = (
+            F.abs(F.col("__asof___match_ts") - F.unix_micros(F.col(ts)))
+            <= F.lit(tolerance_seconds * 1_000_000)
+        )
     out = carried.where(F.col("__is_left") == 1).select(
         F.col("__lrow.*"),
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in rvals],
+        *[
+            F.when(keep, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in rvals
+        ],
     )
     return out
 
