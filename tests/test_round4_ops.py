@@ -407,3 +407,37 @@ def test_cdc_chunks_partition_the_doc(spark):
     assert len(out) == 1
     assert out[0]["chunks_a"] == 1 and out[0]["shared_chunks"] == 1
     assert out[0]["overlap"] == 1.0
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negative_mining,
+    )
+
+    # corpus: label 0 vectors near the query, label 1 vectors further —
+    # the miner must skip the similar same-label items entirely
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),
+            (11, [0.99, 0.1], 0),
+            (12, [0.8, 0.6], 1),
+            (13, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)],
+        "query_id long, embedding array<double>, label int",
+    )
+    out = hard_negative_mining(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in out] == [12, 13]
+    assert all(r["neg_label"] != r["query_label"] for r in out)
+    # hardest negative ranks first, and scores agree with the exact
+    # scorer on the same pairs
+    ref = {
+        r["vec_id"]: r["score"]
+        for r in brute_force_topk(corpus, queries, k=4).collect()
+    }
+    for r in out:
+        assert r["score"] == ref[r["vec_id"]]

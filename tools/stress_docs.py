@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators.dedup import (
+    cdc_chunk_pairs,
     containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -238,6 +239,14 @@ def main() -> None:
             docs, threshold=0.9, max_shingle_df=8
         ).count()
         times["containment_capped"] = round(time.time() - t0, 2)
+
+        # CDC chunking must recover the planted near-dup pairs (the
+        # id-2 copies differ by one extra word -> most chunks shared)
+        t0 = time.time()
+        counts["cdc_pairs"] = cdc_chunk_pairs(
+            docs, threshold=0.5, max_chunk_df=8
+        ).count()
+        times["cdc_chunks"] = round(time.time() - t0, 2)
 
         t0 = time.time()
         packed = pack_sequences(docs, budget_tokens=2048, n_shards=64)

@@ -5385,6 +5385,45 @@ _EXTENSION_ORACLES["sql_weekly_by_la"] = ORACLES["weekly_by_la"]
 _EXTENSION_ORACLES["asof_forward"] = _ASOF_FORWARD_ORACLE
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the 10
+    most-similar corpus vectors with a DIFFERENT label (the label
+    filter runs before the rank cut, so the k-th row is the k-th
+    hardest genuine negative). Query side broadcasts; corpus never
+    shuffles."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return hard_negative_mining(corpus, queries, k=10)
+
+
+_EXTENSION_ORACLES["hard_negatives"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding AS ce, label AS neg_label
+        FROM embeddings WHERE vec_id >= 5
+    ), scored AS (
+        SELECT query_id, query_label, vec_id, neg_label,
+               round({_cos_sql('qe', 'ce')}, 4) AS score
+        FROM c CROSS JOIN q
+        WHERE neg_label <> query_label
+    )
+    SELECT query_id, query_label, vec_id, neg_label, score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
 # ---------------------------------------------------------------- round 4
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival profile (mean gap, CV, Goh-Barabási
@@ -6288,6 +6327,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "embedding_covariance": q_embedding_covariance,
     "asof_forward": q_asof_forward,
+    "hard_negatives": q_hard_negatives,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6339,6 +6379,7 @@ _R4_FRONT = [
     "cdc_chunk_dedup",
     "embedding_covariance",
     "asof_forward",
+    "hard_negatives",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

@@ -816,3 +816,59 @@ def embedding_covariance(
         "n",
         round4(cov).alias("cov"),
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per query: the ``k`` MOST similar corpus items with a DIFFERENT
+    label — hard negatives for contrastive/retrieval training (the
+    highest-scoring non-matches are exactly the examples a ranker
+    learns most from; random negatives are trivially separable).
+
+    The label filter runs BEFORE the rank cut, so every emitted row is
+    a genuine negative and the k-th is the k-th hardest. Same plan
+    shape as :func:`brute_force_topk`: the query side (vectors +
+    labels) broadcasts, the corpus never shuffles, scores round to 4dp
+    before the deterministic (score desc, id) cut. For large query
+    workloads compose the same filter with ``lsh_bucketed_topk`` /
+    ``ivf_topk`` candidates instead of the exact scan.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(vec_col).alias("vec"),
+        F.col(label_col).alias("neg_label"),
+    ).withColumn("nv", norm_expr("vec"))
+    qs = queries.select(
+        F.col("query_id"),
+        _as_double(vec_col).alias("qvec"),
+        F.col(label_col).alias("query_label"),
+    ).withColumn("nq", norm_expr("qvec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            round4(
+                cosine_prenorm_expr("qvec", "vec", "nq", "nv")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "vec_id", "neg_label", "score", "rank"
+        )
+    )
