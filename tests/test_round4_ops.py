@@ -441,3 +441,11 @@ def test_hard_negatives_exclude_same_label(spark):
     }
     for r in out:
         assert r["score"] == ref[r["vec_id"]]
+
+
+def test_benford_rejects_sub_one_min_value(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import benford_profile
+
+    df = spark.createDataFrame([(1.5,)], ["x"])
+    with pytest.raises(ValueError, match="min_value"):
+        benford_profile(df, "x", min_value=0.01)

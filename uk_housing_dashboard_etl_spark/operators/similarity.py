@@ -832,7 +832,9 @@ def hard_negative_mining(
     learns most from; random negatives are trivially separable).
 
     The label filter runs BEFORE the rank cut, so every emitted row is
-    a genuine negative and the k-th is the k-th hardest. Same plan
+    a genuine negative and the k-th is the k-th hardest. Null labels
+    drop out on either side (SQL ``<>`` semantics, mirrored by the
+    oracle) — an unlabeled item can't be proven a negative. Same plan
     shape as :func:`brute_force_topk`: the query side (vectors +
     labels) broadcasts, the corpus never shuffles, scores round to 4dp
     before the deterministic (score desc, id) cut. For large query

@@ -418,6 +418,13 @@ def benford_profile(
     """
     from uk_housing_dashboard_etl_spark.functions.rounding import round4
 
+    if min_value < 1.0:
+        raise ValueError(
+            f"min_value must be >= 1 (got {min_value}): values below 1 "
+            "need negative powers of 10, which are NOT exact doubles — "
+            "the cross-engine digit clamp only holds for e >= 0. Scale "
+            "the column up (e.g. x*100 for cents) instead."
+        )
     x = F.col(value_col).cast("double")
     e0 = F.floor(F.log10(x)).cast("int")
     p0 = F.pow(F.lit(10.0), e0.cast("double"))
