@@ -186,3 +186,55 @@ def test_length_bucket_bounds_dominant_block(spark):
         for r in fuzzy_pairs(df, max_dist=2, length_bucket=4).collect()
     }
     assert bucketed == plain
+
+
+def test_resolve_entities_transitive_chain(spark):
+    """a~b and b~c must land in ONE entity even when a and c are
+    further apart than max_dist (the transitive-closure point)."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    rows = [
+        (1, "red widget"),
+        (2, "red widgett"),    # dist 1 from #1
+        (3, "red widgettt"),   # dist 1 from #2, dist 2 from #1
+        (4, "red widgetttt"),  # dist 1 from #3, dist 3 from #1
+        (5, "blue thing"),     # separate entity
+        (6, "red widget"),     # duplicate record of #1's name
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    out = {r["key"]: r for r in resolve_entities(df, max_dist=1).collect()}
+    assert out[1]["entity_id"] == "red widget"
+    # all chain members share the canonical (min) name
+    assert (
+        out[1]["entity_id"] == out[2]["entity_id"] == out[3]["entity_id"]
+        == out[4]["entity_id"] == out[6]["entity_id"]
+    )
+    assert out[5]["entity_id"] == "blue thing"
+    assert out[1]["n_records"] == 5 and out[1]["n_names"] == 4
+    assert out[5]["n_records"] == 1 and out[5]["n_names"] == 1
+
+
+def test_resolve_entities_distributed_fallback_equivalent(spark, monkeypatch):
+    """Above the driver-union-find edge cap the distributed contraction
+    must produce the identical labeling."""
+    from uk_housing_dashboard_etl_spark.operators import linkage
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    rows = [(i, "red widget" + "t" * (i % 4)) for i in range(12)] + [
+        (100, "blue thing")
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_name"])
+    fast = sorted(
+        (r["key"], r["entity_id"], r["n_names"], r["n_records"])
+        for r in resolve_entities(df, max_dist=1).collect()
+    )
+    monkeypatch.setattr(linkage, "ENTITY_DRIVER_UNION_MAX_EDGES", -1)
+    slow = sorted(
+        (r["key"], r["entity_id"], r["n_names"], r["n_records"])
+        for r in resolve_entities(df, max_dist=1).collect()
+    )
+    assert fast == slow

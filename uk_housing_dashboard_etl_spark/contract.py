@@ -5385,6 +5385,65 @@ _EXTENSION_ORACLES["sql_weekly_by_la"] = ORACLES["weekly_by_la"]
 _EXTENSION_ORACLES["asof_forward"] = _ASOF_FORWARD_ORACLE
 
 
+def q_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: blocked name-grain fuzzy
+    edges → connected components (large-star/small-star) → canonical
+    entity id per RECORD. Transitivity matters: names that never
+    matched directly share an entity through a chain. The oracle walks
+    the same edges with a recursive reachability CTE."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        resolve_entities,
+    )
+
+    # the name-grain graph is dimension-sized (64 nodes at sf0.1), so
+    # the CC fixpoint rounds are pure task-scheduling overhead at 32
+    # shuffle partitions — scope them down exactly like the streaming
+    # drains do (the eager contraction runs inside this scope; the
+    # record-grain join afterwards keeps the session default)
+    with _stream_state_partitions(spark, 4):
+        return resolve_entities(
+            read_table(spark, sf_dir, "part"), max_dist=3
+        )
+
+
+_EXTENSION_ORACLES["name_entities"] = """
+    WITH RECURSIVE names AS (
+        SELECT DISTINCT p_name AS name FROM part
+    ), blocked AS (
+        SELECT name, split_part(name, ' ', 1) AS block,
+               length(name) AS len
+        FROM names
+    ), prs AS (
+        SELECT a.name AS name_a, b.name AS name_b
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.name < b.name
+         AND abs(a.len - b.len) <= 3
+        WHERE levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+        SELECT name_a AS src, name_b AS dst FROM prs
+        UNION
+        SELECT name_b AS src, name_a AS dst FROM prs
+    ), reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labeled AS (
+        SELECT n.name,
+               least(n.name,
+                     coalesce((SELECT min(r.dst) FROM reach r
+                               WHERE r.src = n.name), n.name)) AS entity_id
+        FROM names n
+    ), ecount AS (
+        SELECT entity_id, count(*) AS n_names FROM labeled GROUP BY 1
+    )
+    SELECT p.p_partkey AS key, p.p_name AS name, l.entity_id, e.n_names,
+           count(*) OVER (PARTITION BY l.entity_id) AS n_records
+    FROM part p
+    JOIN labeled l ON p.p_name = l.name
+    JOIN ecount e ON l.entity_id = e.entity_id
+    """
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the 10
     most-similar corpus vectors with a DIFFERENT label (the label
@@ -6328,6 +6387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "asof_forward": q_asof_forward,
     "hard_negatives": q_hard_negatives,
+    "name_entities": q_name_entities,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6380,6 +6440,7 @@ _R4_FRONT = [
     "embedding_covariance",
     "asof_forward",
     "hard_negatives",
+    "name_entities",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

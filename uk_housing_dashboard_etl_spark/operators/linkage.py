@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 # similarity.ARROW_TOPK_MAX_QUERY_MB: estimate first, never OOM).
 COMPRESSED_BROADCAST_MAX_NAMES = 1_000_000
 
+# resolve_entities collects the NAME-grain edge list for a driver-side
+# union-find when it fits (one job vs O(log n) distributed contraction
+# rounds); above this it falls back to dedup.connected_components.
+# ~50 B/edge → the cap is ~100 MB of driver memory.
+ENTITY_DRIVER_UNION_MAX_EDGES = 2_000_000
+
 
 def _bucketed_sides(base: DataFrame, length_bucket: int, max_dist: int):
     """Composite-block the two sides of a blocked self-join on
@@ -543,3 +549,116 @@ def rare_token_pair_histogram(
         .join(rare, "name")
     )
     return _histogram_over_names(names, max_dist, length_bucket)
+
+
+def resolve_entities(
+    records: DataFrame,
+    name_col: str = "p_name",
+    key_col: str = "p_partkey",
+    max_dist: int = 3,
+    length_bucket: int | None = None,
+) -> DataFrame:
+    """Entity resolution: close the linkage loop from fuzzy pairs to
+    ENTITY IDS — blocked name-grain near-match edges, transitive
+    closure via connected components, and a canonical id (the minimum
+    name of the component) stamped on every record. "red widget",
+    "red widgets" and "red wadget" become one entity even though the
+    first and last never matched directly.
+
+    Plan: edges are generated at NAME grain (|distinct names|² per
+    block, the same compression as the *_compressed operators); the
+    component labeling is a DRIVER-side union-find whenever the
+    name-pair edge list fits (counted first, same
+    estimate-before-collect convention as ``arrow_topk`` — name-grain
+    edges are dimension-sized by construction, and a driver pass costs
+    one job where the distributed fixpoint costs O(log n) rounds of
+    scheduling), falling back to `dedup.connected_components`
+    (large-star/small-star) above ``ENTITY_DRIVER_UNION_MAX_EDGES``.
+    Records only join the name→entity label map at the end.
+    ``length_bucket`` composes the lossless composite block as
+    everywhere in this module.
+    """
+    from pyspark.sql import Window
+
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        connected_components,
+    )
+
+    names = (
+        records.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("block", F.split(F.col("name"), r"\s+")[0])
+        .withColumn("len", F.length("name"))
+    )
+    if length_bucket is not None:
+        a, b, bucket_eq = _bucketed_sides(names, length_bucket, max_dist)
+    else:
+        a, b, bucket_eq = names.alias("a"), names.alias("b"), F.lit(True)
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
+    edges = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & bucket_eq
+            & (F.col("a.name") < F.col("b.name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(max_dist)),
+        )
+        .where(dist >= 0)
+        .select(
+            F.col("a.name").alias("doc_a"), F.col("b.name").alias("doc_b")
+        )
+    )
+    n_edges = edges.count()
+    if n_edges <= ENTITY_DRIVER_UNION_MAX_EDGES:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(r["doc_a"]), find(r["doc_b"])
+            if ra != rb:
+                # union by MIN name so the canonical id is deterministic
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = records.sparkSession
+        if rows:
+            mapping = F.broadcast(
+                spark.createDataFrame(rows, "name string, entity_id string")
+            )
+            labels = names.select("name").join(mapping, "name", "left").select(
+                "name",
+                F.coalesce("entity_id", F.col("name")).alias("entity_id"),
+            )
+        else:
+            labels = names.select(
+                "name", F.col("name").alias("entity_id")
+            )
+    else:
+        labels = connected_components(
+            names.select("name"), edges, id_col="name"
+        ).select(
+            F.col("node").alias("name"),
+            F.col("cluster_id").alias("entity_id"),
+        )
+    n_names = labels.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_names")
+    )
+    recs = records.select(
+        F.col(key_col).alias("key"), F.col(name_col).alias("name")
+    ).join(labels, "name")
+    w = Window.partitionBy("entity_id")
+    return (
+        recs.join(F.broadcast(n_names), "entity_id")
+        .select(
+            "key",
+            "name",
+            "entity_id",
+            "n_names",
+            F.count(F.lit(1)).over(w).alias("n_records"),
+        )
+    )
