@@ -5444,6 +5444,38 @@ _EXTENSION_ORACLES["name_entities"] = """
     """
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step user journey prefixes by user count — path
+    analysis over the events stream, deterministic (count desc, path)
+    cut on the aggregated path frame."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import top_paths
+
+    return top_paths(read_table(spark, sf_dir, "events"))
+
+
+_EXTENSION_ORACLES["top_paths"] = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+    ), prefix AS (
+        SELECT user_id,
+               string_agg(event_type, ' > ' ORDER BY rn) AS path
+        FROM ordered WHERE rn <= 5 GROUP BY user_id
+    ), counts AS (
+        SELECT path, count(*) AS n_users FROM prefix GROUP BY 1
+    )
+    SELECT path, n_users,
+           CAST(row_number() OVER (ORDER BY n_users DESC, path)
+                AS INTEGER) AS rank
+    FROM counts
+    QUALIFY rank <= 20
+    """
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the 10
     most-similar corpus vectors with a DIFFERENT label (the label
@@ -6388,6 +6420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward": q_asof_forward,
     "hard_negatives": q_hard_negatives,
     "name_entities": q_name_entities,
+    "top_paths": q_top_paths,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6441,6 +6474,7 @@ _R4_FRONT = [
     "asof_forward",
     "hard_negatives",
     "name_entities",
+    "top_paths",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

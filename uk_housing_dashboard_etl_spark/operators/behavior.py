@@ -480,3 +480,57 @@ def basket_lift(
             / (F.col("__ca") * F.col("__cb")).cast("double")
         ).alias("lift"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    max_steps: int = 5,
+    k: int = 20,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Top-k user journey prefixes: each user's first ``max_steps``
+    event types in (ts, tie) order joined into a path string, counted
+    across users, ranked (count desc, path asc) — the "how do users
+    actually move through the product" mart, and the aggregate view of
+    ``user_sequences``.
+
+    Plan: one user-keyed exchange builds each user's ordered prefix
+    row-locally (struct-collect + array_sort + slice, like
+    ``user_sequences``); the path groupBy is map-side combinable and
+    the deterministic top-k cut runs on the aggregated |distinct
+    paths| frame via TakeOrderedAndProject — no global sort of users.
+    """
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+
+    prefix = (
+        events.where(
+            F.col(ts_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(item_col).isNotNull()
+        )
+        .groupBy(key_col)
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(ts_col, tie_col, item_col)
+                        )
+                    ).getField(item_col),
+                    1,
+                    max_steps,
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    counts = prefix.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    ranked = deterministic_topk(
+        counts, [F.col("n_users").desc(), F.col("path")], k
+    )
+    return ranked.select("path", "n_users", "rank")
