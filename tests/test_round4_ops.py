@@ -449,3 +449,36 @@ def test_benford_rejects_sub_one_min_value(spark):
     df = spark.createDataFrame([(1.5,)], ["x"])
     with pytest.raises(ValueError, match="min_value"):
         benford_profile(df, "x", min_value=0.01)
+
+
+def test_ks_separates_shifted_distributions(spark):
+    import math
+
+    from uk_housing_dashboard_etl_spark.operators.stats import ks_two_sample
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(i) + 50.0) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    # disjoint-half shift: D = 0.5 exactly (max gap at v=49..50)
+    assert r["d_stat"] == 0.5
+    assert r["shifted"] is True
+    # identical samples -> D = 0, p -> ~1 (clamped)
+    same = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(50)]
+        + [("b", float(i % 10)) for i in range(50)],
+        ["g", "v"],
+    )
+    r2 = ks_two_sample(same, "g", "v", "a", "b").collect()[0]
+    assert r2["d_stat"] == 0.0 and r2["shifted"] is False
+    assert r2["p_approx"] == 1.0
+    # p matches the hand-computed 3-term Kolmogorov series
+    ne = 100 * 100 / 200
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * 0.5
+    p_ref = 2 * (
+        math.exp(-2 * lam * lam)
+        - math.exp(-8 * lam * lam)
+        + math.exp(-18 * lam * lam)
+    )
+    assert r["p_approx"] == pytest.approx(max(0.0, min(1.0, p_ref)), abs=1e-4)

@@ -5444,6 +5444,61 @@ _EXTENSION_ORACLES["name_entities"] = """
     """
 
 
+def q_ks_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS test between the click and purchase value
+    distributions — binless drift statistic with the asymptotic
+    Kolmogorov p-value, complementing psi_drift's binned PSI."""
+    from uk_housing_dashboard_etl_spark.operators.stats import ks_two_sample
+
+    return ks_two_sample(
+        read_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "click",
+        "purchase",
+    )
+
+
+_EXTENSION_ORACLES["ks_values"] = """
+    WITH per_val AS (
+        SELECT value AS v,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), cdf AS (
+        SELECT CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(sum(ca) OVER () AS DOUBLE) AS fa,
+               CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / CAST(sum(cb) OVER () AS DOUBLE) AS fb,
+               sum(ca) OVER () AS na,
+               sum(cb) OVER () AS nb
+        FROM per_val
+    ), agg AS (
+        SELECT na, nb, max(abs(fa - fb)) AS d FROM cdf GROUP BY 1, 2
+    ), lamd AS (
+        SELECT na, nb, d,
+               (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS lam
+        FROM (SELECT na, nb, d,
+                     CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS ne
+              FROM agg)
+    ), pv AS (
+        SELECT na, nb, d,
+               greatest(0.0, least(1.0,
+                   2.0 * (exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+                          + exp(-18.0 * lam * lam)))) AS p
+        FROM lamd
+    )
+    SELECT na AS n_a, nb AS n_b, round(d, 4) AS d_stat,
+           round(p, 4) AS p_approx, (p < 0.05) AS shifted
+    FROM pv
+    """
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 five-step user journey prefixes by user count — path
     analysis over the events stream, deterministic (count desc, path)
@@ -6421,6 +6476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "name_entities": q_name_entities,
     "top_paths": q_top_paths,
+    "ks_values": q_ks_values,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6475,6 +6531,7 @@ _R4_FRONT = [
     "hard_negatives",
     "name_entities",
     "top_paths",
+    "ks_values",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

@@ -505,3 +505,84 @@ def theil_sen_slope(
         )
         .withColumnRenamed("key", key_col)
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups: D = sup_x |F_a(x) − F_b(x)|, with the
+    asymptotic p-value (Kolmogorov distribution, 3-term series) and a
+    reject flag at α = 0.05 — the distribution-shift complement to
+    ``psi_drift`` (PSI needs binning; KS is binless and exact).
+
+    One output row: n_a, n_b, d_stat, p_approx, shifted.
+
+    Plan: the fact scan aggregates to VALUE grain first (one map-side
+    combinable groupBy); the cumulative CDFs then run an unpartitioned
+    window over the |distinct values| frame — distribution-grain, the
+    same bounded-frame discipline as the other total-order windows
+    here, and documented as such: for fact-grain-unique value columns
+    at 100 TB, pre-quantize the value (or compare KLL sketches) before
+    calling. The sup is attained at observed points, so evaluating at
+    each distinct value is exact. All arithmetic mirrors the oracle
+    operation for operation.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    per_val = base.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # distribution-grain unpartitioned windows (|distinct values| rows)
+    cdf = per_val.select(
+        (
+            F.sum("ca").over(wc).cast("double")
+            / F.sum("ca").over(wt).cast("double")
+        ).alias("fa"),
+        (
+            F.sum("cb").over(wc).cast("double")
+            / F.sum("cb").over(wt).cast("double")
+        ).alias("fb"),
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+    )
+    agg = cdf.groupBy("na", "nb").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d")
+    )
+    n_eff = (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / (F.col("na").cast("double") + F.col("nb").cast("double"))
+    )
+    lam = (
+        F.sqrt(n_eff) + F.lit(0.12) + F.lit(0.11) / F.sqrt(n_eff)
+    ) * F.col("d")
+    p = (
+        F.lit(2.0)
+        * (
+            F.exp(F.lit(-2.0) * lam * lam)
+            - F.exp(F.lit(-8.0) * lam * lam)
+            + F.exp(F.lit(-18.0) * lam * lam)
+        )
+    )
+    p_clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+    return agg.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        round4(F.col("d")).alias("d_stat"),
+        round4(p_clamped).alias("p_approx"),
+        (p_clamped < F.lit(0.05)).alias("shifted"),
+    )
