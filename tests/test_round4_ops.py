@@ -482,3 +482,37 @@ def test_ks_separates_shifted_distributions(spark):
         + math.exp(-18 * lam * lam)
     )
     assert r["p_approx"] == pytest.approx(max(0.0, min(1.0, p_ref)), abs=1e-4)
+
+
+def test_ab_ztest_hand_computed_and_degenerate(spark):
+    import math
+
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        ab_proportions_ztest,
+    )
+
+    # 10 users even (A), 10 odd (B); A converts 8/10, B converts 2/10
+    rows = []
+    eid = 0
+    for u in range(20):
+        variant_a = u % 2 == 0
+        converts = (u // 2 < 8) if variant_a else (u // 2 < 2)
+        rows.append((eid, u, "purchase" if converts else "view"))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
+    r = ab_proportions_ztest(df).collect()[0]
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["rate_a"] == 0.8 and r["rate_b"] == 0.2
+    pool = 0.5
+    z_ref = (0.8 - 0.2) / math.sqrt(pool * 0.5 * (0.1 + 0.1))
+    assert r["z_stat"] == pytest.approx(z_ref, abs=1e-3)
+    assert r["significant"] is True
+
+    # degenerate: everyone converts -> z undefined, not an error
+    all_conv = spark.createDataFrame(
+        [(i, i, "purchase") for i in range(10)],
+        ["event_id", "user_id", "event_type"],
+    )
+    d = ab_proportions_ztest(all_conv).collect()[0]
+    assert d["z_stat"] is None and d["significant"] is None
+    assert d["rate_a"] == 1.0 and d["rate_b"] == 1.0

@@ -5499,6 +5499,56 @@ _EXTENSION_ORACLES["ks_values"] = """
     """
 
 
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic user_id%2 split with
+    high-value-purchase conversion (every user makes SOME purchase at
+    contract scale, so plain purchase conversion is degenerate) — the
+    experimentation primitive, exact integer counts into a mirrored
+    single-row z projection."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        ab_proportions_ztest,
+    )
+
+    return ab_proportions_ztest(
+        read_table(spark, sf_dir, "events"),
+        convert_expr=(F.col("event_type") == "purchase")
+        & (F.col("value") > 150.0),
+    )
+
+
+_EXTENSION_ORACLES["ab_ztest"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 150.0
+                        THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS va
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ), agg AS (
+        SELECT sum(va) AS n_a, sum(1 - va) AS n_b,
+               sum(va * conv) AS c_a, sum((1 - va) * conv) AS c_b
+        FROM per_user
+    ), calc AS (
+        SELECT n_a, n_b,
+               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+               (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+        FROM agg
+    )
+    SELECT n_a, n_b, round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+           round(pa - pb, 4) AS uplift,
+           CASE WHEN pool > 0.0 AND pool < 1.0 THEN
+               round((pa - pb) / sqrt(pool * (1.0 - pool)
+                     * (1.0 / nad + 1.0 / nbd)), 4) END AS z_stat,
+           CASE WHEN pool > 0.0 AND pool < 1.0 THEN
+               (abs((pa - pb) / sqrt(pool * (1.0 - pool)
+                     * (1.0 / nad + 1.0 / nbd))) > 1.96) END AS significant
+    FROM calc
+    """
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 five-step user journey prefixes by user count — path
     analysis over the events stream, deterministic (count desc, path)
@@ -6477,6 +6527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "name_entities": q_name_entities,
     "top_paths": q_top_paths,
     "ks_values": q_ks_values,
+    "ab_ztest": q_ab_ztest,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6532,6 +6583,7 @@ _R4_FRONT = [
     "name_entities",
     "top_paths",
     "ks_values",
+    "ab_ztest",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

@@ -586,3 +586,79 @@ def ks_two_sample(
         round4(p_clamped).alias("p_approx"),
         (p_clamped < F.lit(0.05)).alias("shifted"),
     )
+
+
+def ab_proportions_ztest(
+    events: DataFrame,
+    key_col: str = "user_id",
+    convert_expr: F.Column | None = None,
+    variant_expr: F.Column | None = None,
+) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: per variant the
+    user count and conversion rate, then the pooled-variance z
+    statistic and a |z| > 1.96 significance flag — the experimentation
+    primitive next to :func:`ks_two_sample`'s distribution drift.
+
+    ``variant_expr`` assigns each user a variant (default: a
+    deterministic ``user_id % 2`` hash split — swap in the real
+    assignment column); ``convert_expr`` marks converting EVENTS
+    (default: ``event_type = 'purchase'``); a user converts when any
+    of their events does.
+
+    Plan: one user-keyed aggregate (max of the event flag) then a
+    2-row variant aggregate — everything downstream of the fact scan
+    is map-side combinable, and the z arithmetic is a single-row
+    projection mirrored operation-for-operation by the oracle.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    conv = (
+        convert_expr
+        if convert_expr is not None
+        else (F.col("event_type") == "purchase")
+    )
+    variant = (
+        variant_expr
+        if variant_expr is not None
+        else (F.col(key_col) % 2 == 0)
+    )
+    per_user = (
+        events.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.max(conv.cast("int")).alias("__conv"),
+            F.first(variant.cast("int")).alias("__va"),
+        )
+    )
+    agg = per_user.agg(
+        F.sum("__va").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__va")).alias("n_b"),
+        F.sum(F.col("__va") * F.col("__conv")).alias("c_a"),
+        F.sum((F.lit(1) - F.col("__va")) * F.col("__conv")).alias("c_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    # a degenerate experiment (pooled rate exactly 0 or 1 — nobody or
+    # everybody converts) has zero pooled variance: the z statistic is
+    # undefined, not infinite — emit NULLs rather than divide by zero
+    defined = (pool > F.lit(0.0)) & (pool < F.lit(1.0))
+    z = F.when(
+        defined,
+        (pa - pb)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        ),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        round4(pa).alias("rate_a"),
+        round4(pb).alias("rate_b"),
+        round4(pa - pb).alias("uplift"),
+        round4(z).alias("z_stat"),
+        F.when(defined, F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
