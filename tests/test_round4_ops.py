@@ -516,3 +516,23 @@ def test_ab_ztest_hand_computed_and_degenerate(spark):
     d = ab_proportions_ztest(all_conv).collect()[0]
     assert d["z_stat"] is None and d["significant"] is None
     assert d["rate_a"] == 1.0 and d["rate_b"] == 1.0
+
+
+def test_interarrival_all_zero_gaps_yield_null_cv(spark):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        interarrival_stats,
+    )
+
+    rows = [(i, _ts(0), 9) for i in range(4)]  # one timestamp, 3 zero gaps
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    r = interarrival_stats(df).collect()[0]
+    assert r["mean_gap_s"] == 0.0
+    assert r["cv_gap"] is None and r["burstiness"] is None
+
+
+def test_ks_missing_group_yields_nulls(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert r["d_stat"] is None and r["shifted"] is None

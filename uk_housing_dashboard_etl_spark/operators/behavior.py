@@ -371,7 +371,10 @@ def interarrival_stats(
     s2 = F.col("__sumsq").cast("double")
     mean_us = s / n
     var_us = (s2 - s * s / n) / (n - F.lit(1.0))
-    cv = F.sqrt(var_us) / mean_us
+    # a key whose events all share one timestamp has mean gap 0: CV and
+    # burstiness are undefined (0/0), not infinite — NULL, never an
+    # ANSI divide-by-zero crash
+    cv = F.when(F.col("__sum") > 0, F.sqrt(var_us) / mean_us)
     return (
         agg.where(F.col("n_gaps") >= min_gaps)
         .select(

@@ -546,15 +546,19 @@ def ks_two_sample(
     wt = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # distribution-grain unpartitioned windows (|distinct values| rows)
+    # distribution-grain unpartitioned windows (|distinct values| rows);
+    # an absent group (n = 0) leaves the CDF — and therefore D — NULL
+    # instead of crashing the ANSI division
     cdf = per_val.select(
-        (
+        F.when(
+            F.sum("ca").over(wt) > 0,
             F.sum("ca").over(wc).cast("double")
-            / F.sum("ca").over(wt).cast("double")
+            / F.sum("ca").over(wt).cast("double"),
         ).alias("fa"),
-        (
+        F.when(
+            F.sum("cb").over(wt) > 0,
             F.sum("cb").over(wc).cast("double")
-            / F.sum("cb").over(wt).cast("double")
+            / F.sum("cb").over(wt).cast("double"),
         ).alias("fb"),
         F.sum("ca").over(wt).alias("na"),
         F.sum("cb").over(wt).alias("nb"),
@@ -578,7 +582,13 @@ def ks_two_sample(
             + F.exp(F.lit(-18.0) * lam * lam)
         )
     )
-    p_clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+    # with an absent group (n = 0) the test is undefined: D is already
+    # NULL from the CDF guard, and lam's 0.11/sqrt(0) term must not
+    # run under ANSI — the whole statistic goes NULL together
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    p_clamped = F.when(
+        both, F.greatest(F.lit(0.0), F.least(F.lit(1.0), p))
+    )
     return agg.select(
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
