@@ -299,3 +299,72 @@ def test_png_bomb_and_huge_dims_rejected():
     )
     with pytest.raises(PngError, match="size mismatch"):
         decode_png(bomb2)
+
+
+def test_image_phash_real_png_near_dup(spark):
+    """Real-PNG perceptual hashing: an identical image hashes
+    identically, a lightly-noised copy lands within a small hamming
+    radius, and an unrelated image lands far away."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        image_phash,
+        phash_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    # strong 2D structure so the 8x8 thumbnail is informative
+    base = (
+        (np.add.outer(np.arange(32), np.arange(32)) * 4) % 256
+    ).astype(np.uint8)[..., None]
+    noisy = base.copy()
+    noisy[::7, ::5] = np.clip(noisy[::7, ::5] + 12, 0, 255)
+    other = rng.integers(0, 256, (32, 32, 1), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base)), "png"),
+        (2, bytearray(encode_png(noisy)), "png"),
+        (3, bytearray(encode_png(other)), "png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, format string"
+    )
+    hashes = image_phash(media, fake=False)
+    hv = {r["doc_id"]: r["phash"] for r in hashes.collect()}
+    assert bin(hv[1] ^ hv[2]).count("1") <= 8
+    assert bin(hv[1] ^ hv[3]).count("1") > 8
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_pairs(hashes, max_hamming=8).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_phash_banding_complete_at_radius(spark):
+    """Pigeonhole completeness: the banded join must return EXACTLY the
+    brute-force pair set at the radius (not merely high recall)."""
+    from itertools import combinations
+
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        phash_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = [int(x) for x in rng.integers(0, 2**63 - 1, 40, dtype=np.int64)]
+    # plant near pairs: flip <=8 bits of some hashes
+    for i in range(0, 30, 3):
+        flipped = vals[i]
+        for b in rng.choice(63, size=int(rng.integers(0, 9)), replace=False):
+            flipped ^= 1 << int(b)
+        vals.append(int(flipped))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, phash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=8).collect()
+    }
+    brute = {
+        (i, j): bin(a ^ b).count("1")
+        for (i, a), (j, b) in combinations(enumerate(vals), 2)
+        if bin(a ^ b).count("1") <= 8
+    }
+    assert got == brute

@@ -5549,6 +5549,92 @@ _EXTENSION_ORACLES["ab_ztest"] = """
     """
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (contract fake-decode mode):
+    the decode crosses the sanctioned Arrow path, the 8×8 mean /
+    threshold-bit / fold packing are pure column math, and the oracle
+    recomputes the full 63-bit hash from the payload bytes."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_phash,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return image_phash(media, fake=True)
+
+
+_EXTENSION_ORACLES["multimodal_phash"] = r"""
+    WITH m AS (
+        SELECT doc_id, encode(text) AS payload,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ), px AS (
+        SELECT doc_id, n_bytes,
+            CASE WHEN n_bytes = 0
+                 THEN list_transform(range(0, 64), i -> CAST(0.0 AS DOUBLE))
+                 ELSE list_transform(range(0, 64), i ->
+                     CAST(('0x' || substr(to_hex(payload),
+                          (i % n_bytes) * 2 + 1, 2)) AS INT) / 256.0)
+            END AS pixels
+        FROM m
+    ), withmean AS (
+        SELECT doc_id, n_bytes, pixels,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pixels),
+                   (a, b) -> a + b) / 64.0 AS mean
+        FROM px
+    )
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][(n_bytes % 3) + 1] AS format,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, 64)),
+               (acc, i) -> acc * 2
+                   + CASE WHEN pixels[i] > mean THEN 1 ELSE 0 END) AS phash
+    FROM withmean
+    """
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs within 8 bits of perceptual-hash distance —
+    pigeonhole-banded (chunk count derived from the radius, so the
+    banded join is COMPLETE); the oracle brute-forces every pair's
+    bit_count(xor) and must land on the identical set."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        image_phash,
+        phash_pairs,
+    )
+
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return phash_pairs(image_phash(media, fake=True), max_hamming=8)
+
+
+_EXTENSION_ORACLES["multimodal_phash_pairs"] = (
+    _EXTENSION_ORACLES["multimodal_phash"].replace(
+        """
+    SELECT doc_id,
+           ['png', 'jpeg', 'webp'][(n_bytes % 3) + 1] AS format,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, 64)),
+               (acc, i) -> acc * 2
+                   + CASE WHEN pixels[i] > mean THEN 1 ELSE 0 END) AS phash
+    FROM withmean
+    """,
+        """
+    , h AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, 64)),
+                   (acc, i) -> acc * 2
+                       + CASE WHEN pixels[i] > mean THEN 1 ELSE 0 END)
+                   AS phash
+        FROM withmean
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    """,
+    )
+)
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 five-step user journey prefixes by user count — path
     analysis over the events stream, deterministic (count desc, path)
@@ -6528,6 +6614,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_paths": q_top_paths,
     "ks_values": q_ks_values,
     "ab_ztest": q_ab_ztest,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
@@ -6584,6 +6672,8 @@ _R4_FRONT = [
     "top_paths",
     "ks_values",
     "ab_ztest",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
     # --- §2 reference-core re-confirmation ---
     "clean_transactions",
     "weekly_by_la",

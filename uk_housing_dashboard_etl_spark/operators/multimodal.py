@@ -434,3 +434,98 @@ def _zcr(x) -> float:
     if len(x) < 2:
         return 0.0
     return float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+
+
+def image_phash(
+    media: DataFrame,
+    fake: bool = True,
+    on_error: str = "raise",
+) -> DataFrame:
+    """63-bit perceptual AVERAGE-HASH per image: decode to an 8×8
+    grayscale thumbnail (the real pure-Python PNG path, or the
+    deterministic byte-derived fake in contract mode), then bit i =
+    (pixel_i > thumbnail mean), packed MSB-first by an integer fold —
+    the image analog of SimHash, robust to re-encoding/resizing because
+    it hashes downsampled luminance structure, not bytes.
+
+    Only the decode crosses into Python (the sanctioned Arrow path);
+    the mean, threshold bits, and bit packing are pure column
+    expressions, so the hash is bit-identical under any partitioning
+    and the oracle can recompute it from the payload bytes. 63 bits
+    (pixel 64 dropped) keep the fold inside a signed int64, mirroring
+    SimHash's convention.
+    """
+    dec = decode_images(media, fake=fake, thumb=8, on_error=on_error)
+    px = F.col("pixels").cast("array<double>")
+    dec = dec.withColumn(
+        "__mean",
+        F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / F.lit(64.0),
+    )
+    phash = F.aggregate(
+        F.slice(px, 1, 63),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc * F.lit(2)
+        + F.when(x > F.col("__mean"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return dec.select("doc_id", "format", phash.alias("phash"))
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """All image pairs within ``max_hamming`` bits of perceptual-hash
+    distance, via pigeonhole banding — the chunk count is DERIVED from
+    the radius (``max_hamming + 1`` chunks over 63 bits), so two hashes
+    within the radius MUST agree on at least one whole chunk and the
+    banded equi-join is COMPLETE, never just high-recall (the SimHash
+    guarantee, applied to images). Candidates fan out one row per
+    chunk; the exact ``bit_count(xor)`` filter runs JVM-side after the
+    join; duplicates from multi-chunk agreement collapse with one
+    distinct at candidate grain.
+    """
+    chunks = max_hamming + 1
+    width = -(-63 // chunks)  # ceil
+    mask = (1 << width) - 1
+    base = hashes.select(
+        F.col(id_col).alias("pid"), F.col(hash_col).alias("h")
+    )
+    banded = base.select(
+        "pid",
+        "h",
+        F.explode(
+            F.array(*[F.lit(c) for c in range(chunks)])
+        ).alias("c"),
+    ).withColumn(
+        # SQL shiftright: the pyspark wrapper only takes literal shifts
+        "band", F.expr("shiftright(h, c * {w})".format(w=width)).bitwiseAND(
+            mask
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .select(
+            F.col("a.pid").alias("doc_a"),
+            F.col("b.pid").alias("doc_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
