@@ -338,3 +338,21 @@ def test_cusum_single_key_exchange(spark):
     # the fold itself adds no exchange beyond the groupBy(la) that
     # builds the series (upstream weekly-mart exchanges are its own)
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_phash_pairs_banded_join_is_equi_not_nlj(spark):
+    plan = plan_of(spark, "multimodal_phash_pairs")
+    # the candidate join must hash on (chunk, band) — a nested-loop
+    # cross of hashes would be the quadratic mistake banding avoids
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_lift_has_no_basket_self_join(spark):
+    plan = plan_of(spark, "basket_lift")
+    # pairs fan out row-locally via Generate (explode of the nested
+    # transform), never via a self-join of the basket table
+    assert "Generate" in plan
+    body = plan.split("== Physical Plan ==")[1]
+    # joins present are only the aggregated singles/totals attachments
+    assert body.count("SortMergeJoin") == 0
