@@ -393,3 +393,58 @@ def test_cdc_chunks_tile_the_document(spark, seed, n_docs, doc_len):
     )
     for r in out:
         assert r["rejoined"] == r["norm"]
+
+
+@SLOW
+@given(seed=st.integers(0, 2**31), n_users=st.integers(1, 5))
+def test_interarrival_matches_pandas(spark, seed, n_users):
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        interarrival_stats,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        n = int(rng.integers(2, 25))
+        ts = np.cumsum(rng.integers(1, 10_000, n))  # seconds, strictly +
+        for t in ts:
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(t)), u))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    got = {
+        r["user_id"]: r
+        for r in interarrival_stats(spark.createDataFrame(pdf)).collect()
+    }
+    for u, grp in pdf.groupby("user_id"):
+        gaps = grp.sort_values(["ts", "event_id"])["ts"].diff().dropna()
+        gaps_s = gaps.dt.total_seconds()
+        if len(gaps_s) < 2:
+            assert u not in got
+            continue
+        r = got[u]
+        assert r["n_gaps"] == len(gaps_s)
+        assert abs(r["mean_gap_s"] - gaps_s.mean()) < 1e-3
+        cv = gaps_s.std(ddof=1) / gaps_s.mean()
+        assert abs(r["cv_gap"] - cv) < 1e-3
+        assert abs(r["burstiness"] - (cv - 1) / (cv + 1)) < 1e-3
+
+
+@SLOW
+@given(seed=st.integers(0, 2**31))
+def test_benford_on_log_uniform_data(spark, seed):
+    """Log-uniform magnitudes follow Benford closely: every digit's
+    observed share must sit near its expected log10(1 + 1/d)."""
+    from uk_housing_dashboard_etl_spark.operators.stats import benford_profile
+
+    rng = np.random.default_rng(seed)
+    vals = 10.0 ** rng.uniform(0, 6, 4000)
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    out = benford_profile(df, "x").collect()
+    assert sum(r["n"] for r in out) == 4000
+    for r in out:
+        assert abs(r["share"] - r["benford"]) < 0.05
+    # chi-square terms are consistent with the shares
+    for r in out:
+        expect = 4000 * (r["share"] - r["benford"]) ** 2 / r["benford"]
+        assert r["chi2_term"] == pytest.approx(expect, abs=0.51)
