@@ -21,7 +21,10 @@ long-running cluster amortizes, the second is the engine's steady-state
 throughput. (Streaming queries execute their drain inside the builder,
 so their time covers the whole readStream→sink pass, run once — a
 second drain would replay identical state transitions at the same
-cost.)
+cost. The warmup phase runs one throwaway stateful drain first so the
+one-time Python-state-worker spin-up is amortized exactly like the
+batch queries' first-run JVM warmup, instead of being charged to
+whichever streaming query sits first in registry order.)
 
 If any query fails, ``complete`` is false and ``value`` is null: a
 suite total over a shrunken query set must never be compared against a
@@ -138,6 +141,16 @@ def main() -> None:
     try:
         contract.QUERIES["coverage_report"](spark, SF_DIR).count()
     except Exception:  # noqa: BLE001 — warmup failure must not kill the bench
+        pass
+    # warm the stateful-streaming machinery (Python state workers +
+    # state-store init) with one throwaway drain: streaming queries are
+    # timed on a single run, so without this the ~8s one-time spin-up
+    # lands on whichever streaming query happens to sit first in
+    # registry order (measured: the same drain is 10.6s cold, 2.2s
+    # steady-state) and reads as that query's cost
+    try:
+        contract.QUERIES["streaming_rate_cap"](spark, SF_DIR).count()
+    except Exception:  # noqa: BLE001
         pass
 
     times: dict[str, float] = {}
