@@ -1,0 +1,37 @@
+"""Pure-python tests for the bench harness plumbing (no Spark): the
+round-stamped detail filename must track the driver's BENCH_r{NN}.json
+records, because a mis-stamped file would make the official per-query
+record ambiguous."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _bench():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    return importlib.reload(bench)
+
+
+def test_next_round_tracks_existing_bench_records(tmp_path, monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
+    assert bench.next_round() == 1
+    (tmp_path / "BENCH_r01.json").write_text("{}")
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    assert bench.next_round() == 4
+    # stray non-record files never confuse the stamp
+    (tmp_path / "BENCH_DETAIL_r09.json").write_text("{}")
+    (tmp_path / "BENCH_random.json").write_text("{}")
+    assert bench.next_round() == 4
+
+
+def test_headline_queries_exist_in_registry():
+    bench = _bench()
+    from uk_housing_dashboard_etl_spark import contract
+
+    for q in bench.HEADLINE:
+        assert q in contract.QUERIES and q in contract.ORACLES
