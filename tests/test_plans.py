@@ -346,6 +346,11 @@ def test_phash_pairs_banded_join_is_equi_not_nlj(spark):
     # cross of hashes would be the quadratic mistake banding avoids
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # and it must be the hinted SHUFFLE_HASH self-join, whose identical
+    # per-side exchanges let ReuseExchange run the Python decode once —
+    # a broadcast join would recompute the whole lineage to build
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan.split("== Physical Plan ==")[1]
 
 
 def test_basket_lift_has_no_basket_self_join(spark):

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 from tools.stress import fabricate as fabricate_events
 from tools.stress_docs import fabricate_docs
 from uk_housing_dashboard_etl_spark.operators.behavior import (
+    basket_lift,
     cap_events_per_key,
     debounce_events,
+    interarrival_stats,
+    top_paths,
     user_sequences,
 )
 from uk_housing_dashboard_etl_spark.operators.curation import snapshot_diff
@@ -104,6 +107,15 @@ def main() -> None:
         r["key_skew_s"], _ = timed(
             lambda: key_skew_summary(events, ["user_id"])
         )
+
+        # round-4 behavioral family at the same Zipf-skewed 20M events
+        r["interarrival_s"], r["interarrival_keys"] = timed(
+            lambda: interarrival_stats(events)
+        )
+        r["basket_lift_s"], r["basket_pairs"] = timed(
+            lambda: basket_lift(events)
+        )
+        r["top_paths_s"], _ = timed(lambda: top_paths(events))
         print(json.dumps(r), flush=True)
     shutil.rmtree(OUT, ignore_errors=True)
 

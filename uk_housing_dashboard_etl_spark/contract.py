@@ -5593,10 +5593,13 @@ _EXTENSION_ORACLES["multimodal_phash"] = r"""
 
 
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs within 8 bits of perceptual-hash distance —
+    """Image near-dup pairs within 4 bits of perceptual-hash distance —
     pigeonhole-banded (chunk count derived from the radius, so the
     banded join is COMPLETE); the oracle brute-forces every pair's
-    bit_count(xor) and must land on the identical set."""
+    bit_count(xor) and must land on the identical set. Radius 4 is the
+    conventional average-hash near-dup threshold AND the scale-sane
+    one: 5 chunks of 13 bits give 8192-way bands (vs radius 8's 9×7-bit
+    bands whose 128-way collisions fanned ~10^8 candidates at sf0.1)."""
     from uk_housing_dashboard_etl_spark.operators.multimodal import (
         attach_binary_payload,
         image_phash,
@@ -5604,7 +5607,7 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
-    return phash_pairs(image_phash(media, fake=True), max_hamming=8)
+    return phash_pairs(image_phash(media, fake=True), max_hamming=4)
 
 
 _EXTENSION_ORACLES["multimodal_phash_pairs"] = (
@@ -5629,7 +5632,7 @@ _EXTENSION_ORACLES["multimodal_phash_pairs"] = (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 8
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
     """,
     )
 )

@@ -469,6 +469,11 @@ def simhash_pairs_from_signatures(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))
+    # SHUFFLE_HASH, not broadcast: both sides of this SELF-join are the
+    # identical plan, so hash-partitioning on (chunk, val) lets
+    # ReuseExchange compute the signature lineage (shingle explode +
+    # hash aggregation) ONCE; a broadcast join recomputes it to build.
+    chunked = chunked.hint("shuffle_hash")
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (
@@ -485,8 +490,12 @@ def simhash_pairs_from_signatures(
                 "hamming"
             ),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # Filter BEFORE dropDuplicates: the exact bit_count predicate is
+        # free in-task, while dedup is a shuffle — running it on the full
+        # banded fan-out (every chunk collision) instead of the tiny
+        # within-radius set is the dominant cost at scale.
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

@@ -506,9 +506,18 @@ def phash_pairs(
             mask
         )
     )
+    # SHUFFLE_HASH, not broadcast: for a SELF-join the two sides are the
+    # identical plan, so hash-partitioning both on (c, band) lets
+    # Spark's ReuseExchange run the (expensive, Python-side) decode +
+    # hash lineage ONCE — a broadcast join would recompute it for the
+    # build side. The shuffle itself is tiny: (chunks+1) longs per image.
+    banded = banded.hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    hamming = F.bit_count(
+        F.col("a.h").bitwiseXOR(F.col("b.h"))
+    ).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
@@ -518,14 +527,12 @@ def phash_pairs(
         .select(
             F.col("a.pid").alias("doc_a"),
             F.col("b.pid").alias("doc_b"),
-            F.col("a.h").alias("ha"),
-            F.col("b.h").alias("hb"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
-    return (
-        cand.withColumn("hamming", hamming)
+        # Filter BEFORE the dedup shuffle: bit_count is free in-task,
+        # so the distinct only ever sees the within-radius pairs, not
+        # the full chunk-collision fan-out (~10^8 rows at 60k docs with
+        # 7-bit bands — the dominant cost when this ran distinct-first).
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
