@@ -6286,6 +6286,131 @@ _EXTENSION_ORACLES["strip_boilerplate"] = f"""
     LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global profile of the part co-purchase graph (parts sharing an
+    order, 1996 ship-year slice — a range predicate that reaches the
+    parquet scan): nodes, canonical edges, triangles, wedges,
+    transitivity. Triangles count via degree-ordered orientation
+    (out-degree bounded by O(sqrt(m)) — the hub-safe plan); the oracle
+    counts them with the canonical a<b<c three-way self-join and must
+    agree exactly. The full-corpus graph is registry-reachable through
+    the operator; the year slice keeps the bench honest about the
+    wedge-join volume (the full sf0.1 graph has mean degree 120 and
+    36M wedges — measured 13 s vs 5 s for the slice)."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        copurchase_edges,
+        triangle_stats,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return triangle_stats(copurchase_edges(li))
+
+
+_EXTENSION_ORACLES["copurchase_triangles"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), e AS (
+        SELECT a.item AS src, b.item AS dst
+        FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY node
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ), agg AS (
+        SELECT count(*) AS n_nodes,
+               CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ), ne AS (
+        SELECT count(*) AS n_edges FROM e
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 4)
+           END AS transitivity
+    FROM agg, ne, tri
+    """
+
+
+def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (5 power iterations, d=0.85, no dangling
+    redistribution) over the symmetrized customer<->supplier trade
+    graph. The oracle unrolls the identical recurrence; ranks are
+    normalized to mean 1 and 4dp-rounded so per-node inflow-sum
+    ordering differences between engines cannot flip the hash."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        pagerank,
+        trade_edges,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return pagerank(trade_edges(o, li), iters=5, damping=0.85)
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unroll the PageRank recurrence into chained CTEs (standard SQL
+    forbids aggregates in a recursive term, so fixed iterations unroll
+    instead — same shape the Spark loop builds)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(s.x, 0.0) AS r
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(r{k - 1}.r * e.p) AS x
+            FROM r{k - 1} JOIN e ON r{k - 1}.node = e.src
+            GROUP BY e.dst
+        ) s ON nd.node = s.node
+    )"""
+        )
+    return (
+        """
+    WITH pairs AS (
+        SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+               's:' || CAST(l.l_suppkey AS VARCHAR) AS s,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), e0 AS (
+        SELECT c AS src, s AS dst, w FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst, w FROM pairs
+    ), outw AS (
+        SELECT src, sum(w) AS ow FROM e0 GROUP BY src
+    ), e AS (
+        SELECT e0.src, e0.dst, e0.w / outw.ow AS p
+        FROM e0 JOIN outw ON e0.src = outw.src
+    ), nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0
+        )
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), r0 AS (
+        SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn
+    ), """
+        + ", ".join(steps)
+        + f"""
+    SELECT node, round(r * nn.n, 4) AS rank_norm
+    FROM r{iters} CROSS JOIN nn
+    """
+    )
+
+
+_EXTENSION_ORACLES["pagerank_trade"] = _pagerank_oracle_sql(5)
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -6619,6 +6744,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_ztest": q_ab_ztest,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
+    # --- round-4b: graph analytics family ---
+    "copurchase_triangles": q_copurchase_triangles,
+    "pagerank_trade": q_pagerank_trade,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
