@@ -3,11 +3,14 @@ deterministic sampling/splitting stability."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from uk_housing_dashboard_etl_spark.operators.curation import (
     dataset_split,
     hash_sample,
     redact_pii,
     split_summary,
+    weighted_sample,
 )
 
 
@@ -47,6 +50,52 @@ def test_hash_sample_stable_and_proportional(spark):
     # nested sampling: 5% sample is a subset of the 10% sample
     s5 = set(r.doc_id for r in hash_sample(big, "doc_id", 5).collect())
     assert s5 <= s1
+
+
+def test_weighted_sample_exact_k_deterministic_weight_biased(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"),
+        # ids below 1000 carry 50× the weight of the rest
+        F.when(F.col("id") < 1_000, 500).otherwise(10).alias("w"),
+    )
+    s1 = [r.doc_id for r in weighted_sample(df, "doc_id", "w", 200).collect()]
+    assert len(s1) == 200
+    # deterministic, and invariant under partitioning
+    s2 = [
+        r.doc_id
+        for r in weighted_sample(
+            df.repartition(13), "doc_id", "w", 200
+        ).collect()
+    ]
+    assert set(s1) == set(s2)
+    # heavy rows are 10% of the corpus but 85% of its total weight —
+    # they must dominate the sample (binomially impossible otherwise)
+    heavy = sum(1 for d in s1 if d < 1_000)
+    assert heavy > 120
+    # non-positive weights are never sampled
+    withzero = df.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, 0).otherwise(F.col("w"))
+    )
+    szero = [
+        r.doc_id
+        for r in weighted_sample(withzero, "doc_id", "w", 200).collect()
+    ]
+    assert len(szero) == 200 and all(d % 2 == 1 for d in szero)
+
+
+def test_weighted_sample_plan_is_topk_not_full_sort(spark):
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("w")
+    )
+    plan = weighted_sample(df, "doc_id", "w", 50)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # global top-k compiles to per-partition heaps + a k-row driver
+    # merge, never a full sort shuffle of the corpus
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_dataset_split_partitions_everything(spark):

@@ -2002,6 +2002,20 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k length-weighted sample (A-ES, k=500): longer documents
+    proportionally likelier, membership deterministic. The oracle ranks
+    by the identical u^(1/w) key expression; both engines' top-500 sets
+    must match exactly."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        read_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=500
+    ).select("doc_id", "n_chars")
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test assignment summary (80/10/10 by id hash)."""
     from uk_housing_dashboard_etl_spark.operators.curation import split_summary
@@ -6411,6 +6425,17 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
 
 _EXTENSION_ORACLES["pagerank_trade"] = _pagerank_oracle_sql(5)
 
+_EXTENSION_ORACLES["weighted_sample"] = """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY pow(
+        (CAST((doc_id * 2654435761) % 1000000007 AS DOUBLE) + 0.5)
+            / 1000000007.0,
+        1.0 / n_chars) DESC, doc_id
+    LIMIT 500
+    """
+
 ORACLES.update(_EXTENSION_ORACLES)
 
 # rewrite round(x, 4) into the engine-portable floor formula everywhere
@@ -6744,9 +6769,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_ztest": q_ab_ztest,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,
-    # --- round-4b: graph analytics family ---
+    # --- round-4b: graph analytics family + budget sampler ---
     "copurchase_triangles": q_copurchase_triangles,
     "pagerank_trade": q_pagerank_trade,
+    "weighted_sample": q_weighted_sample,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks

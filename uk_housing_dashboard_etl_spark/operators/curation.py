@@ -70,6 +70,43 @@ def hash_sample(
     return df.where(_hash_pct(id_col) < percent)
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): every row draws key = u^(1/w) from a deterministic
+    pseudo-uniform u and the k largest keys win — inclusion odds
+    proportional to weight, membership reproducible across runs,
+    engines, and partitionings (u is the same exact multiplicative
+    hash as :func:`hash_sample`, never an RNG).
+
+    The mixture-sampling primitive ``temperature_mix`` rate-scales
+    can't give you: a hard row BUDGET (exactly k docs for a pilot run
+    or eval slice) while still favouring high-weight rows. Rows with
+    non-positive weight are excluded (u^(1/w) is undefined there, and
+    "weight 0" means "never sample" in every A-ES formulation).
+
+    Plan: one row-local key expression + global top-k. Spark compiles
+    ``orderBy(key).limit(k)`` to TakeOrderedAndProject — per-partition
+    heaps of k rows and a k-row driver merge, NO full sort shuffle —
+    so the cost at 100 TB is one scan, same as the filter samplers.
+    """
+    u = (
+        ((F.col(id_col) * F.lit(KNUTH)) % F.lit(1_000_000_007)).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / F.lit(1_000_000_007.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__aes_key", key)
+        .orderBy(F.col("__aes_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__aes_key")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,
