@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators.graph import (
     copurchase_edges,
+    degree_profile,
     pagerank,
     trade_edges,
     triangle_stats,
@@ -71,6 +72,30 @@ def test_triangle_stats_input_direction_and_dupes_ignored(spark):
     row = triangle_stats(_edges(spark, pairs)).collect()[0]
     assert row["n_triangles"] == 1
     assert row["n_edges"] == 3
+
+
+def test_degree_profile_regular_and_star(spark):
+    import math
+
+    # K4 is 3-regular: one histogram row, alpha = 1 + 1/ln(6)
+    nodes = ["a", "b", "c", "d"]
+    k4 = [(u, v) for u in nodes for v in nodes if u < v]
+    rows = degree_profile(_edges(spark, k4)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["degree"], r["n_nodes"], r["node_share"]) == (3, 4, 1.0)
+    assert r["alpha_hat"] == pytest.approx(1 + 1 / math.log(6), abs=1e-4)
+
+    # 4-spoke star: hub degree 4 (share .2), spokes degree 1 (share .8)
+    star = [("h", x) for x in ["a", "b", "c", "d"]]
+    got = {
+        r["degree"]: (r["n_nodes"], r["node_share"], r["alpha_hat"])
+        for r in degree_profile(_edges(spark, star)).collect()
+    }
+    want_alpha = 1 + 5 / (math.log(8) + 4 * math.log(2))
+    assert got[4][0] == 1 and got[4][1] == pytest.approx(0.2)
+    assert got[1][0] == 4 and got[1][1] == pytest.approx(0.8)
+    assert got[1][2] == pytest.approx(want_alpha, abs=1e-4)
 
 
 def _pagerank_reference(edge_list, iters=5, d=0.85):

@@ -6356,6 +6356,48 @@ _EXTENSION_ORACLES["copurchase_triangles"] = """
     """
 
 
+def q_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram + Clauset power-law MLE for the 1996-slice
+    co-purchase graph (same edge CTE as copurchase_triangles); the
+    oracle recomputes histogram, shares, and alpha exactly."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        copurchase_edges,
+        degree_profile,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return degree_profile(copurchase_edges(li))
+
+
+_EXTENSION_ORACLES["degree_profile"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), e AS (
+        SELECT a.item AS src, b.item AS dst
+        FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2
+    ), deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        ) GROUP BY node
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(ln(degree / 0.5)) AS slog
+        FROM deg
+    )
+    SELECT degree, count(*) AS n_nodes,
+           round(count(*) / tot.n, 4) AS node_share,
+           round(1.0 + tot.n / tot.slog, 4) AS alpha_hat
+    FROM deg CROSS JOIN tot
+    GROUP BY degree, tot.n, tot.slog
+    """
+
+
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (5 power iterations, d=0.85, no dangling
     redistribution) over the symmetrized customer<->supplier trade
@@ -6772,6 +6814,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4b: graph analytics family + budget sampler ---
     "copurchase_triangles": q_copurchase_triangles,
     "pagerank_trade": q_pagerank_trade,
+    "degree_profile": q_degree_profile,
     "weighted_sample": q_weighted_sample,
 }
 

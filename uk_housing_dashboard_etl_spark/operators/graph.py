@@ -219,6 +219,43 @@ def pagerank(
     )
 
 
+def degree_profile(edges: DataFrame) -> DataFrame:
+    """Degree histogram of the undirected graph with a discrete
+    power-law exponent estimate attached: one row per degree value with
+    the node count, its share of all nodes, and the (constant) Clauset
+    continuous-approximation MLE ``alpha = 1 + n / sum(ln(d / (dmin -
+    1/2)))`` at dmin=1 — the standard first look at whether a graph is
+    hub-dominated (alpha near 2: extreme hubs; above 3: near-random).
+
+    Two aggregations (node-grain then degree-grain) plus a 1-row
+    broadcast for the globals — histogram cardinality is max-degree
+    bounded, so output stays tiny at any corpus size.
+    """
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    glob = deg.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.log(F.col("degree") / F.lit(0.5))).alias("__slog"),
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        hist.crossJoin(F.broadcast(glob))
+        .select(
+            "degree",
+            "n_nodes",
+            round4(F.col("n_nodes") / F.col("__n")).alias("node_share"),
+            round4(
+                F.lit(1.0) + F.col("__n") / F.col("__slog")
+            ).alias("alpha_hat"),
+        )
+    )
+
+
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Symmetrized customer<->supplier order-volume graph: one directed
     edge each way per (customer, supplier) pair that traded, weighted
