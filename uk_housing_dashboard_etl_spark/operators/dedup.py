@@ -233,31 +233,36 @@ def minhash_lsh_pairs(
     j=0.2, the classic S-curve.
     """
     sig = minhash_signatures(documents, text_col, id_col, num_hashes, shingle_n)
-    band_entries = _band_entries(sig, num_hashes, bands)
+    # SHUFFLE_HASH self-join: both sides are the identical plan, so
+    # hash-partitioning on (band, bucket) lets ReuseExchange compute
+    # the signature lineage (shingle explode + min-hash agg) ONCE — a
+    # broadcast join would rebuild it for the build side.
+    band_entries = _band_entries(sig, num_hashes, bands).hint("shuffle_hash")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
     ) / F.lit(float(num_hashes))
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.signature").alias("sig_a"),
+        F.col("b.signature").alias("sig_b"),
+    )
+    # estimate + filter BEFORE the pair-dedup shuffle: the zip_with is
+    # free in-task, so dropDuplicates only sees above-threshold pairs
+    # (doc ids + one double), never the multi-band fan-out dragging two
+    # 16-int signature arrays per row through an exchange
     return (
         cand.withColumn("est_jaccard", round4(est))
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
