@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from uk_housing_dashboard_etl_spark.operators.graph import (
     copurchase_edges,
     degree_profile,
+    label_propagation,
     pagerank,
     trade_edges,
     triangle_stats,
@@ -150,6 +151,41 @@ def test_pagerank_conserves_mass_without_dangling(spark):
     assert sum(r["rank_norm"] for r in rows) == pytest.approx(
         len(rows), abs=1e-2
     )
+
+
+def test_label_propagation_finds_disjoint_communities(spark):
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]  # noqa: E731
+    rows = label_propagation(
+        _edges(spark, tri("a", "b", "c") + tri("d", "e", "f")), iters=5
+    ).collect()
+    got = {r["node"]: (r["label"], r["community_size"]) for r in rows}
+    # each triangle collapses onto its smallest member by round 3
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 3), "e": ("d", 3), "f": ("d", 3),
+    }
+
+
+def test_label_propagation_deterministic_under_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list(
+        {
+            (f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+            for _ in range(120)
+        }
+    )
+    e = _edges(spark, pairs)
+    r1 = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e, iters=4).collect()
+    )
+    r2 = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e.repartition(11), iters=4).collect()
+    )
+    assert r1 == r2
 
 
 def test_trade_edges_symmetrized_and_prefixed(spark, sf_small):

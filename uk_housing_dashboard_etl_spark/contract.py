@@ -6467,6 +6467,76 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
 
 _EXTENSION_ORACLES["pagerank_trade"] = _pagerank_oracle_sql(5)
 
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-round synchronous label propagation over the 1996 co-purchase
+    slice: deterministic (most-frequent neighbour label, smallest-label
+    ties), so the oracle can replay the identical recurrence with
+    unrolled count/row_number CTEs and must land on the same labels."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        copurchase_edges,
+        label_propagation,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return label_propagation(copurchase_edges(li), iters=5)
+
+
+def _lpa_oracle_sql(iters: int = 5) -> str:
+    """Unrolled synchronous LPA: per round one neighbour-label count
+    and one smallest-label-wins argmax cut, identical to the Spark
+    loop's two exchanges."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""c{k} AS (
+        SELECT e.src AS node, l.label, count(*) AS c
+        FROM e JOIN l{k - 1} l ON e.dst = l.node
+        GROUP BY 1, 2
+    ), p{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (
+                       PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM c{k}) WHERE rn = 1
+    ), l{k} AS (
+        SELECT n.node, coalesce(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN p{k} p ON n.node = p.node
+    )"""
+        )
+    return (
+        """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), e0 AS (
+        SELECT a.item AS src, b.item AS dst
+        FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2
+    ), e AS (
+        SELECT src, dst FROM e0
+        UNION
+        SELECT dst AS src, src AS dst FROM e0
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM e
+    ), l0 AS (
+        SELECT node, node AS label FROM nodes
+    ), """
+        + ", ".join(steps)
+        + f"""
+    SELECT l.node, l.label, s.community_size
+    FROM l{iters} l
+    JOIN (SELECT label, count(*) AS community_size
+          FROM l{iters} GROUP BY label) s ON l.label = s.label
+    """
+    )
+
+
+_EXTENSION_ORACLES["communities"] = _lpa_oracle_sql(5)
+
 _EXTENSION_ORACLES["weighted_sample"] = """
     SELECT doc_id, n_chars
     FROM documents
@@ -6815,6 +6885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_triangles": q_copurchase_triangles,
     "pagerank_trade": q_pagerank_trade,
     "degree_profile": q_degree_profile,
+    "communities": q_communities,
     "weighted_sample": q_weighted_sample,
 }
 

@@ -256,6 +256,61 @@ def degree_profile(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (community detection), fixed
+    ``iters`` rounds, fully deterministic: every node starts labelled
+    with itself; each round it adopts its neighbours' most frequent
+    label, ties broken by the SMALLEST label, keeping its old label
+    only when it has no neighbours. Fixed synchronous rounds (not
+    run-to-convergence) are the contract — LPA famously oscillates on
+    bipartite structures, and a bounded, replayable recurrence is what
+    an oracle can check.
+
+    Per round: one (node, label) count aggregate over the symmetrized
+    edge list + one argmax aggregate — both map-side combinable, so a
+    billion-degree hub costs partial counts, never the neighbourhood
+    array a collect_list formulation would shuffle, and there is no
+    per-round sort (the argmax is ``min(struct(-count, label))``, not
+    a row_number window). Every node appears as ``src`` in the
+    symmetrized list by construction, so the neighbour argmax covers
+    all nodes — no keep-own-label outer join is needed. Output:
+    (node, label) plus the final community size per node's label.
+    """
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = sym.select(F.col("src").alias("node")).distinct()
+    labels = labels.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        counts = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("negc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("__best")
+            )
+            .select("node", F.col("__best.label").alias("label"))
+        )
+    sizes = labels.groupBy(F.col("label").alias("__l")).agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(
+        sizes, labels["label"] == sizes["__l"]
+    ).select("node", "label", "community_size")
+
+
 def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     """Symmetrized customer<->supplier order-volume graph: one directed
     edge each way per (customer, supplier) pair that traded, weighted
