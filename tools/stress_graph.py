@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from uk_housing_dashboard_etl_spark.operators.graph import (
+    degree_profile,
+    label_propagation,
     pagerank,
     triangle_stats,
 )
@@ -90,6 +92,16 @@ def main() -> None:
         r["n_triangles"] = row["n_triangles"]
         t, n = timed(lambda: pagerank(edges))
         r["pagerank5_s"], r["pagerank_nodes"] = t, n
+        t, n = timed(lambda: degree_profile(edges))
+        r["degree_profile_s"], r["distinct_degrees"] = t, n
+        t, _ = timed(lambda: label_propagation(edges, iters=5))
+        r["lpa5_s"] = t
+        r["n_communities"] = (
+            label_propagation(edges, iters=5)
+            .select("label")
+            .distinct()
+            .count()
+        )
         print(json.dumps(r), flush=True)
 
 
