@@ -465,3 +465,46 @@ def test_rate_cap_stream_counts_across_batches(spark, tmp_path):
     assert res.loc[2, "kept"] and not res.loc[3, "kept"]
     assert not res.loc[4, "kept"]
     assert res.loc[9, "kept"] and res.loc[9, "day_seq"] == 1
+
+
+def test_enriched_stream_matches_batch_join(spark, landing):
+    from uk_housing_dashboard_etl_spark.streaming.enrich_stream import (
+        enriched_segment_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    got = (
+        run_stream_once(enriched_segment_stream(spark, landing, dim), "t_enr")
+        .toPandas()
+        .sort_values(["segment", "event_type"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(landing)
+    batch = (
+        ev.join(
+            dim.select(
+                F.col("c_custkey").alias("user_id"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "user_id",
+        )
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("value_sum"),
+        )
+        .toPandas()
+        .sort_values(["segment", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, batch)
+    # a dimension miss drops the event (inner join), matching the batch J1
+    assert got["n_events"].sum() == ev.where("user_id IN (1, 2)").count()

@@ -1094,6 +1094,39 @@ def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC broadcast enrichment under the driver gate: the
+    event stream joins the batch customer dimension per micro-batch
+    (the streaming form of the reference's J1 lookup join), then
+    aggregates per (segment, event type) with the deterministic-sum
+    rule. Oracle = the identical batch join+group; the stream side
+    never shuffles for the join."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.enrich_stream import (
+        enriched_segment_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    dim = read_table(spark, sf_dir, "customer")
+    sdf = enriched_segment_stream(spark, land, dim)
+    with _stream_state_partitions(spark):
+        out = run_stream_once(sdf, query_name=f"enr_{uuid.uuid4().hex[:10]}")
+    return out.select("segment", "event_type", "n_events", "value_sum")
+
+
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming SESSION WINDOWS under the driver gate: the
     stateful merge-on-gap operator drained in append mode. Append only
@@ -4156,6 +4189,17 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
     WINDOW w AS (PARTITION BY content_hash ORDER BY quality DESC, doc_id)
     """
 
+_EXTENSION_ORACLES["streaming_enriched"] = """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.ts IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
 _EXTENSION_ORACLES["streaming_attribution"] = """
     WITH v AS (
         SELECT user_id, ts AS view_ts FROM events
@@ -6887,6 +6931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_profile": q_degree_profile,
     "communities": q_communities,
     "weighted_sample": q_weighted_sample,
+    "streaming_enriched": q_streaming_enriched,
 }
 
 # Round-4 window rotation (VERDICT r3 items 1 and 7). The driver checks
