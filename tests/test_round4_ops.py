@@ -536,3 +536,50 @@ def test_ks_missing_group_yields_nulls(spark):
     df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
     r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
     assert r["d_stat"] is None and r["shifted"] is None
+
+
+def test_simjoin_prefix_matches_brute_force(spark):
+    """Prefix filtering finds exactly the pairs the unfiltered shingle
+    self-join finds at the same threshold — completeness AND exactness
+    on a fixture with a near-dup pair, an identical pair, and noise."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from uk_housing_dashboard_etl_spark.operators.simjoin import (
+        set_similarity_join,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),          # near-dup of 1
+            (3, base),                    # exact dup of 1
+            (4, "completely different words about spark shuffles here"),
+            (5, "another unrelated document with its own token stream"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in set_similarity_join(docs, threshold=0.8).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == want
+    assert (1, 3, 1.0) in got and any(p[:2] == (1, 2) for p in got)
+    assert not any(4 in p[:2] or 5 in p[:2] for p in got)
+
+
+def test_simjoin_threshold_validation(spark):
+    from uk_housing_dashboard_etl_spark.operators.simjoin import (
+        set_similarity_join,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(docs, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        set_similarity_join(docs, threshold=1.5)

@@ -2162,6 +2162,21 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin): all shingle-set Jaccard >= 0.8 pairs, joining only on each
+    doc's rarest (1-t) fraction of shingles. Unlike the df-capped path
+    (lossy) and MinHash (probabilistic) this is exact AND complete —
+    the brute-force oracle hash-match is the completeness proof."""
+    from uk_housing_dashboard_etl_spark.operators.simjoin import (
+        set_similarity_join,
+    )
+
+    return set_similarity_join(
+        read_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style positional duplication coverage (Lee et al.
     2022): per-doc fraction of token positions covered by a word 5-gram
@@ -4270,6 +4285,27 @@ _EXTENSION_ORACLES["dedup_ngram_capped"] = f"""
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.2
+    """
+
+_EXTENSION_ORACLES["simjoin_prefix"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.8
     """
 
 _EXTENSION_ORACLES["dup_span_stats"] = f"""
@@ -6758,6 +6794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 3 (placed inside the window) ---
     "decontaminate_bloom_check": q_decontaminate_bloom_check,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "simjoin_prefix": q_simjoin_prefix,
     "lm_scores": q_lm_scores,
     "dsir_scores": q_dsir_scores,
     "importance_resample": q_importance_resample,
