@@ -35,6 +35,7 @@ from uk_housing_dashboard_etl_spark.operators.curation import (
     decontaminate,
     hash_sample,
 )
+from uk_housing_dashboard_etl_spark.operators.simjoin import set_similarity_join
 from uk_housing_dashboard_etl_spark.operators.text_analysis import (
     doc_fingerprint,
     quality_score,
@@ -148,6 +149,12 @@ def main() -> None:
         t0 = time.time()
         counts["simhash_pairs"] = simhash_pairs(docs, max_hamming=3).count()
         times["simhash"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        counts["simjoin_pairs"] = set_similarity_join(
+            docs, threshold=0.8
+        ).count()
+        times["simjoin_prefix"] = round(time.time() - t0, 2)
 
         # candidate-join volume vs all-pairs: the pruning factor that
         # decides whether the banded paths survive 100 TB
