@@ -40,21 +40,21 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_front_window_is_unverified_families():
-    """Round-4 rotation: the first 23 slots must be the round-3b
-    additions no driver window has ever checked (VERDICT r3 item 1),
-    and the declared front ordering must be applied verbatim."""
-    first = list(contract.QUERIES)[:23]
+    """Round-5 rotation: the first slots must be the seven round-4b
+    additions no driver window has ever checked, then the three round-4
+    hash-mismatch rows re-verified after their type-level fixes, then
+    every query added in round 5, and the declared front ordering must
+    be applied verbatim."""
+    first = list(contract.QUERIES)[:10]
     expected = {
-        "cohort_matrix", "funnel_timing", "value_trend", "pmi_pairs",
-        "semantic_decontaminate", "psi_drift", "attribution_credit",
-        "embedding_health", "bpe_merges", "split_leakage",
-        "table_profile", "twap", "join_cardinality",
-        "streaming_rate_cap", "streaming_anomaly", "rrf_fusion",
-        "quality_calibrate", "vocab_growth", "trimmed_stats",
-        "fuzzy_matches", "fuzzy_pair_stats", "fuzzy_snm_recall",
-        "ewma_weekly",
+        "simjoin_prefix", "copurchase_triangles", "pagerank_trade",
+        "degree_profile", "communities", "weighted_sample",
+        "streaming_enriched",
+        "sql_weekly_by_la", "ks_values", "ab_ztest",
     }
     assert set(first) == expected
-    assert list(contract.QUERIES)[: len(contract._R4_FRONT)] == (
-        contract._R4_FRONT
+    n_new = len(contract._R5_NEW)
+    assert list(contract.QUERIES)[10 : 10 + n_new] == contract._R5_NEW
+    assert list(contract.QUERIES)[: len(contract._R5_FRONT)] == (
+        contract._R5_FRONT
     )

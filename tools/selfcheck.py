@@ -55,13 +55,51 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
-    # soft dtype probe: the driver's schema check may be stricter than
-    # name comparison; surface int-width/bool/float divergences early
-    # (nullable-int → float64 promotion differs per engine, so warn only)
+    # dtype probe: the driver's value hash is dtype-sensitive — an
+    # int64 vs float64 column (DuckDB HUGEINT → float64) or a Spark
+    # DECIMAL (object of decimal.Decimal) vs a double oracle flips the
+    # hash even when the values are numerically equal (seen live in
+    # CORRECTNESS_r04: sql_weekly_by_la, ks_values, ab_ztest). Treat a
+    # numeric KIND mismatch, or a Decimal-bearing object column paired
+    # with a numeric oracle column, as a hard failure. Same-kind width
+    # diffs (int32 vs int64, datetime ns vs us) stay warnings: the
+    # driver's canonicalizer normalizes those.
+    import decimal
+
     for c in sorted(spark_pdf.columns):
-        sa, sb = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
-        if sa != sb and not (sa == "object" or sb == "object"):
+        da, db = spark_pdf[c].dtype, duck_pdf[c].dtype
+        sa, sb = str(da), str(db)
+        ka, kb = da.kind, db.kind
+        if ka == "O" and len(spark_pdf) and any(
+            isinstance(v, decimal.Decimal)
+            for v in spark_pdf[c].dropna().head(5)
+        ):
+            problems.append(
+                f"column {c}: Spark emits DECIMAL objects (oracle dtype "
+                f"{sb}) — cast the Spark side to DOUBLE/BIGINT"
+            )
+            continue
+        if kb == "O" and len(duck_pdf) and any(
+            isinstance(v, decimal.Decimal)
+            for v in duck_pdf[c].dropna().head(5)
+        ):
+            problems.append(
+                f"column {c}: oracle emits DECIMAL objects (spark dtype "
+                f"{sa}) — cast the oracle side to DOUBLE/BIGINT"
+            )
+            continue
+        if ka != kb and "O" not in (ka, kb):
+            if {ka, kb} <= {"i", "u"} or {ka, kb} <= {"M", "m"}:
+                print(f"  [dtype-warn] {c}: spark={sa} duck={sb}")
+            else:
+                problems.append(
+                    f"column {c}: dtype kind mismatch spark={sa} "
+                    f"duck={sb} — driver value-hash will differ"
+                )
+        elif sa != sb and "O" not in (ka, kb):
             print(f"  [dtype-warn] {c}: spark={sa} duck={sb}")
+    if problems:
+        return problems
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]

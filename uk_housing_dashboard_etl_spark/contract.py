@@ -5587,7 +5587,8 @@ _EXTENSION_ORACLES["ks_values"] = """
                           + exp(-18.0 * lam * lam)))) AS p
         FROM lamd
     )
-    SELECT na AS n_a, nb AS n_b, round(d, 4) AS d_stat,
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(d, 4) AS d_stat,
            round(p, 4) AS p_approx, (p < 0.05) AS shifted
     FROM pv
     """
@@ -5631,7 +5632,8 @@ _EXTENSION_ORACLES["ab_ztest"] = """
                CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
         FROM agg
     )
-    SELECT n_a, n_b, round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(pa, 4) AS rate_a, round(pb, 4) AS rate_b,
            round(pa - pb, 4) AS uplift,
            CASE WHEN pool > 0.0 AND pool < 1.0 THEN
                round((pa - pb) / sqrt(pool * (1.0 - pool)
@@ -6325,11 +6327,12 @@ def q_sql_weekly_by_la(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT week, local_authority, transactions,
-               floor(price_mean * 10000.0 + 0.5) / 10000.0 AS price_mean,
-               floor(price_median * 10000.0 + 0.5) / 10000.0
+               floor(price_mean * 10000.0D + 0.5D) / 10000.0D
+                   AS price_mean,
+               floor(price_median * 10000.0D + 0.5D) / 10000.0D
                    AS price_median,
-               floor(price_p10 * 10000.0 + 0.5) / 10000.0 AS price_p10,
-               floor(price_p90 * 10000.0 + 0.5) / 10000.0 AS price_p90
+               floor(price_p10 * 10000.0D + 0.5D) / 10000.0D AS price_p10,
+               floor(price_p90 * 10000.0D + 0.5D) / 10000.0D AS price_p90
         FROM weekly
         """
     )
@@ -7050,7 +7053,82 @@ _R4_FRONT = [
     "dedup_minhash",
     "doc_fingerprint",
 ]
+# Round-5 window rotation (same discipline, next slice). Front-loads:
+# the seven round-4b additions that landed after the r4 window froze
+# (never driver-checked), the three r4 hash-mismatch rows re-verified
+# after their type-level fixes (DECIMAL-literal rounding in the pure-SQL
+# flagship; HUGEINT-vs-BIGINT casts in the ks/ab oracles), every query
+# added in round 5 (_R5_NEW, grown as operators land), then the r1-era
+# set whose last driver verification was round 1 — TPC-H relational
+# shapes, the dedup/sketch families, and the §2 satellites. The r2-era
+# block rotates in round 6.
+_R5_NEW: list[str] = [
+]
+_R5_FRONT = (
+    [
+        # --- never driver-checked (landed after the r4 window froze) ---
+        "simjoin_prefix",
+        "copurchase_triangles",
+        "pagerank_trade",
+        "degree_profile",
+        "communities",
+        "weighted_sample",
+        "streaming_enriched",
+        # --- r4 hash-mismatch rows, re-verified after type fixes ---
+        "sql_weekly_by_la",
+        "ks_values",
+        "ab_ztest",
+    ]
+    + _R5_NEW
+    + [
+        # --- last verified in round 1: TPC-H relational set ---
+        "rollup_lineitem",
+        "pricing_summary",
+        "shipping_priority",
+        "revenue_by_nation",
+        "top_customers",
+        "order_priority",
+        "customers_without_orders",
+        "brand_revenue",
+        "promo_revenue",
+        "large_orders",
+        "idle_capital",
+        "top_supplier",
+        "nation_pair_trade",
+        "market_share",
+        "product_profit",
+        "late_shipments",
+        "order_count_distribution",
+        "supplier_variety",
+        "small_qty_revenue",
+        "disjunctive_revenue",
+        "slow_suppliers",
+        "important_parts",
+        "min_cost_supplier",
+        # --- last verified in round 1: dedup / sketch / §2 satellites ---
+        "asof_join",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "top_ngrams",
+        "dedup_minhash",
+        "dedup_simhash",
+        "sketch_cardinalities",
+        "sketch_weekly_distinct",
+        "sketch_quantiles",
+        "type_breakdown",
+        "coverage_report",
+        "grid_weekly",
+        "qa_metrics",
+        "week_over_week",
+        "props_json",
+        "quality_checks",
+        "latest_by_key",
+        "revenue_filter",
+        "weekly_type_pivot",
+    ]
+)
 QUERIES = {
     name: QUERIES[name]
-    for name in _R4_FRONT + [q for q in QUERIES if q not in _R4_FRONT]
+    for name in _R5_FRONT + [q for q in QUERIES if q not in _R5_FRONT]
 }

@@ -102,7 +102,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     canon = sym.where(F.col("src") < F.col("dst"))
     d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
     d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
-    withdeg = canon.join(F.broadcast(d1), "src").join(F.broadcast(d2), "dst")
+    # no forced broadcast: deg is node-grain and therefore unbounded
+    # (a 10B-node graph would OOM executors under a F.broadcast hint).
+    # AQE promotes these joins to broadcast automatically whenever the
+    # degree table fits under spark.sql.autoBroadcastJoinThreshold —
+    # same convention as best_fuzzy_match_compressed's size guard.
+    withdeg = canon.join(d1, "src").join(d2, "dst")
     lo_first = (F.col("dsrc") < F.col("ddst")) | (
         (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
     )

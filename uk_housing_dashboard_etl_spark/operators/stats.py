@@ -637,7 +637,13 @@ def ab_proportions_ztest(
         .groupBy(key_col)
         .agg(
             F.max(conv.cast("int")).alias("__conv"),
-            F.first(variant.cast("int")).alias("__va"),
+            # min, not first: first() is nondeterministic across
+            # partitionings when variant_expr isn't constant per key
+            # (an inconsistent event-level assignment column would
+            # silently yield run-to-run different z stats); min() is
+            # deterministic under any ordering and identical to
+            # first() whenever the assignment IS per-key constant
+            F.min(variant.cast("int")).alias("__va"),
         )
     )
     agg = per_user.agg(
