@@ -1,0 +1,178 @@
+"""Unit tests for the round-5 operators: Mann-Whitney U, chi-square
+independence, 2-D Pareto skyline, sweep-line peak concurrency, and CDC
+replay. Each pins hand-computed semantics on tiny fixtures; oracle
+parity at sf0.01 is covered by the contract registry
+(tools/selfcheck.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(minute: int, second: int = 0, hour: int = 0, day: int = 1):
+    return dt.datetime(2024, 1, day, hour, minute, second)
+
+
+def test_mannwhitney_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        mannwhitney_two_sample,
+    )
+
+    # a = {1, 2}, b = {3, 4}: ranks 1,2 vs 3,4 -> R_a = 3, U = 3 - 3 = 0
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mannwhitney_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["u_stat"] == 0.0
+    # mu = 2, var = (4/12)*(5 - 0) = 5/3, z = -2/sqrt(5/3)
+    assert r["z_stat"] == pytest.approx(-1.5492, abs=1e-4)
+    assert r["significant"] is False
+
+
+def test_mannwhitney_midrank_ties(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        mannwhitney_two_sample,
+    )
+
+    # value 2.0 appears in both groups: midrank (2+3)/2 = 2.5 each;
+    # R_a = 1 + 2.5 = 3.5, U_a = 3.5 - 3 = 0.5
+    rows = [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mannwhitney_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert r["u_stat"] == 0.5
+    # tie_sum = 2^3 - 2 = 6; var = (4/12)*(5 - 6/12) = 1.5
+    assert r["z_stat"] == pytest.approx((0.5 - 2.0) / (1.5**0.5), abs=1e-4)
+
+
+def test_mannwhitney_degenerate_all_tied(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        mannwhitney_two_sample,
+    )
+
+    rows = [("a", 5.0), ("a", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = mannwhitney_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert r["z_stat"] is None and r["significant"] is None
+
+
+def test_chi2_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # 2x2 table [[10, 20], [20, 10]]: chi2 = 60*(10*10-20*20)^2/(30^4)
+    rows = (
+        [("x", 0)] * 10 + [("x", 1)] * 20 + [("y", 0)] * 20 + [("y", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, ["t", "b"])
+    r = chi2_independence(df, "t", F.col("b")).collect()[0]
+    assert (r["n"], r["n_rows"], r["n_cols"], r["dof"]) == (60, 2, 2, 1)
+    expected = 60.0 * (10 * 10 - 20 * 20) ** 2 / (30.0**4)
+    assert r["chi2"] == pytest.approx(expected, abs=1e-4)
+    # 2x2 Cramér's V = sqrt(chi2 / n)
+    assert r["cramers_v"] == pytest.approx((expected / 60.0) ** 0.5, abs=1e-4)
+
+
+def test_chi2_independent_is_zero(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    rows = [("x", 0)] * 6 + [("x", 1)] * 6 + [("y", 0)] * 3 + [("y", 1)] * 3
+    df = spark.createDataFrame(rows, ["t", "b"])
+    r = chi2_independence(df, "t", F.col("b")).collect()[0]
+    assert r["chi2"] == 0.0
+
+
+def test_pareto_skyline_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        pareto_skyline,
+    )
+
+    rows = [
+        (1, 10.0, 5),  # frontier (cheapest)
+        (2, 10.0, 3),  # dominated by 1 (same price, smaller)
+        (3, 20.0, 8),  # frontier
+        (4, 25.0, 8),  # dominated by 3 (pricier, same size)
+        (5, 30.0, 9),  # frontier
+        (6, 15.0, 5),  # dominated by 1 (pricier, same size)
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    got = sorted(r["id"] for r in pareto_skyline(df, "price", "size").collect())
+    assert got == [1, 3, 5]
+
+
+def test_pareto_skyline_keeps_duplicates(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        pareto_skyline,
+    )
+
+    # two identical frontier points: neither dominates the other (no
+    # strict inequality), both stay — matching the NOT EXISTS oracle
+    rows = [(1, 10.0, 5), (2, 10.0, 5), (3, 5.0, 5)]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    got = sorted(r["id"] for r in pareto_skyline(df, "price", "size").collect())
+    assert got == [3]
+    rows2 = [(1, 10.0, 7), (2, 10.0, 7), (3, 5.0, 5)]
+    df2 = spark.createDataFrame(rows2, ["id", "price", "size"])
+    got2 = sorted(
+        r["id"] for r in pareto_skyline(df2, "price", "size").collect()
+    )
+    assert got2 == [1, 2, 3]
+
+
+def test_peak_concurrency_hand_computed(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    rows = [
+        (_ts(0), _ts(10)),
+        (_ts(5), _ts(15)),  # overlaps first -> 2 active
+        (_ts(10), _ts(20)),  # starts exactly as first ends -> still 2
+    ]
+    df = spark.createDataFrame(rows, ["start_ts", "end_ts"])
+    r = peak_concurrency(df).collect()[0]
+    assert r["n_started"] == 3
+    assert r["peak_active"] == 2  # end-exclusive: never 3
+
+
+def test_peak_concurrency_midnight_carry(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    # two intervals open across midnight; day-2 peak must include them
+    rows = [
+        (_ts(0, day=1, hour=23), _ts(30, day=2, hour=1)),
+        (_ts(10, day=1, hour=23), _ts(30, day=2, hour=1)),
+        (_ts(0, day=2, hour=1), _ts(0, day=2, hour=2)),
+    ]
+    df = spark.createDataFrame(rows, ["start_ts", "end_ts"])
+    out = {str(r["day"]): r for r in peak_concurrency(df).collect()}
+    assert out["2024-01-01"]["peak_active"] == 2
+    assert out["2024-01-02"]["n_started"] == 1
+    assert out["2024-01-02"]["peak_active"] == 3
+
+
+def test_apply_cdc_upsert_and_delete(spark):
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        apply_cdc,
+    )
+
+    rows = [
+        (1, 1, "U", "a"),
+        (1, 2, "U", "b"),  # kept: latest for key 1
+        (2, 1, "U", "c"),
+        (2, 2, "D", None),  # key 2 tombstoned
+        (3, 1, "D", None),
+        (3, 2, "U", "d"),  # delete then re-insert: kept
+    ]
+    df = spark.createDataFrame(rows, ["k", "seq", "op", "val"])
+    out = {r["k"]: r for r in apply_cdc(df, ["k"], ["seq"], "op").collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["val"] == "b"
+    assert out[3]["val"] == "d"

@@ -6759,6 +6759,266 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between click and purchase value
+    distributions — the rank-based (outlier-robust) drift statistic
+    next to ``ks_values``; normal approximation with exact midrank tie
+    correction, mirrored operation-for-operation by the oracle."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        mannwhitney_two_sample,
+    )
+
+    return mannwhitney_two_sample(
+        read_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "click",
+        "purchase",
+    )
+
+
+_EXTENSION_ORACLES["mannwhitney_values"] = """
+    WITH per_val AS (
+        SELECT value AS v,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+        GROUP BY 1
+    ), ranked AS (
+        SELECT ca, cb, ca + cb AS t,
+               coalesce(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM per_val
+    ), agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               sum(CAST(ca AS DOUBLE) * (CAST(below AS DOUBLE)
+                   + (CAST(t AS DOUBLE) + 1.0) / 2.0)) AS r_a,
+               sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                   * CAST(t AS DOUBLE) - CAST(t AS DOUBLE)) AS tie_sum
+        FROM ranked
+    ), calc AS (
+        SELECT n_a, n_b,
+               r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)
+                   / 2.0 AS u,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                   * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                      - tie_sum / ((CAST(n_a AS DOUBLE)
+                                    + CAST(n_b AS DOUBLE))
+                          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                             - 1.0))) AS var,
+               CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd
+        FROM agg
+    )
+    SELECT n_a, n_b,
+           floor(u * 10000.0 + 0.5) / 10000.0 AS u_stat,
+           CASE WHEN nad > 0 AND nbd > 0 AND nad + nbd > 1.0
+                     AND var > 0.0
+                THEN floor((u - mu) / sqrt(var) * 10000.0 + 0.5)
+                     / 10000.0 END AS z_stat,
+           CASE WHEN nad > 0 AND nbd > 0 AND nad + nbd > 1.0
+                     AND var > 0.0
+                THEN abs((u - mu) / sqrt(var)) > 1.96 END AS significant
+    FROM calc
+    """
+
+
+def q_chi2_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and the
+    deterministic ``user_id % 2`` segment, with Cramér's V effect size
+    — the categorical complement to the numeric drift tests (PSI / KS /
+    MWU). Everything after the fact scan is contingency-table-grain."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    return chi2_independence(
+        read_table(spark, sf_dir, "events").where(
+            F.col("user_id").isNotNull()
+        ),
+        "event_type",
+        (F.col("user_id") % 2).cast("int"),
+    )
+
+
+_EXTENSION_ORACLES["chi2_type_split"] = """
+    WITH cells AS (
+        SELECT event_type AS r, CAST(user_id % 2 AS INT) AS c,
+               count(*) AS o
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+    ), rowm AS (
+        SELECT r, sum(o) AS row_tot FROM cells GROUP BY 1
+    ), colm AS (
+        SELECT c, sum(o) AS col_tot FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT sum(o) AS n FROM cells
+    ), terms AS (
+        SELECT n,
+               CAST(round(pow(CAST(o AS DOUBLE)
+                       - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                         / CAST(n AS DOUBLE), 2.0)
+                   / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                      / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS units,
+               r, c
+        FROM cells JOIN rowm USING (r) JOIN colm USING (c)
+        CROSS JOIN tot
+    ), agg AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols,
+               CAST(sum(units) AS DOUBLE) / 1000000.0 AS chi2
+        FROM terms
+    )
+    SELECT n, n_rows, n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           floor(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2,
+           CASE WHEN n > 0 AND least(n_rows, n_cols) - 1 > 0
+                THEN floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                         * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 END AS cramers_v
+    FROM agg
+    """
+
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline of the part catalog: parts where no other part is
+    both cheaper (retail price) and larger (size) — the Pareto
+    frontier, computed as the strictly-decreasing envelope over
+    price-grain maxima (one groupBy + one bounded window + one join
+    back), NOT the quadratic NOT-EXISTS self-join the oracle uses."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        pareto_skyline,
+    )
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return pareto_skyline(part, "p_retailprice", "p_size")
+
+
+_EXTENSION_ORACLES["pareto_parts"] = """
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+    )
+    """
+
+
+def q_peak_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency profile: per day, intervals started and
+    the peak simultaneously-active count, over synthetic sessions
+    (each event opens a slot for ``1 + floor(value) % 3600`` seconds).
+    The Spark plan is the distributed two-phase prefix sum (within-day
+    windows + a day-grain carry); the oracle is the single global
+    running sum — they must agree exactly, midnight-crossers included.
+    """
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    iv = ev.select(
+        F.col("ts").alias("start_ts"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, 0,"
+            " 1 + CAST(floor(value) AS BIGINT) % 3600)"
+        ).alias("end_ts"),
+    )
+    return peak_concurrency(iv)
+
+
+_EXTENSION_ORACLES["peak_sessions"] = """
+    WITH iv AS (
+        SELECT ts AS s,
+               ts + (1 + CAST(floor(value) AS BIGINT) % 3600)
+                   * INTERVAL 1 SECOND AS e
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), pts AS (
+        SELECT t, sum(ns) AS ns, sum(ne) AS ne
+        FROM (SELECT s AS t, 1 AS ns, 0 AS ne FROM iv
+              UNION ALL
+              SELECT e AS t, 0 AS ns, 1 AS ne FROM iv)
+        GROUP BY 1
+    ), run AS (
+        SELECT CAST(t AS DATE) AS day, ns,
+               sum(ns) OVER w - sum(ne) OVER w AS act
+        FROM pts
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT day, CAST(sum(ns) AS BIGINT) AS n_started,
+           CAST(max(act) AS BIGINT) AS peak_active
+    FROM run GROUP BY 1
+    """
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics over a change log: treat each user's event
+    stream as CDC (error = tombstone, everything else = upsert) and
+    replay it to final state — one row per surviving user, the row
+    with the highest (ts, event_id) sequence, users whose LAST change
+    is a delete dropped entirely."""
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        apply_cdc,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    changes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(
+        changes, ["user_id"], ["ts", "event_id"], "op"
+    ).drop("op")
+
+
+_EXTENSION_ORACLES["cdc_replay"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
+# the round-5 oracles above land after the global _EXTENSION_ORACLES
+# merge at module mid-point, so merge them explicitly (their rounding is
+# already written as explicit floor(), but run the rewriter for parity
+# with every other oracle)
+for _r5q in (
+    "mannwhitney_values",
+    "chi2_type_split",
+    "pareto_parts",
+    "peak_sessions",
+    "cdc_replay",
+):
+    ORACLES[_r5q] = _rewrite_round4(_EXTENSION_ORACLES[_r5q])
+
+
 # Registry order matters: the driver's correctness harness checks queries in
 # dict order and samples ~50 per round. Round 1 verified the first 50 of the
 # round-1 ordering (§2 core + relational); round 2 verified the first 50 of
@@ -6770,6 +7030,11 @@ ORACLES["transition_probs"] = (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mannwhitney_values": q_mannwhitney_values,
+    "chi2_type_split": q_chi2_type_split,
+    "pareto_parts": q_pareto_parts,
+    "peak_sessions": q_peak_sessions,
+    "cdc_replay": q_cdc_replay,
     # --- slots 1-20: never driver-checked in round 1 OR round 2 ---
     "streaming_weekly": q_streaming_weekly,
     "streaming_sessions": q_streaming_sessions,
@@ -7063,6 +7328,11 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "mannwhitney_values",
+    "chi2_type_split",
+    "pareto_parts",
+    "peak_sessions",
+    "cdc_replay",
 ]
 _R5_FRONT = (
     [

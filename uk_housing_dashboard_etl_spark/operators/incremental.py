@@ -142,3 +142,36 @@ def scd2_history(
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Replay a change-data-capture log into final table state: for each
+    key keep only the change with the highest sequence position, then
+    drop keys whose last operation is a delete — MERGE-INTO semantics
+    (insert/update/delete) expressed as one compaction. This is the
+    full-log generalization of :func:`~.relational.latest_by_key`
+    (SCD-1 keeps the latest row; CDC replay must also honor tombstones).
+
+    ``seq_cols`` is the total order within a key (e.g. ``[lsn]`` or
+    ``[commit_ts, change_id]``) — it must be unambiguous or replay
+    order would be engine-dependent.
+
+    Plan: one key-keyed Exchange for the row_number window, then a
+    row-local op filter — no join, no second shuffle. At 100 TB the
+    window's per-key frame is the key's change count; a pre-aggregation
+    of max(seq) would add a join without removing the Exchange, so the
+    single-window shape is the right one.
+    """
+    order = [F.col(c).desc() for c in seq_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
+        .drop("__rn")
+    )

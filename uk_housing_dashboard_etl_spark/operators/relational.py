@@ -1094,3 +1094,52 @@ def trimmed_stats(
             "kept_max",
         )
     )
+
+
+def pareto_skyline(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated by any other —
+    q dominates p iff q.minimize ≤ p.minimize AND q.maximize ≥
+    p.maximize with at least one strict. The classic multi-criteria
+    shortlist ("no part is both cheaper and bigger").
+
+    Plan: NOT the quadratic NOT-EXISTS self-join the semantics suggest.
+    For 2-D the frontier is exactly the strictly-decreasing envelope of
+    the per-minimize-value maxima: aggregate to minimize-value grain
+    (map-side combinable), take the running max of ``maximize`` over
+    strictly smaller values via a lag on the cumulative max, and keep
+    rows that (a) achieve their value-group's max and (b) strictly beat
+    every cheaper group's best. The windows run at value-group grain
+    (|distinct minimize values| rows — the same bounded-frame
+    discipline as ``ks_two_sample``; pre-quantize a continuous column
+    at 100 TB); the fact table itself only sees one groupBy and one
+    semi-join-shaped inner join back onto the tiny frontier frame.
+    """
+    grp = df.groupBy(F.col(minimize_col).alias("__mv")).agg(
+        F.max(F.col(maximize_col)).alias("__best")
+    )
+    w = Window.orderBy("__mv")
+    cum = grp.select(
+        "__mv",
+        "__best",
+        F.lag(
+            F.max("__best").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).over(w).alias("__prev_best"),
+    )
+    frontier = cum.where(
+        F.col("__prev_best").isNull()
+        | (F.col("__best") > F.col("__prev_best"))
+    ).select("__mv", "__best")
+    # no forced broadcast: a fully anti-correlated column pair makes the
+    # frontier |distinct minimize values| rows (unbounded); AQE promotes
+    # to broadcast when it fits, same convention as triangle_stats
+    return df.join(
+        frontier,
+        (F.col(minimize_col) == F.col("__mv"))
+        & (F.col(maximize_col) == F.col("__best")),
+    ).drop("__mv", "__best")

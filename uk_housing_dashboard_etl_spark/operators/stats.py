@@ -678,3 +678,152 @@ def ab_proportions_ztest(
         round4(z).alias("z_stat"),
         F.when(defined, F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+def mannwhitney_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups' value
+    distributions — the rank-based (outlier-robust) complement to
+    :func:`ks_two_sample`: KS asks "did the shape shift anywhere",
+    MWU asks "is one group stochastically larger". Normal
+    approximation with the exact tie correction; one output row:
+    n_a, n_b, u_stat, z_stat, significant (|z| > 1.96).
+
+    Plan: identical shape to the KS plan — the fact scan aggregates to
+    VALUE grain (map-side combinable), so ranks are computed per
+    distinct value with the standard midrank-for-ties formula
+    (rank = count-below + (ties + 1) / 2) from cumulative counts; the
+    windows run over the distribution-grain frame (|distinct values|
+    rows), with the same 100 TB caveat as KS: pre-quantize a
+    fact-grain-unique value column (or feed KLL sketch quantiles)
+    before calling. Σ(t³−t) tie correction folds into the same pass.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b])
+    )
+    per_val = base.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum((F.col(group_col) == group_a).cast("long")).alias("ca"),
+        F.sum((F.col(group_col) == group_b).cast("long")).alias("cb"),
+    )
+    wc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    # distribution-grain unpartitioned window, same discipline as KS
+    ranked = per_val.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wc), F.lit(0)).alias(
+            "below"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca").cast("double")
+            * (
+                F.col("below").cast("double")
+                + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            )
+        ).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t").cast("double")
+            * F.col("t").cast("double")
+            - F.col("t").cast("double")
+        ).alias("tie_sum"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("r_a") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_sum") / (n * (n - F.lit(1.0))))
+    )
+    # degenerate frames (a group absent, n < 2, or every value tied)
+    # have zero rank variance: z is undefined, not infinite
+    defined = (na > 0) & (nb > 0) & (n > F.lit(1.0)) & (var > F.lit(0.0))
+    z = F.when(defined, (u - mu) / F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        round4(u).alias("u_stat"),
+        round4(z).alias("z_stat"),
+        F.when(defined, F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_expr: F.Column,
+    col_name: str = "bucket",
+) -> DataFrame:
+    """Pearson chi-square test of independence between a categorical
+    column and a (derived) bucket column, with Cramér's V effect size —
+    "does event mix differ by segment", the categorical complement to
+    the numeric drift tests. One row: n, n_rows, n_cols, dof, chi2,
+    cramers_v.
+
+    Plan: one map-side-combinable groupBy to contingency-cell grain
+    (|rows| × |cols| cells — category-grain, tiny by construction),
+    then marginals via two category-grain aggregates joined back and a
+    single-row reduce. Nothing after the fact scan exceeds the
+    contingency-table size, so the plan is scale-free in the fact
+    volume.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import round4
+
+    base = df.where(F.col(row_col).isNotNull() & col_expr.isNotNull())
+    cells = base.groupBy(
+        F.col(row_col).alias("r"), col_expr.alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rowm = cells.groupBy("r").agg(F.sum("o").alias("row_tot"))
+    colm = cells.groupBy("c").agg(F.sum("o").alias("col_tot"))
+    total = cells.agg(F.sum("o").alias("__N"))
+    # contingency-grain joins: marginals and the 1-row total are all
+    # category-grain frames (broadcast by AQE)
+    withm = (
+        cells.join(rowm, "r").join(colm, "c").crossJoin(F.broadcast(total))
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("__N").cast("double")
+    )
+    term = F.pow(F.col("o").cast("double") - e, F.lit(2.0)) / e
+    # order-independent float sum: per-cell terms are identical IEEE
+    # doubles on both engines; scale to 1e-6 units and sum exactly as
+    # bigint (the dsum discipline, finer scale for a test statistic)
+    units = F.round(term * F.lit(1000000.0)).cast("bigint")
+    agg = withm.agg(
+        F.max("__N").alias("n"),
+        F.count_distinct("r").alias("n_rows"),
+        F.count_distinct("c").alias("n_cols"),
+        (F.sum(units).cast("double") / F.lit(1000000.0)).alias("__chi2"),
+    )
+    mindim = F.least(F.col("n_rows"), F.col("n_cols")) - F.lit(1)
+    v = F.when(
+        (F.col("n") > 0) & (mindim > 0),
+        F.sqrt(
+            F.col("__chi2")
+            / (F.col("n").cast("double") * mindim.cast("double"))
+        ),
+    )
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        round4(F.col("__chi2")).alias("chi2"),
+        round4(v).alias("cramers_v"),
+    )

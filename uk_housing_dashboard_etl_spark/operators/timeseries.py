@@ -504,3 +504,74 @@ def holt_linear(
         round4(F.col("__z.b")).alias("trend"),
         round4(F.col("__z.l") + F.col("__z.b")).alias("forecast"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Sweep-line interval-overlap profile: per day, the number of
+    intervals starting that day and the PEAK number simultaneously
+    active — the "max concurrent sessions/users/connections" metric.
+    End-exclusive semantics: an interval ending at t releases its slot
+    before one starting at t claims it, so back-to-back intervals never
+    double-count.
+
+    Plan: the textbook single-machine algorithm is a global sort +
+    running sum — which would be one unpartitioned window over the
+    whole fact table. This is the distributed two-phase prefix-sum
+    version instead: (1) collapse endpoints to (day, instant) grain
+    with start/end counts (map-side combinable); (2) running sums
+    WITHIN each day (window partitioned by day — parallel across
+    days); (3) a day-grain frame of per-day net totals gets the
+    cross-day carry via one bounded unpartitioned window (|days| rows);
+    (4) join the carry back (day-grain, AQE-broadcast) and take the
+    per-day max. Midnight-crossing intervals are exact: the carry
+    propagates their net effect into every later day.
+    """
+    starts = intervals.select(
+        F.col(start_col).alias("t"),
+        F.lit(1).alias("ns"),
+        F.lit(0).alias("ne"),
+    )
+    ends = intervals.select(
+        F.col(end_col).alias("t"),
+        F.lit(0).alias("ns"),
+        F.lit(1).alias("ne"),
+    )
+    pts = (
+        starts.unionByName(ends)
+        .where(F.col("t").isNotNull())
+        .groupBy(F.to_date("t").alias("day"), F.col("t"))
+        .agg(F.sum("ns").alias("ns"), F.sum("ne").alias("ne"))
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = pts.select(
+        "day",
+        "ns",
+        (F.sum("ns").over(w_day) - F.sum("ne").over(w_day)).alias("__act"),
+    )
+    day_net = pts.groupBy("day").agg(
+        (F.sum("ns") - F.sum("ne")).alias("__net")
+    )
+    w_days = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # day-grain unpartitioned window: |days| rows, bounded by calendar
+    carry = day_net.select(
+        "day",
+        F.coalesce(F.sum("__net").over(w_days), F.lit(0)).alias("__carry"),
+    )
+    return (
+        within.join(carry, "day")
+        .groupBy("day")
+        .agg(
+            F.sum("ns").alias("n_started"),
+            F.max(F.col("__act") + F.col("__carry")).alias("peak_active"),
+        )
+    )
