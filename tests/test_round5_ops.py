@@ -176,3 +176,93 @@ def test_apply_cdc_upsert_and_delete(spark):
     assert set(out) == {1, 3}
     assert out[1]["val"] == "b"
     assert out[3]["val"] == "d"
+
+
+def _vecs(spark, rows, col="embedding"):
+    return spark.createDataFrame(rows, ["vec_id", col])
+
+
+def test_pq_lossless_when_codebook_covers_subvectors(spark):
+    """Vectors built from ≤k distinct sub-blocks quantize losslessly, so
+    ADC distances are EXACT and PQ top-k equals brute force."""
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    blocks = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    rows = [
+        (i, blocks[i % 3] + blocks[(i + 1) % 3] + blocks[(i + 2) % 3])
+        for i in range(12)
+    ]
+    corpus = _vecs(spark, rows)
+    qs = spark.createDataFrame(
+        [(100, blocks[0] + blocks[1] + blocks[2])],
+        ["query_id", "embedding"],
+    )
+    cb = pq_fit(corpus, m=3, k=4, iterations=3)
+    approx = pq_topk(pq_encode(corpus, cb), cb, qs, k=5)
+    exact = brute_force_topk(corpus, qs, k=5)
+    got = {r["vec_id"] for r in approx.collect()}
+    want = {r["vec_id"] for r in exact.collect()}
+    assert got == want
+
+
+def test_pq_survives_empty_cells(spark):
+    """k far above the distinct-subvector count leaves Lloyd's with
+    empty cells (ragged codebooks); the MAP-keyed ADC table must still
+    resolve every code."""
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rows = [(i, [float(i % 2), 1.0, float((i + 1) % 2), 1.0]) for i in range(8)]
+    corpus = _vecs(spark, rows)
+    cb = pq_fit(corpus, m=2, k=6, iterations=3)
+    qs = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0, 1.0])], ["query_id", "embedding"]
+    )
+    out = pq_topk(pq_encode(corpus, cb), cb, qs, k=8).collect()
+    assert len(out) == 8
+    assert all(r["dist"] is not None for r in out)
+
+
+def test_pq_rerank_scores_are_exact_cosine(spark):
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)
+    ]
+    corpus = _vecs(spark, rows)
+    qs = spark.createDataFrame(
+        [(0, rows[0][1])], ["query_id", "embedding"]
+    )
+    approx = pq_topk_rerank(
+        pq_encode(corpus, pq_fit(corpus, m=4, k=8, iterations=2)),
+        pq_fit(corpus, m=4, k=8, iterations=2),
+        corpus,
+        qs,
+        k=5,
+        oversample=6,
+    )
+    exact = {r["vec_id"]: r["score"] for r in
+             brute_force_topk(corpus, qs, k=30).collect()}
+    for r in approx.collect():
+        # reranked scores are the EXACT cosine, not the ADC estimate
+        assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-4)

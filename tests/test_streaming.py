@@ -508,3 +508,34 @@ def test_enriched_stream_matches_batch_join(spark, landing):
     pd.testing.assert_frame_equal(got, batch)
     # a dimension miss drops the event (inner join), matching the batch J1
     assert got["n_events"].sum() == ev.where("user_id IN (1, 2)").count()
+
+
+def test_stream_stream_join_pairs_within_window(spark, tmp_path):
+    from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+        click_purchase_join_stream,
+    )
+
+    d = tmp_path / "ss_join"
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 1, "click", 0.0, ""),
+        # 10 min later: within the 30-min window -> pair
+        (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0, ""),
+        # 40 min later: outside -> no pair
+        (3, t0 + dt.timedelta(minutes=40), 1, "purchase", 7.0, ""),
+        # purchase BEFORE the click: no pair (strict ordering)
+        (4, t0 - dt.timedelta(minutes=5), 2, "purchase", 9.0, ""),
+        (5, t0, 2, "click", 0.0, ""),
+        # different user: never pairs with user 1's click
+        (6, t0 + dt.timedelta(minutes=5), 3, "purchase", 11.0, ""),
+    ]
+    _events(spark, rows).write.mode("append").parquet(str(d))
+    pairs = run_stream_once(
+        click_purchase_join_stream(spark, str(d)),
+        query_name="ssj_test",
+        output_mode="append",
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["user_id"], p["click_id"], p["purchase_id"]) == (1, 1, 2)
+    assert p["purchase_value"] == 5.0

@@ -6641,6 +6641,9 @@ ORACLES = {name: _rewrite_round4(sql) for name, sql in ORACLES.items()}
 # recomputes the exact side and asserts every Spark-computed recall /
 # subset flag is TRUE — an ANN or LSH regression flips a flag and fails
 # the driver's value-hash comparison.
+ORACLES["similarity_pq_recall"] = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
 ORACLES["similarity_lsh_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
@@ -6758,6 +6761,153 @@ ORACLES["transition_probs"] = (
     + ORACLES["event_transitions"]
     + ")"
 )
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011), the
+    compressed-domain scale path IVF doesn't cover: 32 subspace
+    codebooks trained in ONE joint Lloyd's loop, corpus encoded to
+    m byte-codes row-locally, ADC table-lookup scan, exact rerank on
+    the 5× shortlist only. Rows-only (iterative k-means is the
+    non-SQL-expressible category); recall gated by
+    ``similarity_pq_recall`` in the same window."""
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    return pq_topk_rerank(
+        pq_encode(corpus, codebooks),
+        codebooks,
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=10,
+        oversample=5,
+    )
+
+
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the PQ+rerank ANN path: per-query recall vs
+    exact brute force ≥ 0.5 (measured 0.9-1.0 per query on this
+    data; pure-ADC without rerank measures 0.4-0.8)."""
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    qs = _query_vectors(spark, sf_dir)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    approx = pq_topk_rerank(
+        pq_encode(corpus, codebooks), codebooks, corpus, qs, k=10,
+        oversample=5,
+    )
+    return _topk_recall_gate(
+        brute_force_topk(corpus, qs, k=10), approx, min_recall=0.5
+    )
+
+
+def q_streaming_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join under the driver gate: clicks and
+    purchases read as two independent streams, inner-joined on user
+    within a 30-minute attribution window (watermarks bound state on
+    both sides), drained with AvailableNow, then batch-aggregated per
+    click-day for a stable small output. Oracle = the identical batch
+    join — inner stream-stream joins must produce exactly the batch
+    answer on a bounded backlog."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+        click_purchase_join_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    sdf = click_purchase_join_stream(spark, land)
+    with _stream_state_partitions(spark):
+        pairs = run_stream_once(
+            sdf,
+            query_name=f"jn_{uuid.uuid4().hex[:10]}",
+            output_mode="append",
+        )
+    delay_us = F.unix_micros(F.col("purchase_ts")) - F.unix_micros(
+        F.col("click_ts")
+    )
+    return (
+        pairs.groupBy(F.to_date("click_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("user_id").alias("n_users"),
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("attributed_value"),
+            F.sum(delay_us).alias("__delay_us"),
+        )
+        .select(
+            "day",
+            "n_pairs",
+            "n_users",
+            "attributed_value",
+            round4(
+                (
+                    F.col("__delay_us").cast("double")
+                    / F.col("n_pairs").cast("double")
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_delay_s"),
+        )
+    )
+
+
+_EXTENSION_ORACLES["streaming_joined"] = """
+    WITH c AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), j AS (
+        SELECT c.user_id, c.click_ts, p.purchase_ts, p.value
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST(click_ts AS DATE) AS day,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS attributed_value,
+           floor((CAST(sum(date_diff('microsecond', click_ts,
+                               purchase_ts)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE)) / 1000000.0
+                 * 10000.0 + 0.5) / 10000.0 AS mean_delay_s
+    FROM j GROUP BY 1
+    """
+
 
 def q_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test between click and purchase value
@@ -7010,6 +7160,7 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "streaming_joined",
     "mannwhitney_values",
     "chi2_type_split",
     "pareto_parts",
@@ -7030,6 +7181,9 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "similarity_pq": q_similarity_pq,
+    "similarity_pq_recall": q_similarity_pq_recall,
+    "streaming_joined": q_streaming_joined,
     "mannwhitney_values": q_mannwhitney_values,
     "chi2_type_split": q_chi2_type_split,
     "pareto_parts": q_pareto_parts,
@@ -7328,6 +7482,9 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "similarity_pq",
+    "similarity_pq_recall",
+    "streaming_joined",
     "mannwhitney_values",
     "chi2_type_split",
     "pareto_parts",

@@ -1,0 +1,281 @@
+"""Product quantization (PQ) — the compressed-domain ANN index.
+
+IVF (``operators/ivf.py``) prunes WHICH vectors a query scans; PQ
+shrinks WHAT each scan costs: every vector is split into ``m``
+subvectors, each subvector is vector-quantized against its own
+``k``-centroid codebook, and the vector is stored as ``m`` small codes
+(64 float32 dims → 8 bytes at m=8 — a 32× compression). Query-time
+distance is ADC (asymmetric distance computation): the query computes
+one m×k lookup table of exact subspace distances, and every corpus
+vector's approximate distance is ``m`` table lookups — no float math
+against the original vectors at all. This is the technique that makes
+billion-vector ANN fit in memory (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011); at 100 TB the codes frame is
+what you'd co-partition or feed into IVF cells.
+
+Spark-first design, mirroring the ivf.py discipline:
+- ONE joint Lloyd's loop trains all m codebooks together — the subspace
+  id is just another grouping key, so each iteration is one assign
+  projection + one (sub, cell)-keyed vector-mean aggregate, regardless
+  of m (not m sequential k-means runs);
+- codebooks collapse into one broadcast struct-array row; encoding and
+  the query distance table are row-local ``transform``/``aggregate``
+  expressions — the corpus never shuffles to be encoded or scanned;
+- ADC scoring is integer array indexing inside whole-stage codegen.
+
+All arithmetic is deterministic: hash-seeded init (no rand()),
+sequential folds, struct-ordered argmin ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.stat import Summarizer
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.functions.rounding import round4
+from uk_housing_dashboard_etl_spark.operators.similarity import norm_expr
+
+
+def _norm_vectors(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, vec) with vec L2-normalized array<double> — PQ then
+    approximates L2 on the unit sphere, which orders exactly like
+    cosine (||a-b||² = 2 - 2·cos), keeping the recall gate comparable
+    to ``brute_force_topk``."""
+    raw = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__raw"),
+    ).withColumn("__n", norm_expr("__raw"))
+    return raw.where(F.col("__n") > 0).select(
+        "vec_id",
+        F.expr("transform(__raw, x -> x / __n)").alias("vec"),
+    )
+
+
+def _codebook_array(codebooks: DataFrame) -> DataFrame:
+    """Collapse the (sub, cell, centroid) codebooks into ONE broadcastable
+    struct-array row, sorted (sub, cell) so positional indexing works."""
+    return codebooks.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub", "cell", "centroid"))
+        ).alias("__cents")
+    )
+
+
+def _sub_dist(vec_slice: str) -> str:
+    """SQL fragment: squared L2 between a vector slice and c.centroid."""
+    return (
+        f"aggregate(zip_with({vec_slice}, c.centroid,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train all ``m`` subspace codebooks jointly; returns
+    (sub, cell, centroid array<double>) — m·k rows.
+
+    One Lloyd's loop over the exploded (vec_id, sub, subvec) frame:
+    init picks k deterministic vectors per subspace (multiplicative id
+    hash, the ``kmeans_fit`` rule); each iteration is a broadcast
+    assign + a (sub, cell)-keyed ``Summarizer.mean`` — partial combine
+    reduces every partition to ≤ m·k rows before the exchange.
+    """
+    vectors = _norm_vectors(embeddings, id_col, vec_col)
+    d = len(vectors.select("vec").first()[0])  # 1-row schema probe
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    subv = vectors.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("vec", s * dsub + 1, dsub).alias("vec"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__sv"),
+    ).select("vec_id", F.col("__sv.sub").alias("sub"), F.col("__sv.vec").alias("vec"))
+    subv = subv.persist()
+    w_init = Window.partitionBy("sub").orderBy(
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1_000_000_007)).asc(),
+        F.col("vec_id").asc(),
+    )
+    cents = (
+        subv.withColumn("__r", F.row_number().over(w_init))
+        .where(F.col("__r") <= k)
+        .select("sub", (F.col("__r") - 1).alias("cell"), F.col("vec").alias("centroid"))
+    )
+    for _ in range(iterations):
+        cent_arr = _codebook_array(cents)
+        nearest = F.array_min(
+            F.expr(
+                "transform(filter(__cents, c -> c.sub = sub),"
+                f" c -> struct({_sub_dist('vec')} AS dist, c.cell AS cell))"
+            )
+        )
+        assigned = subv.crossJoin(F.broadcast(cent_arr)).select(
+            "sub", "vec", nearest.getField("cell").alias("cell")
+        )
+        cents = (
+            assigned.select("sub", "cell", array_to_vector("vec").alias("__v"))
+            .groupBy("sub", "cell")
+            .agg(Summarizer.mean(F.col("__v")).alias("__m"))
+            .select("sub", "cell", vector_to_array("__m").alias("centroid"))
+        )
+    out = cents.localCheckpoint(eager=True)
+    subv.unpersist()
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — codes[s] is the vector's nearest
+    cell in subspace s. Entirely row-local: the sorted codebook array
+    broadcasts, each row evaluates m argmins inside one projection; the
+    corpus never shuffles. At 100 TB this projection IS the index
+    build."""
+    vectors = _norm_vectors(embeddings, id_col, vec_col)
+    m, dsub = _shape(codebooks)
+    codes = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> array_min("
+        "transform(filter(__cents, c -> c.sub = s),"
+        f" c -> struct({_sub_dist(f'slice(vec, s * {dsub} + 1, {dsub})')}"
+        " AS dist, c.cell AS cell))).cell)"
+    )
+    return vectors.crossJoin(F.broadcast(_codebook_array(codebooks))).select(
+        "vec_id", codes.alias("codes")
+    )
+
+
+def _shape(codebooks: DataFrame) -> tuple[int, int]:
+    """(m, dsub) from the codebook frame — a 1-row aggregate probe."""
+    r = codebooks.agg(
+        (F.max("sub") + 1).alias("m"),
+        F.max(F.size("centroid")).alias("dsub"),
+    ).first()
+    return int(r["m"]), int(r["dsub"])
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, vec_id, dist, rank) — ``dist`` is the
+    PQ-approximate squared L2 on the unit sphere (ascending = most
+    similar first).
+
+    Each query builds its m×ncells exact subspace-distance table ONCE
+    (row-local against the broadcast codebooks, dense sub-major
+    layout), then every corpus row's score is m integer lookups —
+    ``aggregate(sequence, ...)`` over array indexing, inside codegen,
+    no per-pair float vector math. Top-k per query is a rank window
+    over the scored frame (same shape as ``ivf_topk``)."""
+    m, dsub = _shape(codebooks)
+    qs = _norm_vectors(queries, "query_id", vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    # keyed by sub*1000 + cell (a MAP, not positional): Lloyd's can
+    # empty a cell, so codebooks may be ragged per subspace — a dense
+    # position formula would silently misalign the lookups
+    dtab = F.expr(
+        "map_from_entries(transform(__cents, c ->"
+        " struct(c.sub * 1000 + c.cell,"
+        f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
+    )
+    qtab = qs.crossJoin(F.broadcast(_codebook_array(codebooks))).select(
+        "query_id", dtab.alias("dtab")
+    )
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+        " (acc, s) -> acc + dtab[s * 1000 + codes[s]])"
+    )
+    scored = codes.crossJoin(F.broadcast(qtab)).select(
+        "query_id", "vec_id", round4(adc).alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "dist", "rank")
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ search shape: ADC shortlists ``k·oversample``
+    candidates per query from the compressed codes, then ONLY the
+    shortlist is reranked with exact cosine against the original
+    vectors — (query_id, vec_id, score, rank), score descending cosine.
+
+    At 100 TB this is the whole point of PQ: the full corpus is scanned
+    in compressed form (m byte-lookups per vector), and the expensive
+    float math touches |queries|·k·oversample rows. The rerank join is
+    a broadcast of the shortlist onto the corpus (shortlist is tiny by
+    construction), so the corpus again never shuffles.
+    """
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        cosine_prenorm_expr,
+    )
+
+    short = pq_topk(codes, codebooks, queries, k=k * oversample).select(
+        "query_id", "vec_id"
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    qs = queries.select(
+        F.col("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    cand = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("nv", norm_expr("vec"))
+        .withColumn("nq", norm_expr("qvec"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(
+                cosine_prenorm_expr("qvec", "vec", "nq", "nv")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
