@@ -787,13 +787,22 @@ def chi2_independence(
     cells = base.groupBy(
         F.col(row_col).alias("r"), col_expr.alias("c")
     ).agg(F.count(F.lit(1)).alias("o"))
-    rowm = cells.groupBy("r").agg(F.sum("o").alias("row_tot"))
-    colm = cells.groupBy("c").agg(F.sum("o").alias("col_tot"))
-    total = cells.agg(F.sum("o").alias("__N"))
-    # contingency-grain joins: marginals and the 1-row total are all
-    # category-grain frames (broadcast by AQE)
-    withm = (
-        cells.join(rowm, "r").join(colm, "c").crossJoin(F.broadcast(total))
+    # marginals as WINDOWS over the contingency frame, not groupBy+join:
+    # separate marginal aggregates would re-derive `cells` from the fact
+    # scan once per consumer (Catalyst has no common-subplan
+    # materialization), turning one 100 TB scan into four. The windows
+    # run on the |rows|×|cols| cell frame — tiny by construction.
+    withm = cells.select(
+        "r",
+        "c",
+        "o",
+        F.sum("o").over(Window.partitionBy("r")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("c")).alias("col_tot"),
+        F.sum("o").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__N"),
     )
     e = (
         F.col("row_tot").cast("double")

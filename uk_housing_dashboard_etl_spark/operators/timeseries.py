@@ -530,18 +530,26 @@ def peak_concurrency(
     per-day max. Midnight-crossing intervals are exact: the carry
     propagates their net effect into every later day.
     """
-    starts = intervals.select(
-        F.col(start_col).alias("t"),
-        F.lit(1).alias("ns"),
-        F.lit(0).alias("ne"),
-    )
-    ends = intervals.select(
-        F.col(end_col).alias("t"),
-        F.lit(0).alias("ns"),
-        F.lit(1).alias("ne"),
-    )
+    # endpoints via row-local explode, not a 2-scan union: one pass
+    # over the interval table emits both the +1 start and −1 end points
     pts = (
-        starts.unionByName(ends)
+        intervals.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).alias("t"),
+                        F.lit(1).alias("ns"),
+                        F.lit(0).alias("ne"),
+                    ),
+                    F.struct(
+                        F.col(end_col).alias("t"),
+                        F.lit(0).alias("ns"),
+                        F.lit(1).alias("ne"),
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.t", "__p.ns", "__p.ne")
         .where(F.col("t").isNotNull())
         .groupBy(F.to_date("t").alias("day"), F.col("t"))
         .agg(F.sum("ns").alias("ns"), F.sum("ne").alias("ne"))
@@ -551,27 +559,35 @@ def peak_concurrency(
         .orderBy("t")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # the per-day NET rides the same day-partitioned Window exchange as
+    # the cumulative sums (a separate groupBy lineage would re-derive
+    # the point frame — and therefore re-scan the fact table)
+    w_day_all = Window.partitionBy("day")
     within = pts.select(
         "day",
         "ns",
         (F.sum("ns").over(w_day) - F.sum("ne").over(w_day)).alias("__act"),
+        F.sum(F.col("ns") - F.col("ne")).over(w_day_all).alias("__net"),
     )
-    day_net = pts.groupBy("day").agg(
-        (F.sum("ns") - F.sum("ne")).alias("__net")
+    # reduce to day grain FIRST (reuses the hash(day) partitioning — no
+    # new exchange), then apply the cross-day carry as a window over the
+    # |days|-row frame and add it to the within-day max. The carry is
+    # constant per day, so max(act + carry) = max(act) + carry — no
+    # join back to point grain, the whole plan is ONE linear lineage
+    # (one fact scan; verified in the executed plan).
+    daily = within.groupBy("day").agg(
+        F.sum("ns").alias("n_started"),
+        F.max("__act").alias("__max_act"),
+        F.max("__net").alias("__net"),
     )
     w_days = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    # day-grain unpartitioned window: |days| rows, bounded by calendar
-    carry = day_net.select(
+    return daily.select(
         "day",
-        F.coalesce(F.sum("__net").over(w_days), F.lit(0)).alias("__carry"),
-    )
-    return (
-        within.join(carry, "day")
-        .groupBy("day")
-        .agg(
-            F.sum("ns").alias("n_started"),
-            F.max(F.col("__act") + F.col("__carry")).alias("peak_active"),
-        )
+        "n_started",
+        (
+            F.col("__max_act")
+            + F.coalesce(F.sum("__net").over(w_days), F.lit(0))
+        ).alias("peak_active"),
     )
