@@ -539,3 +539,47 @@ def test_stream_stream_join_pairs_within_window(spark, tmp_path):
     p = pairs[0]
     assert (p["user_id"], p["click_id"], p["purchase_id"]) == (1, 1, 2)
     assert p["purchase_value"] == 5.0
+
+
+def test_stream_stream_left_outer_emits_timed_out_clicks(spark, tmp_path):
+    """Unmatched clicks emit with NULL purchase columns once the
+    watermark passes click_ts + window — advanced here by far-future
+    sentinel rows typed click/purchase (a 'sentinel'-typed row never
+    reaches the watermark operator: the event-type filter is pushed
+    below it)."""
+    from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+        click_purchase_join_stream,
+    )
+
+    d = tmp_path / "ss_join_outer"
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 1, "click", 0.0, ""),  # matched
+        (2, t0 + dt.timedelta(minutes=10), 1, "purchase", 5.0, ""),
+        (3, t0, 2, "click", 0.0, ""),  # never matched
+        (4, t0 + dt.timedelta(minutes=40), 2, "purchase", 7.0, ""),
+        # far-future sentinels advance BOTH sides' watermarks
+        (998, dt.datetime(2100, 1, 1), -1, "click", 0.0, ""),
+        (999, dt.datetime(2100, 1, 1), -2, "purchase", 0.0, ""),
+    ]
+    _events(spark, rows).write.mode("append").parquet(str(d))
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        click_purchase_join_stream(spark, str(d), join_type="left_outer")
+        .writeStream.format("memory")
+        .queryName("ssjo_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {
+        r["click_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM ssjo_test WHERE user_id >= 0"
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["purchase_id"] == 2
+    assert out[3]["purchase_id"] is None  # timed out, NULL-padded

@@ -6762,6 +6762,143 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_streaming_joined_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join under the driver gate: like
+    ``streaming_joined`` but clicks with no purchase in their window
+    are ALSO emitted (NULL purchase columns) once the watermark passes
+    ``click_ts + window`` — the timeout-emission path the inner join
+    never exercises. The far-future sentinel + ``maxFilesPerTrigger=1``
+    advances the watermark inside one AvailableNow drain (the session-
+    window trick); the trailing no-data batch flushes every timed-out
+    click. Oracle = the identical batch LEFT join."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+        click_purchase_join_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_ssjo_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "0_events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    # far-future sentinel rows typed as REAL click/purchase events
+    # (negative user ids, excluded from the output below): Catalyst
+    # pushes each side's event-type filter BELOW its EventTimeWatermark
+    # operator, so a 'sentinel'-typed row would be dropped before ever
+    # advancing the watermark — each side needs a row of ITS OWN type
+    # to reach its watermark operator. Distinct user ids keep the two
+    # sentinel rows from pairing with each other.
+    sentinel = os.path.join(land, "zz_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        spark.createDataFrame(
+            [
+                (999_999_998, "2100-01-01 00:00:00", -1, "click", 0.0, None),
+                (
+                    999_999_999,
+                    "2100-01-01 00:00:00",
+                    -2,
+                    "purchase",
+                    0.0,
+                    None,
+                ),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").parquet(sentinel)
+
+    # no maxFilesPerTrigger: the sentinel can share batch 0 — the
+    # watermark commits AFTER the batch, and Spark's trailing no-data
+    # batch then evicts + emits every timed-out click (2 micro-batches
+    # total instead of 4; sessions needs the per-file split only
+    # because session-window APPEND holds rows back a full batch)
+    sdf = click_purchase_join_stream(
+        spark,
+        land + "/*.parquet",
+        join_type="left_outer",
+    )
+    name = f"ssjo_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ssjo_ckpt_{uuid.uuid4().hex}"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    # drop the sentinel click if the trailing batch emitted it
+    pairs = spark.sql(f"SELECT * FROM {name}").where(
+        F.col("user_id") >= 0
+    )
+    return (
+        pairs.groupBy(F.to_date("click_ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_id").alias("n_pairs"),
+            F.sum(
+                F.col("purchase_id").isNull().cast("long")
+            ).alias("n_unmatched_clicks"),
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("attributed_value"),
+        )
+    )
+
+
+_EXTENSION_ORACLES["streaming_joined_outer"] = """
+    WITH c AS (
+        SELECT user_id, ts AS click_ts, event_id AS click_id FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+               value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), j AS (
+        SELECT c.click_ts, p.purchase_id, p.value
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST(click_ts AS DATE) AS day,
+           count(*) AS n_rows,
+           count(purchase_id) AS n_pairs,
+           CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_clicks,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS attributed_value
+    FROM j GROUP BY 1
+    """
+
+
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011), the
     compressed-domain scale path IVF doesn't cover: 32 subspace
@@ -7160,6 +7297,7 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "streaming_joined_outer",
     "streaming_joined",
     "mannwhitney_values",
     "chi2_type_split",
@@ -7181,6 +7319,7 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_joined_outer": q_streaming_joined_outer,
     "similarity_pq": q_similarity_pq,
     "similarity_pq_recall": q_similarity_pq_recall,
     "streaming_joined": q_streaming_joined,
@@ -7482,6 +7621,7 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "streaming_joined_outer",
     "similarity_pq",
     "similarity_pq_recall",
     "streaming_joined",

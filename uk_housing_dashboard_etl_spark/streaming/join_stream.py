@@ -1,17 +1,31 @@
-"""Stream-stream interval join: click attribution as two live streams.
+"""Stream-stream joins: click attribution as two live streams.
 
-The last Structured Streaming join shape the family doesn't yet cover:
-``enrich_stream`` joins a stream to a STATIC dimension; this joins two
+The last Structured Streaming join shapes the family doesn't cover:
+``enrich_stream`` joins a stream to a STATIC dimension; these join two
 STREAMS (clicks and purchases from the same event feed) on key + a
 time-range condition — the canonical "purchase within N minutes of a
 click" attribution join, state-bounded by watermarks on BOTH sides.
 
-Semantics: inner join on user with ``click_ts < purchase_ts ≤ click_ts
-+ window`` — every qualifying (click, purchase) pair, exactly the rows
-the equivalent batch join produces (inner stream-stream joins emit a
-pair as soon as both sides arrive; the watermark only bounds retained
+Inner semantics: ``click_ts < purchase_ts ≤ click_ts + window`` —
+every qualifying (click, purchase) pair, exactly the rows the
+equivalent batch join produces (inner stream-stream joins emit a pair
+as soon as both sides arrive; the watermark only bounds retained
 state, it never drops a pair under AvailableNow draining of a bounded
 backlog).
+
+Left-outer semantics add the unanswered clicks: a click with NO
+purchase in its window is emitted with NULL purchase columns — but
+only once the watermark passes ``click_ts + window`` (before that a
+matching purchase could still arrive). A single-drain caller must
+therefore advance the watermark past the data: the registered query
+uses the session-window trick (far-future sentinel file +
+``maxFilesPerTrigger=1`` so the sentinel lands in a LATER micro-batch
+and the trailing no-data batch flushes the timed-out clicks).
+
+The watermark is applied BEFORE the event-type filter on each side:
+the sentinel row must reach the watermark operator to advance it, and
+for the join result the placement is immaterial (the filter still
+drops sentinel rows from the join inputs).
 
 Scale: each side's state is its watermark-window of rows, keyed by
 user — the join co-partitions both streams on user, so state lookups
@@ -36,43 +50,48 @@ def click_purchase_join_stream(
     source_dir: str,
     attribution_window: str = "30 minutes",
     watermark: str = "2 hours",
+    join_type: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """(click, purchase) pairs within ``attribution_window``, per user,
-    as a stream-stream inner join — pair grain; aggregate downstream
-    (a second stateful operator after a stream-stream join needs
-    chained-stateful support; the drain-then-batch-aggregate split
-    keeps the streaming part exactly the join under test).
+    """(click, purchase) pairs within ``attribution_window`` per user —
+    pair grain; aggregate downstream (a second stateful operator after
+    a stream-stream join needs chained-stateful support; the
+    drain-then-batch-aggregate split keeps the streaming part exactly
+    the join under test). ``join_type='left_outer'`` also emits
+    watermark-expired unmatched clicks with NULL purchase columns.
     """
+
+    def _side() -> DataFrame:
+        reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        return reader.parquet(source_dir).where(F.col("ts").isNotNull())
+
     clicks = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(source_dir)
-        .where(
-            (F.col("event_type") == "click")
-            & F.col("ts").isNotNull()
-            & F.col("user_id").isNotNull()
-        )
-        .select(
-            F.col("user_id"),
-            F.col("ts").alias("click_ts"),
-            F.col("event_id").alias("click_id"),
-        )
+        _side()
+        .withColumnRenamed("ts", "click_ts")
         .withWatermark("click_ts", watermark)
+        .where(
+            (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        )
+        .select("user_id", "click_ts", F.col("event_id").alias("click_id"))
     )
     purchases = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(source_dir)
+        _side()
+        .withColumnRenamed("ts", "purchase_ts")
+        .withWatermark("purchase_ts", watermark)
         .where(
             (F.col("event_type") == "purchase")
-            & F.col("ts").isNotNull()
             & F.col("user_id").isNotNull()
         )
         .select(
             F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("purchase_ts"),
+            "purchase_ts",
             F.col("event_id").alias("purchase_id"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", watermark)
     )
     return clicks.join(
         purchases,
@@ -81,5 +100,5 @@ def click_purchase_join_stream(
             " AND purchase_ts > click_ts"
             f" AND purchase_ts <= click_ts + interval {attribution_window}"
         ),
-        "inner",
+        join_type,
     ).drop("p_user_id")
