@@ -6641,6 +6641,9 @@ ORACLES = {name: _rewrite_round4(sql) for name, sql in ORACLES.items()}
 # recomputes the exact side and asserts every Spark-computed recall /
 # subset flag is TRUE — an ANN or LSH regression flips a flag and fails
 # the driver's value-hash comparison.
+ORACLES["similarity_ivfpq_recall"] = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
 ORACLES["similarity_pq_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
@@ -6761,6 +6764,55 @@ ORACLES["transition_probs"] = (
     + ORACLES["event_transitions"]
     + ")"
 )
+
+def _ivfpq(spark: SparkSession, sf_dir: str):
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        kmeans_fit,
+    )
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    cents = kmeans_fit(corpus, k=8, iterations=4)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    return ivfpq_topk(
+        pq_encode(corpus, codebooks),
+        codebooks,
+        ivf_index(corpus, cents),
+        cents,
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=10,
+        n_probes=3,
+        oversample=5,
+    ), corpus
+
+
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ two-level ANN: coarse cells prune the scan (3/8 probed),
+    PQ codes compress it (ADC table lookups), exact rerank on the 5×
+    shortlist — the billion-scale index shape, composed from the
+    engine's own kmeans/ivf/pq primitives. Rows-only; recall gated by
+    ``similarity_ivfpq_recall`` in the same window."""
+    return _ivfpq(spark, sf_dir)[0]
+
+
+def q_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the IVF-PQ path: per-query recall vs exact brute
+    force ≥ 0.3 (measured 0.4-0.7 — bounded by the same 3/8-cell probe
+    set as plain IVF; the PQ stage costs no recall after rerank)."""
+    approx, corpus = _ivfpq(spark, sf_dir)
+    return _topk_recall_gate(
+        brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=10),
+        approx,
+        min_recall=0.3,
+    )
+
 
 def q_streaming_joined_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM LEFT OUTER join under the driver gate: like
@@ -7319,6 +7371,8 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "similarity_ivfpq": q_similarity_ivfpq,
+    "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "streaming_joined_outer": q_streaming_joined_outer,
     "similarity_pq": q_similarity_pq,
     "similarity_pq_recall": q_similarity_pq_recall,
@@ -7621,6 +7675,8 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
     "streaming_joined_outer",
     "similarity_pq",
     "similarity_pq_recall",

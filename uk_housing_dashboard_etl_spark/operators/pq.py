@@ -279,3 +279,119 @@ def pq_topk_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    cells: DataFrame,
+    centroids: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probes: int = 3,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard two-level billion-scale ANN index — coarse
+    IVF cells prune WHICH vectors a query touches, PQ codes shrink WHAT
+    each touch costs, exact cosine reranks the shortlist.
+    (query_id, vec_id, score, rank), score = exact cosine desc.
+
+    ``cells`` is the corpus→cell assignment (``ivf.ivf_index``),
+    ``centroids`` the coarse codebook (``ivf.kmeans_fit``), ``codes``
+    the PQ encoding (:func:`pq_encode`). Codes are trained on the full
+    vectors, not per-cell residuals — residual PQ needs a codebook per
+    cell (k× the broadcast) for a precision gain the exact rerank
+    already recovers here; the pruning/compression economics are
+    unchanged.
+
+    Plan: probe selection is |queries|·k_coarse row-local math; the
+    compressed scan is an equi-join of the codes frame onto the
+    broadcast (query, cell, dtab) probe list — at 100 TB the codes
+    frame would be BUCKETED BY cell so this join prunes files, scanning
+    n_probes/k_coarse of the index; rerank touches
+    |queries|·k·oversample original vectors via a broadcast semi-join.
+    The corpus full-vector frame is read only for the rerank rows.
+    """
+    from uk_housing_dashboard_etl_spark.operators.ivf import _sq_dist
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        cosine_prenorm_expr,
+    )
+
+    m, dsub = _shape(codebooks)
+    qs = _norm_vectors(queries, "query_id", vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    q_cells = (
+        qs.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            _sq_dist("qvec", "centroid").alias("__d"),
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__d", "cell")
+            ),
+        )
+        .where(F.col("__r") <= n_probes)
+        .select("query_id", "qvec", "cell")
+    )
+    dtab = F.expr(
+        "map_from_entries(transform(__cents, c ->"
+        " struct(c.sub * 1000 + c.cell,"
+        f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
+    )
+    probes = q_cells.crossJoin(
+        F.broadcast(_codebook_array(codebooks))
+    ).select("query_id", "cell", dtab.alias("dtab"))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+        " (acc, s) -> acc + dtab[s * 1000 + codes[s]])"
+    )
+    short = (
+        codes.join(cells.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(probes), "cell")
+        .select("query_id", "vec_id", adc.alias("__adc"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("__adc", "vec_id")
+            ),
+        )
+        .where(F.col("rank") <= k * oversample)
+        .select("query_id", "vec_id")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    qv = queries.select(
+        F.col("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    cand = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("nv", norm_expr("vec"))
+        .withColumn("nq", norm_expr("qvec"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(
+                cosine_prenorm_expr("qvec", "vec", "nq", "nv")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
