@@ -6779,7 +6779,7 @@ def _ivfpq(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
     cents = kmeans_fit(corpus, k=8, iterations=4)
-    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=2)
     return ivfpq_topk(
         pq_encode(corpus, codebooks),
         codebooks,
@@ -6967,7 +6967,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
-    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=2)
     return pq_topk_rerank(
         pq_encode(corpus, codebooks),
         codebooks,
@@ -6991,7 +6991,7 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
     qs = _query_vectors(spark, sf_dir)
-    codebooks = pq_fit(corpus, m=32, k=16, iterations=4)
+    codebooks = pq_fit(corpus, m=32, k=16, iterations=2)
     approx = pq_topk_rerank(
         pq_encode(corpus, codebooks), codebooks, corpus, qs, k=10,
         oversample=5,
