@@ -266,3 +266,16 @@ def test_pq_rerank_scores_are_exact_cosine(spark):
     for r in approx.collect():
         # reranked scores are the EXACT cosine, not the ADC estimate
         assert r["score"] == pytest.approx(exact[r["vec_id"]], abs=1e-4)
+
+
+def test_cluster_split_is_leakage_safe(spark, sf_small):
+    """Every member of a near-dup cluster must land in the SAME split —
+    the property the doc-grain hash split violates by construction."""
+    from uk_housing_dashboard_etl_spark.contract import QUERIES
+
+    out = QUERIES["cluster_split"](spark, sf_small).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert any(r["cluster_size"] > 1 for r in out)  # fixture has dups

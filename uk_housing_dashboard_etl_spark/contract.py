@@ -6641,6 +6641,19 @@ ORACLES = {name: _rewrite_round4(sql) for name, sql in ORACLES.items()}
 # recomputes the exact side and asserts every Spark-computed recall /
 # subset flag is TRUE — an ANN or LSH regression flips a flag and fails
 # the driver's value-hash comparison.
+ORACLES["cluster_split"] = (
+    "WITH assigned AS ("
+    + ORACLES["dedup_clusters"]
+    + """)
+    SELECT doc_id, cluster_id, cluster_size,
+           CASE WHEN (cluster_id * 2654435761) % 1000000007 % 100 < 10
+                THEN 'test'
+                WHEN (cluster_id * 2654435761) % 1000000007 % 100 < 20
+                THEN 'val'
+                ELSE 'train' END AS split
+    FROM assigned
+    """
+)
 ORACLES["similarity_ivfpq_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
@@ -6764,6 +6777,35 @@ ORACLES["transition_probs"] = (
     + ORACLES["event_transitions"]
     + ")"
 )
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split hash is taken
+    at near-dup CLUSTER grain (connected components over the exact-
+    Jaccard graph), so every member of a duplicate cluster lands in the
+    same split — the GroupShuffleSplit discipline ``split_leakage``
+    measures the absence of. Output is doc-grain:
+    (doc_id, cluster_id, cluster_size, split)."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs)
+    pct = (
+        F.col("cluster_id") * F.lit(2654435761)
+    ) % F.lit(1_000_000_007) % F.lit(100)
+    split = (
+        F.when(pct < 10, F.lit("test"))
+        .when(pct < 20, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return clusters.select(
+        "doc_id", "cluster_id", "cluster_size", split.alias("split")
+    )
+
 
 def _ivfpq(spark: SparkSession, sf_dir: str):
     from uk_housing_dashboard_etl_spark.operators.ivf import (
@@ -7371,6 +7413,7 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cluster_split": q_cluster_split,
     "similarity_ivfpq": q_similarity_ivfpq,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
     "streaming_joined_outer": q_streaming_joined_outer,
@@ -7675,6 +7718,7 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "cluster_split",
     "similarity_ivfpq",
     "similarity_ivfpq_recall",
     "streaming_joined_outer",
