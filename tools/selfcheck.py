@@ -96,6 +96,15 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
                     f"column {c}: dtype kind mismatch spark={sa} "
                     f"duck={sb} — driver value-hash will differ"
                 )
+        elif sa != sb and ka in ("i", "u", "f") and kb in ("i", "u", "f"):
+            # same kind, different WIDTH (int32 vs int64): the repo
+            # convention is to CAST both engines to the same width
+            # (grouping_sets gid, top_ngrams rank) — treat drift as a
+            # failure so new queries keep the discipline
+            problems.append(
+                f"column {c}: dtype width mismatch spark={sa} duck={sb}"
+                " — CAST one side to match"
+            )
         elif sa != sb and "O" not in (ka, kb):
             print(f"  [dtype-warn] {c}: spark={sa} duck={sb}")
     if problems:

@@ -6778,6 +6778,131 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: event count, share of
+    the type's weekly traffic, and deterministic mean value — the
+    seasonal fingerprint a forecaster detrends with. Everything after
+    the fact scan is (type × 7)-grain; the share is a window over that
+    tiny frame."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    cells = ev.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+        ).alias("__units"),
+        F.count("value").alias("__nv"),
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        "dow",
+        "n_events",
+        round4(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("share"),
+        round4(
+            F.col("__units").cast("double")
+            / F.lit(10000.0)
+            / F.col("__nv").cast("double")
+        ).alias("value_mean"),
+    )
+
+
+_EXTENSION_ORACLES["seasonality_profile"] = """
+    WITH cells AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS units,
+               count(value) AS nv
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(dow AS INTEGER) AS dow,
+           n_events,
+           floor(CAST(n_events AS DOUBLE)
+                 / CAST(sum(n_events) OVER (PARTITION BY event_type)
+                        AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS share,
+           floor(CAST(units AS DOUBLE) / 10000.0 / CAST(nv AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS value_mean
+    FROM cells
+    """
+
+
+def q_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: per week, the distinct users active the
+    PREVIOUS week who produced no event this week (set difference), the
+    retained count, and the churn rate — the EXCEPT-semantics
+    companion to ``weekly_retention``'s intersection.
+
+    Plan: NOT the self-join the set-difference semantics suggest
+    (two executions of the distinct frame = two fact scans): each
+    user's week sequence carries the answer row-locally — retained =
+    lead(week) lands exactly 7 days later. One distinct, one
+    user-keyed window, one aggregate; single linear lineage. The
+    oracle computes the same numbers with the literal LEFT JOIN."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    wu = ev.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = wu.select(
+        (F.col("week") + F.expr("interval 7 days")).alias("week"),
+        (
+            F.lead("week").over(w)
+            == F.col("week") + F.expr("interval 7 days")
+        ).alias("__ret"),
+    )
+    return (
+        flagged.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("prev_active"),
+            F.sum(F.coalesce(F.col("__ret"), F.lit(False)).cast("long"))
+            .alias("retained"),
+            F.sum(
+                (~F.coalesce(F.col("__ret"), F.lit(False))).cast("long")
+            ).alias("churned"),
+        )
+        .select(
+            "week",
+            "prev_active",
+            "retained",
+            "churned",
+            round4(
+                F.col("churned").cast("double")
+                / F.col("prev_active").cast("double")
+            ).alias("churn_rate"),
+        )
+    )
+
+
+_EXTENSION_ORACLES["weekly_churn"] = """
+    WITH wu AS (
+        SELECT DISTINCT date_trunc('week', ts) AS week, user_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), shifted AS (
+        SELECT week + INTERVAL 7 DAY AS week, user_id FROM wu
+    ), joined AS (
+        SELECT s.week, s.user_id,
+               CASE WHEN n.user_id IS NULL THEN 0 ELSE 1 END AS active
+        FROM shifted s LEFT JOIN wu n
+          ON n.week = s.week AND n.user_id = s.user_id
+    )
+    SELECT week,
+           count(*) AS prev_active,
+           CAST(sum(active) AS BIGINT) AS retained,
+           CAST(sum(1 - active) AS BIGINT) AS churned,
+           floor(CAST(sum(1 - active) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+               AS churn_rate
+    FROM joined GROUP BY 1
+    """
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test assignment: the split hash is taken
     at near-dup CLUSTER grain (connected components over the exact-
@@ -7391,6 +7516,8 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "seasonality_profile",
+    "weekly_churn",
     "streaming_joined_outer",
     "streaming_joined",
     "mannwhitney_values",
@@ -7413,6 +7540,8 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "seasonality_profile": q_seasonality_profile,
+    "weekly_churn": q_weekly_churn,
     "cluster_split": q_cluster_split,
     "similarity_ivfpq": q_similarity_ivfpq,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
@@ -7718,6 +7847,8 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "seasonality_profile",
+    "weekly_churn",
     "cluster_split",
     "similarity_ivfpq",
     "similarity_ivfpq_recall",
