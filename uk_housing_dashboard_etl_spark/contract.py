@@ -6778,6 +6778,122 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_streaming_joined_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL streaming: a stream-stream interval join FED
+    INTO a windowed streaming aggregate in the SAME query (Spark 4
+    multiple-stateful-operator support) — per click-day attributed pair
+    counts and value, end to end inside the engine. Append mode only
+    emits a day window once the watermark passes it, so the typed
+    far-future sentinel closes every real window inside one
+    AvailableNow drain; the sentinel rows themselves vanish in the
+    inner join (user -1 click never meets user -2 purchase). Oracle =
+    batch join + calendar-day aggregate."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+        click_purchase_join_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_ssjo_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "0_events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    sentinel = os.path.join(land, "zz_sentinel.parquet")
+    if not os.path.exists(sentinel):
+        spark.createDataFrame(
+            [
+                (999_999_998, "2100-01-01 00:00:00", -1, "click", 0.0, None),
+                (
+                    999_999_999,
+                    "2100-01-01 00:00:00",
+                    -2,
+                    "purchase",
+                    0.0,
+                    None,
+                ),
+            ],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").parquet(sentinel)
+
+    joined = click_purchase_join_stream(spark, land + "/*.parquet")
+    agg = (
+        joined.groupBy(F.window("click_ts", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT)"
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("attributed_value"),
+        )
+        .select(
+            F.to_date(F.col("win.start")).alias("day"),
+            "n_pairs",
+            "attributed_value",
+        )
+    )
+    name = f"ssja_{uuid.uuid4().hex[:10]}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ssja_ckpt_{uuid.uuid4().hex}"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+_EXTENSION_ORACLES["streaming_joined_agg"] = """
+    WITH c AS (
+        SELECT user_id, ts AS click_ts FROM events
+        WHERE event_type = 'click' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, value FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+    ), j AS (
+        SELECT c.click_ts, p.value
+        FROM c JOIN p ON c.user_id = p.user_id
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    )
+    SELECT CAST(click_ts AS DATE) AS day,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS attributed_value
+    FROM j GROUP BY 1
+    """
+
+
 def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality per event type: event count, share of
     the type's weekly traffic, and deterministic mean value — the
@@ -7516,6 +7632,7 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "streaming_joined_agg",
     "seasonality_profile",
     "weekly_churn",
     "streaming_joined_outer",
@@ -7540,6 +7657,7 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_joined_agg": q_streaming_joined_agg,
     "seasonality_profile": q_seasonality_profile,
     "weekly_churn": q_weekly_churn,
     "cluster_split": q_cluster_split,
@@ -7847,6 +7965,7 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "streaming_joined_agg",
     "seasonality_profile",
     "weekly_churn",
     "cluster_split",
