@@ -128,6 +128,34 @@ def main() -> None:
             lambda: apply_cdc(changes, ["user_id"], ["ts", "event_id"], "op")
         )
 
+        # stream-stream interval join: drain the full event backlog as
+        # two watermarked streams (one batch + trailing no-data batch)
+        import shutil
+        import uuid
+
+        from uk_housing_dashboard_etl_spark.streaming.join_stream import (
+            click_purchase_join_stream,
+        )
+
+        t = time.time()
+        sdf = click_purchase_join_stream(spark, epath)
+        qname = f"ssj_{uuid.uuid4().hex[:8]}"
+        ckpt = f"{OUT}/ssj_ckpt_{uuid.uuid4().hex}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        r["stream_join_pairs"] = spark.sql(
+            f"SELECT count(*) AS c FROM {qname}"
+        ).collect()[0]["c"]
+        r["stream_join_s"] = round(time.time() - t, 1)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
         t = time.time()
         codebooks = pq_fit(vecs, m=8, k=16, iterations=4)
         codebooks.count()

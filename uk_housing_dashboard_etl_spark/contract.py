@@ -6778,6 +6778,53 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_sketch_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch per-user frequency estimates with the CMS
+    guarantee as a gated column: est ≥ true always (``never_under``
+    asserted TRUE by the oracle), overestimate surfaced. The portable
+    multiplicative hash family lets DuckDB rebuild the IDENTICAL
+    d×w sketch, so the compare is hash-exact — the frequency
+    complement to the HLL/KLL sketch gates."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        cms_frequency_estimates,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    probes = ev.where(F.col("user_id").isNotNull()).select(
+        "user_id"
+    ).distinct()
+    return cms_frequency_estimates(ev, "user_id", probes)
+
+
+_EXTENSION_ORACLES["sketch_cms_check"] = """
+    WITH b AS (
+        SELECT user_id, u.i,
+               CAST((user_id * 2654435761 + u.i * 40503) % 1000003
+                    % 2048 AS INT) AS bucket
+        FROM events, unnest(generate_series(0, 3)) AS u(i)
+        WHERE user_id IS NOT NULL
+    ), sketch AS (
+        SELECT i AS row, bucket, count(*) AS n FROM b GROUP BY 1, 2
+    ), truth AS (
+        SELECT user_id, count(*) AS true_n FROM events
+        WHERE user_id IS NOT NULL GROUP BY 1
+    ), pe AS (
+        SELECT t.user_id, t.true_n, u.i,
+               CAST((t.user_id * 2654435761 + u.i * 40503) % 1000003
+                    % 2048 AS INT) AS bucket
+        FROM truth t, unnest(generate_series(0, 3)) AS u(i)
+    ), est AS (
+        SELECT p.user_id, p.true_n, min(s.n) AS est_n
+        FROM pe p JOIN sketch s ON s.row = p.i AND s.bucket = p.bucket
+        GROUP BY 1, 2
+    )
+    SELECT user_id, true_n, CAST(est_n AS BIGINT) AS est_n,
+           CAST(est_n - true_n AS BIGINT) AS overestimate,
+           est_n >= true_n AS never_under
+    FROM est
+    """
+
+
 def q_streaming_joined_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED STATEFUL streaming: a stream-stream interval join FED
     INTO a windowed streaming aggregate in the SAME query (Spark 4
@@ -7632,6 +7679,7 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "sketch_cms_check",
     "streaming_joined_agg",
     "seasonality_profile",
     "weekly_churn",
@@ -7657,6 +7705,7 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sketch_cms_check": q_sketch_cms_check,
     "streaming_joined_agg": q_streaming_joined_agg,
     "seasonality_profile": q_seasonality_profile,
     "weekly_churn": q_weekly_churn,
@@ -7965,6 +8014,7 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "sketch_cms_check",
     "streaming_joined_agg",
     "seasonality_profile",
     "weekly_churn",

@@ -117,3 +117,72 @@ def quantile_sketch_summary(
             / F.col("exact_median"),
         )
     )
+
+
+def cms_frequency_estimates(
+    df: DataFrame,
+    key_col: str,
+    probe_keys: DataFrame,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch frequency estimation with its guarantee made
+    checkable: build the d×w counter sketch in one pass, then estimate
+    each probe key's frequency as ``min`` over its d counters.
+    Output per probe key: ``<key_col>, true_n, est_n, overestimate,
+    never_under`` — CMS guarantees ``est ≥ true`` ALWAYS (the oracle
+    asserts the flag), and the expected overestimate is ``N/w`` per
+    row, surfaced rather than hidden.
+
+    The hash family is the portable multiplicative hash (same rule as
+    ``weighted_sample``), so the DuckDB oracle rebuilds the IDENTICAL
+    sketch and the driver compare is hash-exact, not approximate.
+
+    Scale: the sketch is d·w counters regardless of input (map-side
+    combinable groupBy over a row-local d-way explode); it is MERGEABLE
+    by counter-wise addition, making it the frequency complement to the
+    HLL/KLL family. Probe lookups are a broadcast join against the
+    d·w-row sketch. True counts here cost one exact groupBy — at
+    100 TB you'd skip them and keep only the sketch path; the contract
+    query pays for them because they ARE the gate.
+    """
+    buckets = F.expr(
+        f"transform(sequence(0, {depth - 1}), i -> struct(i AS row,"
+        f" CAST(({key_col} * 2654435761 + i * 40503) % 1000003"
+        f" % {width} AS INT) AS bucket))"
+    )
+    sketch = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(buckets).alias("__b"))
+        .groupBy(
+            F.col("__b.row").alias("row"), F.col("__b.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truth = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .join(probe_keys, key_col, "left_semi")
+    )
+    probes = truth.select(
+        key_col,
+        "true_n",
+        F.explode(buckets).alias("__b"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("__b.row") == F.col("row"))
+            & (F.col("__b.bucket") == F.col("bucket")),
+        )
+        .groupBy(key_col, "true_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.select(
+        key_col,
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overestimate"),
+        (F.col("est_n") >= F.col("true_n")).alias("never_under"),
+    )
