@@ -361,3 +361,39 @@ def test_basket_lift_has_no_basket_self_join(spark):
     body = plan.split("== Physical Plan ==")[1]
     # joins present are only the aggregated singles/totals attachments
     assert body.count("SortMergeJoin") == 0
+
+
+def test_peak_sessions_single_linear_lineage(spark):
+    plan = exec_plan_of(spark, "peak_sessions")
+    # explode-based endpoints + day-grain carry folded back at day
+    # grain: ONE fact scan, no join anywhere (SCALE.md round-5 claim)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_weekly_churn_single_scan_no_join(spark):
+    plan = exec_plan_of(spark, "weekly_churn")
+    # lead()-window retention instead of the set-difference self-join
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_chi2_single_scan(spark):
+    plan = exec_plan_of(spark, "chi2_type_split")
+    # marginals are windows over the contingency frame, not groupBy+join
+    # branches that would re-derive the fact scan per consumer
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_mannwhitney_single_scan(spark):
+    plan = exec_plan_of(spark, "mannwhitney_values")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cdc_replay_one_exchange_no_join(spark):
+    plan = exec_plan_of(spark, "cdc_replay")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    # exactly one key Exchange feeds the row_number window
+    assert plan.count("Exchange hashpartitioning") == 1
