@@ -154,3 +154,53 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     assert "bucket" in pf and "2" in pf
     assert "PushedFilters: []" in plan  # nothing left to push into data
     assert rd.count() == 250
+
+
+def test_bucketed_pq_codes_scan_prunes_and_avoids_exchange(
+    warehouse, sf_small
+):
+    """The SCALE.md IVF-PQ claim made physical: codes persisted
+    bucketed by cell let the probe equi-join consume the bucketing —
+    the codes side joins with NO Exchange below it."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        kmeans_fit,
+    )
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+    )
+    from uk_housing_dashboard_etl_spark.sources.layout import (
+        read_table_bucketed,
+    )
+
+    spark = warehouse
+    emb = read_table(spark, sf_small, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    cents = kmeans_fit(corpus, k=4, iterations=2)
+    codebooks = pq_fit(corpus, m=8, k=8, iterations=2)
+    coded = pq_encode(corpus, codebooks).join(
+        ivf_index(corpus, cents).select("vec_id", "cell"), "vec_id"
+    )
+    write_bucketed(coded, "b_pq_codes", ["cell"], 4, sort_keys=["cell"])
+    try:
+        codes = read_table_bucketed(spark, "b_pq_codes")
+        # probe cell must match the bucketed column's INT type exactly:
+        # a bigint probe forces a cast on the codes side, which makes
+        # the bucketing unusable and silently re-shuffles the big side
+        probes = spark.createDataFrame(
+            [(0, 0), (1, 1)], ["query_id", "cell"]
+        ).select("query_id", F.col("cell").cast("int")).hint(
+            "shuffle_merge"
+        )
+        joined = codes.join(probes, "cell")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the bucketed codes side feeds the join directly: the only
+        # Exchange in the plan is on the (tiny) probe side
+        segs = plan.split("SortMergeJoin")
+        assert len(segs) > 1
+        # count exchanges: exactly one (probe side), none for codes
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_pq_codes")
