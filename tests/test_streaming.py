@@ -583,3 +583,51 @@ def test_stream_stream_left_outer_emits_timed_out_clicks(spark, tmp_path):
     assert set(out) == {1, 3}
     assert out[1]["purchase_id"] == 2
     assert out[3]["purchase_id"] is None  # timed out, NULL-padded
+
+
+def test_cdc_stream_state_across_batches(spark, tmp_path):
+    """Per-key CDC state survives micro-batch boundaries: a later batch
+    can tombstone or resurrect a key, and the latest emission per key
+    is the table state."""
+    from uk_housing_dashboard_etl_spark.streaming.cdc_stream import (
+        cdc_replay_stream,
+    )
+
+    d = tmp_path / "cdc_land"
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    batch1 = [
+        (1, t0, 1, "click", 1.0, ""),
+        (2, t0, 2, "view", 2.0, ""),
+        (3, t0, 3, "error", None, ""),  # key 3 tombstoned immediately
+    ]
+    batch2 = [
+        (4, t0 + dt.timedelta(minutes=1), 1, "error", None, ""),  # kill 1
+        (5, t0 + dt.timedelta(minutes=1), 3, "purchase", 9.0, ""),  # revive
+    ]
+    _events(spark, batch1).write.mode("append").parquet(str(d))
+    _events(spark, batch2).write.mode("append").parquet(str(d))
+    ckpt = str(tmp_path / "cdc_ckpt")
+    raw = cdc_replay_stream(spark, str(d))
+    q = (
+        raw.writeStream.format("memory")
+        .queryName("cdc_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        latest_by_key,
+    )
+
+    out = spark.sql("SELECT * FROM cdc_test")
+    final = {
+        r["user_id"]: r
+        for r in latest_by_key(out, ["user_id"], "ts", tie_cols=["event_id"])
+        .where(~F.col("deleted"))
+        .collect()
+    }
+    assert set(final) == {2, 3}
+    assert final[2]["value"] == 2.0
+    assert final[3]["event_type"] == "purchase"  # delete then re-insert

@@ -6778,6 +6778,63 @@ ORACLES["transition_probs"] = (
     + ")"
 )
 
+def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING CDC replay under the driver gate: per-key
+    state holds only the current winning change (win-by-(ts,event_id),
+    'error' = tombstone), each batch emits affected keys' new state,
+    and the drained stream's latest emission per key — tombstones
+    dropped — must equal batch ``apply_cdc`` bit-for-bit (same oracle
+    as ``cdc_replay``). The incremental twin of the batch compaction:
+    a daily delta touches its keys, not the full log."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.cdc_stream import (
+        cdc_replay_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:  # concurrent callers may race the symlink; first one wins
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    sdf = cdc_replay_stream(spark, land)
+    with _stream_state_partitions(spark):
+        out = run_stream_once(
+            sdf,
+            query_name=f"cdc_{uuid.uuid4().hex[:10]}",
+            output_mode="update",
+        )
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        latest_by_key,
+    )
+
+    final = latest_by_key(out, ["user_id"], "ts", tie_cols=["event_id"])
+    return final.where(~F.col("deleted")).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+_EXTENSION_ORACLES["streaming_cdc"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, event_type, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
+
+
 def q_sketch_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch per-user frequency estimates with the CMS
     guarantee as a gated column: est ≥ true always (``never_under``
@@ -7679,6 +7736,7 @@ _EXTENSION_ORACLES["cdc_replay"] = """
 # already written as explicit floor(), but run the rewriter for parity
 # with every other oracle)
 for _r5q in (
+    "streaming_cdc",
     "sketch_cms_check",
     "streaming_joined_agg",
     "seasonality_profile",
@@ -7705,6 +7763,7 @@ for _r5q in (
 # §2 core greens from r1. Families verified green in r2 sit at the tail;
 # round 4 should rotate them back into the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "streaming_cdc": q_streaming_cdc,
     "sketch_cms_check": q_sketch_cms_check,
     "streaming_joined_agg": q_streaming_joined_agg,
     "seasonality_profile": q_seasonality_profile,
@@ -8014,6 +8073,7 @@ _R4_FRONT = [
 # shapes, the dedup/sketch families, and the §2 satellites. The r2-era
 # block rotates in round 6.
 _R5_NEW: list[str] = [
+    "streaming_cdc",
     "sketch_cms_check",
     "streaming_joined_agg",
     "seasonality_profile",
