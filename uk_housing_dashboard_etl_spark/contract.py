@@ -3978,9 +3978,11 @@ def q_fuzzy_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     snm = sorted_neighborhood_pairs(part, window=5, max_dist=2)
     na = names.alias("na")
     nb = names.alias("nb")
+    # no forced broadcast: names is RECORD-grain (the whole catalog at
+    # scale); AQE promotes when it fits, else these are key-equi joins
     snm_named = (
-        snm.join(F.broadcast(na), snm.key_a == F.col("na.key"))
-        .join(F.broadcast(nb), snm.key_b == F.col("nb.key"))
+        snm.join(na, snm.key_a == F.col("na.key"))
+        .join(nb, snm.key_b == F.col("nb.key"))
         .select(
             F.col("na.name").alias("name_a"), F.col("nb.name").alias("name_b")
         )

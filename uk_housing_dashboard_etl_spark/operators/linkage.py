@@ -652,8 +652,12 @@ def resolve_entities(
         F.col(key_col).alias("key"), F.col(name_col).alias("name")
     ).join(labels, "name")
     w = Window.partitionBy("entity_id")
+    # no forced broadcast: n_names is ENTITY-grain, which degenerates
+    # to record grain on a catalog of unique names — AQE promotes the
+    # join when the frame actually fits (same convention as
+    # best_fuzzy_match_compressed's guarded hint above)
     return (
-        recs.join(F.broadcast(n_names), "entity_id")
+        recs.join(n_names, "entity_id")
         .select(
             "key",
             "name",

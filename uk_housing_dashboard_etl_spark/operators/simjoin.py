@@ -66,9 +66,13 @@ def set_similarity_join(
 
     # Global canonical order: ascending document frequency, rarest
     # first (ties on the token string for determinism). One corpus-wide
-    # agg; the df map is |vocab| rows — broadcast back onto tokens.
+    # agg; the df map is |vocab| rows — VOCABULARY-grain, unbounded at
+    # corpus scale (shingle vocabularies reach billions), so no forced
+    # broadcast: AQE promotes the join when the map actually fits,
+    # and the fallback is a token-keyed shuffle join both sides of
+    # which are already exchanged on tok by the groupBy.
     df_map = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = toks.join(F.broadcast(df_map), "tok")
+    ranked = toks.join(df_map, "tok")
 
     # ONE shuffle packs each doc's tokens sorted by (df, tok); the same
     # frame feeds prefix generation (twice) AND pair verification
