@@ -15,10 +15,19 @@ the upcoming round number (1 + the highest existing BENCH_r*.json).
 
 Each query is timed as a full action (``df.count()`` after the plan is
 built) on a fresh DataFrame — no caching between queries, so every
-number includes scan + shuffle + compute. Each query runs twice and
-reports the best: the first run pays one-time JVM/codegen warmup that a
-long-running cluster amortizes, the second is the engine's steady-state
-throughput. (Streaming queries execute their drain inside the builder,
+number includes scan + shuffle + compute. Each batch query runs three
+times and reports the best (the detail file also records the median,
+so round-over-round diffs can separate variance from regression —
+VERDICT r5 item 5): the first run pays one-time JVM/codegen warmup
+that a long-running cluster amortizes, the later runs are the engine's
+steady-state throughput. Between queries the harness releases ALL
+engine caches (``spark.catalog.clearCache()`` + unpersisting every
+persistent RDD, which frees completed queries' ``localCheckpoint``
+blocks): round 5 measured a position-in-suite effect where untouched
+queries ran up to 1.7× slower purely from earlier queries' accumulated
+blocks crowding the unified memory pool — the per-query clean room
+makes numbers comparable across rounds regardless of registry order.
+(Streaming queries execute their drain inside the builder,
 so their time covers the whole readStream→sink pass, run once — a
 second drain would replay identical state transitions at the same
 cost. The warmup phase runs one throwaway stateful drain first so the
@@ -62,6 +71,23 @@ HEADLINE = [
     "anomalies",
     "latest_snapshot",
 ]
+
+
+def release_caches(spark) -> None:
+    """Return the engine to a clean-cache state between queries.
+
+    Clears every cached DataFrame and unpersists every persistent RDD —
+    including blocks pinned by completed queries' ``localCheckpoint``
+    calls, which the ContextCleaner only frees after Python GC drops
+    the last reference. Safe because no query retains live DataFrame
+    references across registry entries (the ANN fit cache stores
+    driver-local rows, not checkpointed frames)."""
+    import gc
+
+    gc.collect()  # drop dead DataFrame refs so ContextCleaner can run
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
 
 
 def next_round() -> int:
@@ -154,21 +180,24 @@ def main() -> None:
         pass
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     failures: dict[str, str] = {}
     extra = [q for q in contract.QUERIES if q not in HEADLINE]
     for name in HEADLINE + extra:
         fn = contract.QUERIES[name]
         # streaming builders run their drain eagerly; timing a repeat
         # would re-execute the same stateful pass for no extra signal
-        runs = 1 if name.startswith("streaming_") else 2
-        best = float("inf")
+        runs = 1 if name.startswith("streaming_") else 3
+        samples: list[float] = []
         # per-query isolation: one broken query must never zero the bench
         try:
+            release_caches(spark)  # clean room: untimed, between queries
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
-                best = min(best, time.time() - t0)
-            times[name] = round(best, 3)
+                samples.append(time.time() - t0)
+            times[name] = round(min(samples), 3)
+            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
 
@@ -184,7 +213,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "complete": complete,
+        "runs_per_query": 3,
         "queries": times,
+        "queries_median": medians,
         "failures": failures,
         "maintenance": maint,
     }

@@ -1,0 +1,176 @@
+"""Round-6 additions: ADC pack guards, residual IVF-PQ, the
+count-guarded simjoin broadcast, CMS zero-frequency probes, and the
+driver-local fit cache."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uk_housing_dashboard_etl_spark.operators.pq import (
+    _PACK,
+    _shape,
+    ivfpq_residual_build,
+    ivfpq_topk,
+    pq_fit,
+)
+from uk_housing_dashboard_etl_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+
+def _emb(spark, n=40, d=8):
+    """Deterministic synthetic embeddings: two well-separated bands."""
+    rows = [
+        (i, [((i % 7) + 1 + j * ((i % 3) - 1)) / 7.0 for j in range(d)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_fit_rejects_k_above_pack(spark):
+    with pytest.raises(ValueError, match="collide"):
+        pq_fit(_emb(spark), m=2, k=_PACK + 24)
+
+
+def test_shape_rejects_codebooks_with_oversized_cell_ids(spark):
+    bad = spark.createDataFrame(
+        [(0, _PACK, [0.0, 0.0])],
+        "sub int, cell int, centroid array<double>",
+    )
+    with pytest.raises(ValueError, match="refit"):
+        _shape(bad)
+
+
+def test_ivfpq_residual_matches_topk_contract(spark):
+    emb = _emb(spark)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, cells, codebooks, codes = ivfpq_residual_build(
+        corpus, k_coarse=4, m=2, k=4,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    got = ivfpq_topk(
+        codes, codebooks, cells, cents, corpus, queries,
+        k=3, n_probes=2, oversample=3, residual=True,
+    ).collect()
+    assert got, "residual IVF-PQ returned no rows"
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == (
+            list(range(1, len(rs) + 1))
+        )
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ivfpq_residual_recall_reasonable(spark):
+    """Rerank on the shortlist means residual mode must recover most of
+    brute-force top-k even on tiny synthetic data."""
+    emb = _emb(spark, n=60)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, cells, codebooks, codes = ivfpq_residual_build(
+        corpus, k_coarse=4, m=2, k=8,
+        coarse_iterations=2, pq_iterations=2,
+    )
+    approx = ivfpq_topk(
+        codes, codebooks, cells, cents, corpus, queries,
+        k=5, n_probes=3, oversample=4, residual=True,
+    )
+    exact = brute_force_topk(corpus, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.5
+
+
+def test_simjoin_broadcast_is_count_guarded(spark):
+    from uk_housing_dashboard_etl_spark.operators.simjoin import (
+        set_similarity_join,
+    )
+
+    from uk_housing_dashboard_etl_spark.operators.simjoin import _rank_pack
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (2, "a")],
+        "doc_id long, tok string",
+    )
+    df_map = spark.createDataFrame(
+        [("a", 3), ("b", 1)], "tok string, __df long"
+    )
+    # above the guard: no broadcast hint anywhere in the plan
+    plan_no = _rank_pack(
+        toks, df_map, n_vocab=2, max_broadcast_vocab=0
+    )._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in plan_no.lower()
+    # under the guard: the df map must be broadcast-hinted
+    fast = _rank_pack(toks, df_map, n_vocab=2, max_broadcast_vocab=10)
+    plan_yes = fast._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in plan_yes.lower()
+    # both paths produce the identical rarity-ordered DEDUPED pack
+    slow = _rank_pack(toks, df_map, n_vocab=2, max_broadcast_vocab=0)
+    got = sorted(map(tuple, fast.collect()))
+    assert got == sorted(map(tuple, slow.collect()))
+    assert got == [(1, ["b", "a"], 2), (2, ["a"], 1)]
+    # and the end-to-end results are identical either way
+    a = sorted(map(tuple, set_similarity_join(
+        docs, threshold=0.5, n=1, max_broadcast_vocab=0
+    ).collect()))
+    b = sorted(map(tuple, set_similarity_join(
+        docs, threshold=0.5, n=1
+    ).collect()))
+    assert a == b and a
+
+
+def test_cms_zero_frequency_probe_gets_row(spark):
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        cms_frequency_estimates,
+    )
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    probes = spark.createDataFrame([(1,), (99,)], "k long")
+    out = {r["k"]: r for r in cms_frequency_estimates(
+        df, "k", probes, width=64, depth=2
+    ).collect()}
+    assert set(out) == {1, 99}
+    assert out[1]["true_n"] == 2 and out[1]["never_under"]
+    assert out[99]["true_n"] == 0
+    assert out[99]["est_n"] >= 0 and out[99]["never_under"]
+
+
+def test_fit_cache_stores_local_rows(spark):
+    """The fit cache must hold plain rows (no pinned executor blocks)
+    and serve bit-identical frames across calls."""
+    from uk_housing_dashboard_etl_spark import contract
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.createDataFrame(
+            [(0, 1, [0.5, 0.5])], "sub int, cell int, centroid array<double>"
+        )
+
+    key = ("/tmp/__fitcache_test__", "unit")
+    contract._FIT_CACHE.pop(key, None)
+    a = contract._cached_fit(spark, key[0], key[1], builder)
+    b = contract._cached_fit(spark, key[0], key[1], builder)
+    assert len(calls) == 1, "builder must run once"
+    schema, rows = contract._FIT_CACHE[key]
+    assert isinstance(rows, list), "cache must store driver-local rows"
+    assert a.collect() == b.collect() == rows
+    contract._FIT_CACHE.pop(key, None)

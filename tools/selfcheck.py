@@ -60,10 +60,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     # DECIMAL (object of decimal.Decimal) vs a double oracle flips the
     # hash even when the values are numerically equal (seen live in
     # CORRECTNESS_r04: sql_weekly_by_la, ks_values, ab_ztest). Treat a
-    # numeric KIND mismatch, or a Decimal-bearing object column paired
-    # with a numeric oracle column, as a hard failure. Same-kind width
-    # diffs (int32 vs int64, datetime ns vs us) stay warnings: the
-    # driver's canonicalizer normalizes those.
+    # numeric KIND mismatch, a Decimal-bearing object column paired
+    # with a numeric oracle column, OR an integer/float same-kind WIDTH
+    # mismatch (int32 vs int64 — the repo convention is to CAST both
+    # engines to the same width) as hard failures; only datetime/
+    # timedelta width diffs (ns vs us) remain warnings, which the
+    # driver's canonicalizer normalizes.
     import decimal
 
     for c in sorted(spark_pdf.columns):

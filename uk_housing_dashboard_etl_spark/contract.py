@@ -6659,6 +6659,9 @@ ORACLES["cluster_split"] = (
 ORACLES["similarity_ivfpq_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
+ORACLES["similarity_ivfpq_res_recall"] = (
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
 ORACLES["similarity_pq_recall"] = (
     "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
@@ -7208,6 +7211,67 @@ def q_similarity_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_res(spark: SparkSession, sf_dir: str):
+    """Residual-encoded IVF-PQ (IVFADC) at the SAME m/k/probe/oversample
+    as ``_ivfpq``, so the two recall gates measure exactly the encoding
+    difference. Coarse centroids and the shared residual codebook are
+    fit-cached; the assignment/residual/encode frames are row-local
+    projections rebuilt per call."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import kmeans_fit
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        _norm_vectors,
+        ivfpq_residual_build,
+        ivfpq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5)
+    unit = _norm_vectors(corpus, "vec_id", "embedding")
+    cents = _cached_fit(
+        spark, sf_dir, "ivfpq_res_cents",
+        lambda: kmeans_fit(
+            unit, k=8, iterations=4, id_col="vec_id", vec_col="vec"
+        ),
+    )
+    codebooks = _cached_fit(
+        spark, sf_dir, "pq32_res",
+        lambda: ivfpq_residual_build(
+            corpus, m=32, k=16, pq_iterations=2, centroids=cents
+        )[2],
+    )
+    _, cells, _, codes = ivfpq_residual_build(
+        corpus, m=32, k=16, centroids=cents, codebooks=codebooks
+    )
+    return ivfpq_topk(
+        codes, codebooks, cells, cents, corpus,
+        _query_vectors(spark, sf_dir),
+        k=10, n_probes=3, oversample=5, residual=True,
+    ), corpus
+
+
+def q_similarity_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with per-cell RESIDUAL encoding (Jégou et al.'s IVFADC):
+    codes quantize ``vector − coarse centroid`` with one shared
+    codebook, and each probe's ADC table measures the query's residual
+    in that cell's frame — tighter compressed distances than
+    full-vector PQ at identical index economics. Rows-only; gated by
+    ``similarity_ivfpq_res_recall`` in the same window."""
+    return _ivfpq_res(spark, sf_dir)[0]
+
+
+def q_similarity_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for residual IVF-PQ: per-query recall vs exact brute
+    force ≥ 0.3 at the SAME probe set and oversample as
+    ``similarity_ivfpq_recall`` — the measured recall delta between the
+    two modes is the residual-encoding payoff recorded in SCALE.md."""
+    approx, corpus = _ivfpq_res(spark, sf_dir)
+    return _topk_recall_gate(
+        brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=10),
+        approx,
+        min_recall=0.3,
+    )
+
+
 def q_streaming_joined_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM LEFT OUTER join under the driver gate: like
     ``streaming_joined`` but clicks with no purchase in their window
@@ -7348,18 +7412,25 @@ _EXTENSION_ORACLES["streaming_joined_outer"] = """
 # Deterministic-fit cache: the PQ/IVF-PQ query + recall-gate twins each
 # need the SAME codebooks/centroids (hash-seeded init, fixed iteration
 # count — bit-identical on refit), and the driver runs them as
-# independent callables in one process. Caching the localCheckpoint-ed
-# fit per (application, sf_dir) halves the family's bench cost without
-# any semantic difference; keyed by applicationId so a fresh session
-# (whose checkpoints died with the old executors) refits.
-_FIT_CACHE: dict[tuple, object] = {}
+# independent callables in one process. The cache stores DRIVER-LOCAL
+# rows (schema + collect of the ≤ m·k-row fit frame), not live
+# DataFrames: a pinned localCheckpoint would hold executor blocks for
+# the whole process lifetime (round-5 advice — cross-application
+# entries were never evicted) and would break under the bench harness's
+# between-query cache release. Rebuilding via ``createDataFrame`` from
+# a few hundred local rows is negligible next to the fit it avoids, is
+# valid across sessions (the rows are plain data), and the dict is
+# bounded by |sf_dirs| × |fit kinds|.
+_FIT_CACHE: dict[tuple, tuple] = {}
 
 
 def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
-    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    key = (sf_dir, kind)
     if key not in _FIT_CACHE:
-        _FIT_CACHE[key] = builder()
-    return _FIT_CACHE[key]
+        fitted = builder()
+        _FIT_CACHE[key] = (fitted.schema, fitted.collect())
+    schema, rows = _FIT_CACHE[key]
+    return spark.createDataFrame(rows, schema)
 
 
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7799,6 +7870,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": q_cluster_split,
     "similarity_ivfpq": q_similarity_ivfpq,
     "similarity_ivfpq_recall": q_similarity_ivfpq_recall,
+    "similarity_ivfpq_res": q_similarity_ivfpq_res,
+    "similarity_ivfpq_res_recall": q_similarity_ivfpq_res_recall,
     "streaming_joined_outer": q_streaming_joined_outer,
     "similarity_pq": q_similarity_pq,
     "similarity_pq_recall": q_similarity_pq_recall,
@@ -8186,4 +8259,91 @@ _R5_FRONT = (
 QUERIES = {
     name: QUERIES[name]
     for name in _R5_FRONT + [q for q in QUERIES if q not in _R5_FRONT]
+}
+
+# Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
+# 3): the round-6 additions first, then the twenty r1-era entries the
+# r5 TPC-H fill displaced past the window edge (dedup/sketch families +
+# §2 satellites — last driver-verified in round 1), then the r2-era
+# similarity/text/curation/behavior block (last driver-verified in
+# round 2; the ~13 names that overflow this round's ~50-slot window
+# lead the r7 rotation). r2-era names re-verified in the r4/r5 windows
+# (similarity_topk, the lsh/ivf recall gates, text_stats, quality_score,
+# curate_corpus, sessionize, embedding_near_dup_lsh) are NOT repeated.
+_R6_NEW: list[str] = [
+    "similarity_ivfpq_res",
+    "similarity_ivfpq_res_recall",
+]
+_R6_FRONT = (
+    _R6_NEW
+    + [
+        # --- last verified in round 1: dedup / sketch / §2 satellites ---
+        "asof_join",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "top_ngrams",
+        "dedup_minhash",
+        "dedup_simhash",
+        "sketch_cardinalities",
+        "sketch_weekly_distinct",
+        "sketch_quantiles",
+        "type_breakdown",
+        "coverage_report",
+        "grid_weekly",
+        "qa_metrics",
+        "week_over_week",
+        "props_json",
+        "quality_checks",
+        "latest_by_key",
+        "revenue_filter",
+        "weekly_type_pivot",
+        # --- last verified in round 2: similarity / text / curation ---
+        "similarity_lsh",
+        "similarity_ivf",
+        "embedding_near_dup",
+        "lang_id",
+        "redact_pii",
+        "hash_sample",
+        "dataset_split",
+        "stratified_sample",
+        "corpus_cube",
+        "decontaminate",
+        "repetition_stats",
+        "filter_funnel",
+        "embedding_quantize",
+        "token_histogram",
+        "robust_anomalies",
+        "price_deciles",
+        "lapsed_parts",
+        "source_cap",
+        "weekly_unpivot",
+        "repeat_customers",
+        "supplier_percentile",
+        "gap_interpolation",
+        "modal_type",
+        "knn_classify",
+        "embedding_centroids",
+        "conversion_funnel",
+        "weekly_retention",
+        "multimodal_meta",
+        # --- window overflow: r2-era names queued for the r7 window ---
+        "multimodal_decode",
+        "multimodal_features",
+        "multimodal_frames",
+        "cumulative_users",
+        "event_transitions",
+        "first_last_touch",
+        "corr_stats",
+        "price_histogram",
+        "grouping_sets",
+        "range_rolling",
+        "active_suppliers",
+        "range_join",
+        "doc_fingerprint",
+    ]
+)
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R6_FRONT + [q for q in QUERIES if q not in _R6_FRONT]
 }

@@ -38,6 +38,13 @@ from uk_housing_dashboard_etl_spark.functions.rounding import round4
 from uk_housing_dashboard_etl_spark.operators.similarity import norm_expr
 
 
+# ADC distance tables are MAPs keyed by ``sub * _PACK + cell``; the
+# packing is only injective while every cell id < _PACK, so fits with
+# k > _PACK are rejected at fit/probe time (round-5 advice: a k=1024
+# fit would silently collide table keys and return wrong distances).
+_PACK = 1000
+
+
 def _norm_vectors(
     embeddings: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -52,6 +59,21 @@ def _norm_vectors(
     return raw.where(F.col("__n") > 0).select(
         "vec_id",
         F.expr("transform(__raw, x -> x / __n)").alias("vec"),
+    )
+
+
+def _vectors(
+    embeddings: DataFrame, id_col: str, vec_col: str, normalize: bool
+) -> DataFrame:
+    """(vec_id, vec) — L2-normalized when ``normalize`` (the cosine
+    path), verbatim when not (the residual path: residuals live in the
+    tangent space around a centroid and must NOT be re-projected onto
+    the sphere)."""
+    if normalize:
+        return _norm_vectors(embeddings, id_col, vec_col)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
 
 
@@ -98,6 +120,7 @@ def pq_fit(
     iterations: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Train all ``m`` subspace codebooks jointly; returns
     (sub, cell, centroid array<double>) — m·k rows.
@@ -107,8 +130,17 @@ def pq_fit(
     hash, the ``kmeans_fit`` rule); each iteration is a broadcast
     assign + a (sub, cell)-keyed ``Summarizer.mean`` — partial combine
     reduces every partition to ≤ m·k rows before the exchange.
+
+    ``normalize=False`` trains on the raw arrays — the IVF-PQ residual
+    path, where the input is already (vector − coarse centroid).
     """
-    vectors = _norm_vectors(embeddings, id_col, vec_col)
+    if k > _PACK:
+        raise ValueError(
+            f"pq_fit k={k} exceeds {_PACK}: ADC tables pack their keys "
+            f"as sub * {_PACK} + cell, so cell ids must stay below "
+            f"{_PACK} (larger k would silently collide lookups)"
+        )
+    vectors = _vectors(embeddings, id_col, vec_col, normalize)
     d = len(vectors.select("vec").first()[0])  # 1-row schema probe
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -164,13 +196,14 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(vec_id, codes array<int>) — codes[s] is the vector's nearest
     cell in subspace s. Entirely row-local: the sorted codebook array
     broadcasts, each row evaluates m argmins inside one projection; the
     corpus never shuffles. At 100 TB this projection IS the index
-    build."""
-    vectors = _norm_vectors(embeddings, id_col, vec_col)
+    build. ``normalize=False`` encodes the raw arrays (residual path)."""
+    vectors = _vectors(embeddings, id_col, vec_col, normalize)
     m, dsub = _shape(codebooks)
     codes = F.expr(
         f"transform(sequence(0, {m - 1}), s -> array_min("
@@ -184,11 +217,19 @@ def pq_encode(
 
 
 def _shape(codebooks: DataFrame) -> tuple[int, int]:
-    """(m, dsub) from the codebook frame — a 1-row aggregate probe."""
+    """(m, dsub) from the codebook frame — a 1-row aggregate probe.
+    Rejects codebooks whose cell ids would collide the ADC key packing
+    (covers codebooks built outside :func:`pq_fit` too)."""
     r = codebooks.agg(
         (F.max("sub") + 1).alias("m"),
         F.max(F.size("centroid")).alias("dsub"),
+        F.max("cell").alias("max_cell"),
     ).first()
+    if r["max_cell"] is not None and int(r["max_cell"]) >= _PACK:
+        raise ValueError(
+            f"codebook cell id {r['max_cell']} >= {_PACK}: ADC tables "
+            f"pack keys as sub * {_PACK} + cell — refit with k <= {_PACK}"
+        )
     return int(r["m"]), int(r["dsub"])
 
 
@@ -213,12 +254,12 @@ def pq_topk(
     qs = _norm_vectors(queries, "query_id", vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    # keyed by sub*1000 + cell (a MAP, not positional): Lloyd's can
+    # keyed by sub*_PACK + cell (a MAP, not positional): Lloyd's can
     # empty a cell, so codebooks may be ragged per subspace — a dense
     # position formula would silently misalign the lookups
     dtab = F.expr(
         "map_from_entries(transform(__cents, c ->"
-        " struct(c.sub * 1000 + c.cell,"
+        f" struct(c.sub * {_PACK} + c.cell,"
         f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
     )
     qtab = qs.crossJoin(F.broadcast(_codebook_array(codebooks))).select(
@@ -226,7 +267,7 @@ def pq_topk(
     )
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-        " (acc, s) -> acc + dtab[s * 1000 + codes[s]])"
+        f" (acc, s) -> acc + dtab[s * {_PACK} + codes[s]])"
     )
     scored = codes.crossJoin(F.broadcast(qtab)).select(
         "query_id", "vec_id", round4(adc).alias("dist")
@@ -310,6 +351,7 @@ def ivfpq_topk(
     oversample: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard two-level billion-scale ANN index — coarse
     IVF cells prune WHICH vectors a query touches, PQ codes shrink WHAT
@@ -318,11 +360,17 @@ def ivfpq_topk(
 
     ``cells`` is the corpus→cell assignment (``ivf.ivf_index``),
     ``centroids`` the coarse codebook (``ivf.kmeans_fit``), ``codes``
-    the PQ encoding (:func:`pq_encode`). Codes are trained on the full
-    vectors, not per-cell residuals — residual PQ needs a codebook per
-    cell (k× the broadcast) for a precision gain the exact rerank
-    already recovers here; the pruning/compression economics are
-    unchanged.
+    the PQ encoding (:func:`pq_encode`). Default mode trains codes on
+    the full vectors; ``residual=True`` is the Jégou et al. IVFADC
+    variant — ``codes``/``codebooks`` come from
+    :func:`ivfpq_residual_build` (ONE shared codebook trained on
+    vector − coarse-centroid residuals, not a codebook per cell), and
+    the per-probe ADC table is built from the query's residual against
+    that probe's centroid, so the compressed distances approximate
+    ||q − x||² around each cell instead of globally. Same broadcast
+    economics (the per-(query, probe) table was already materialized);
+    the precision gain at equal oversample is measured by the
+    ``similarity_ivfpq_res_recall`` gate and recorded in SCALE.md.
 
     Plan: probe selection is |queries|·k_coarse row-local math; the
     compressed scan is an equi-join of the codes frame onto the
@@ -347,6 +395,7 @@ def ivfpq_topk(
             "query_id",
             "qvec",
             "cell",
+            "centroid",
             _sq_dist("qvec", "centroid").alias("__d"),
         )
         .withColumn(
@@ -356,11 +405,20 @@ def ivfpq_topk(
             ),
         )
         .where(F.col("__r") <= n_probes)
-        .select("query_id", "qvec", "cell")
+        .select("query_id", "qvec", "cell", "centroid")
     )
+    if residual:
+        # per-probe residual query: the codes were trained on
+        # (vector − centroid[cell]), so the ADC table must measure the
+        # query in the SAME per-cell frame — row-local zip_with, one
+        # extra array per (query, probe) row, nothing reshuffles
+        q_cells = q_cells.withColumn(
+            "qvec", F.expr("zip_with(qvec, centroid, (x, y) -> x - y)")
+        )
+    q_cells = q_cells.drop("centroid")
     dtab = F.expr(
         "map_from_entries(transform(__cents, c ->"
-        " struct(c.sub * 1000 + c.cell,"
+        f" struct(c.sub * {_PACK} + c.cell,"
         f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
     )
     probes = q_cells.crossJoin(
@@ -368,7 +426,7 @@ def ivfpq_topk(
     ).select("query_id", "cell", dtab.alias("dtab"))
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-        " (acc, s) -> acc + dtab[s * 1000 + codes[s]])"
+        f" (acc, s) -> acc + dtab[s * {_PACK} + codes[s]])"
     )
     short = (
         codes.join(cells.select("vec_id", "cell"), "vec_id")
@@ -412,3 +470,61 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+def ivfpq_residual_build(
+    corpus: DataFrame,
+    k_coarse: int = 8,
+    m: int = 8,
+    k: int = 16,
+    coarse_iterations: int = 4,
+    pq_iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Build the residual-encoded IVF-PQ index (Jégou et al. 2011's
+    IVFADC): returns ``(centroids, cells, codebooks, codes)`` ready for
+    ``ivfpq_topk(..., residual=True)``.
+
+    Coarse k-means runs on the L2-NORMALIZED corpus (so probe selection
+    and PQ share one geometry — the cosine sphere); each vector's
+    residual is ``unit_vec − centroid[cell]``, and ONE shared PQ
+    codebook is trained on the residual frame with ``normalize=False``
+    (residuals are tangent-space offsets; re-normalizing them would
+    destroy the geometry). This is the single-codebook residual scheme
+    — per-cell codebooks would multiply the broadcast by k_coarse for
+    marginal gain under an exact rerank.
+
+    Plan shape: the residual projection is a broadcast join of the
+    k_coarse-row centroid frame onto the assignment — row-local
+    ``zip_with``, the corpus never shuffles to be encoded. Pass
+    pre-fit ``centroids``/``codebooks`` (e.g. from a fit cache) to
+    skip the Lloyd's loops and rebuild only the row-local frames.
+    """
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        kmeans_fit,
+    )
+
+    unit = _norm_vectors(corpus, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_fit(
+            unit, k=k_coarse, iterations=coarse_iterations,
+            id_col="vec_id", vec_col="vec",
+        )
+    assigned = ivf_index(unit, centroids, id_col="vec_id", vec_col="vec")
+    resid = assigned.join(F.broadcast(centroids), "cell").select(
+        "vec_id",
+        "cell",
+        F.expr("zip_with(vec, centroid, (x, y) -> x - y)").alias("resid"),
+    )
+    if codebooks is None:
+        codebooks = pq_fit(
+            resid, m=m, k=k, iterations=pq_iterations,
+            vec_col="resid", normalize=False,
+        )
+    codes = pq_encode(resid, codebooks, vec_col="resid", normalize=False)
+    cells = assigned.select("vec_id", "cell")
+    return centroids, cells, codebooks, codes

@@ -34,6 +34,54 @@ from pyspark.sql import functions as F
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
 from uk_housing_dashboard_etl_spark.operators.dedup import _word_shingles
 
+# Broadcast the token-df map only when its MEASURED vocabulary size is
+# below this row count (~100 MB of (shingle, long) entries): shingle
+# vocabularies are unbounded at corpus scale (billions of entries at
+# 100 TB), so an unconditional hint is a driver/executor OOM — but at
+# the sizes where the map does fit, the broadcast skips re-shuffling
+# the full token frame by tok (measured 3.1 s vs 4.3 s at sf0.1, where
+# AQE alone keeps the shuffle join because both join inputs descend
+# from the same exchange). Count-guarded hint = the same pattern as
+# ``similarity.ARROW_TOPK_MAX_QUERY_MB``.
+SIMJOIN_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+def _rank_pack(
+    toks: DataFrame,
+    df_map: DataFrame,
+    n_vocab: int,
+    max_broadcast_vocab: int,
+) -> DataFrame:
+    """(doc_id, toks, size) from the (possibly multiset) token stream:
+    each doc's token SET sorted ascending (global frequency, token) —
+    rarest first. ``collect_set`` of the (freq, tok) struct dedups
+    per-doc INSIDE the single doc-keyed shuffle, so no separate
+    distinct pass exists anywhere.
+
+    The join is broadcast-hinted ONLY when the vocabulary was MEASURED
+    under the guard (then the token stream never shuffles by token —
+    its only exchange is the doc-keyed pack); above the guard the
+    fallback is a token-keyed shuffle join. Separate function so the
+    guard decision is plan-testable (the checkpoint boundary hides it
+    from the output DataFrame's plan)."""
+    hinted = (
+        F.broadcast(df_map) if n_vocab <= max_broadcast_vocab else df_map
+    )
+    return (
+        toks.join(hinted, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_set(F.struct("__df", "tok"))).alias(
+                "__ordered"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("__ordered").getField("tok").alias("toks"),
+            F.size("__ordered").cast("long").alias("size"),
+        )
+    )
+
 
 def set_similarity_join(
     documents: DataFrame,
@@ -41,6 +89,7 @@ def set_similarity_join(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = 3,
+    max_broadcast_vocab: int = SIMJOIN_BROADCAST_MAX_VOCAB,
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) with ``n``-gram-shingle-set Jaccard
     ≥ ``threshold``, found by prefix filtering — exact values, no pair
@@ -60,40 +109,36 @@ def set_similarity_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    toks = _word_shingles(documents, text_col, id_col, n).withColumnRenamed(
-        "shingle", "tok"
-    )
-
-    # Global canonical order: ascending document frequency, rarest
-    # first (ties on the token string for determinism). One corpus-wide
-    # agg; the df map is |vocab| rows — VOCABULARY-grain, unbounded at
-    # corpus scale (shingle vocabularies reach billions), so no forced
-    # broadcast: AQE promotes the join when the map actually fits,
-    # and the fallback is a token-keyed shuffle join both sides of
-    # which are already exchanged on tok by the groupBy.
-    df_map = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = toks.join(df_map, "tok")
-
-    # ONE shuffle packs each doc's tokens sorted by (df, tok); the same
-    # frame feeds prefix generation (twice) AND pair verification
-    # (twice). Without materialization Catalyst re-derives the whole
-    # tokenize→df→pack lineage four times, so localCheckpoint it — at
-    # scale this is the persisted corpus token index every similarity
-    # join keeps anyway.
-    packed = (
-        ranked.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("__df", "tok"))).alias(
-                "__ordered"
-            )
-        )
-        .select(
-            "doc_id",
-            F.col("__ordered").getField("tok").alias("toks"),
-            F.size("__ordered").cast("long").alias("size"),
-        )
+    # Raw (multiset) token stream, materialized ONCE: both the
+    # frequency aggregate and the pack consume it, and without the
+    # checkpoint each re-derives the full shingle explode — the
+    # dominant cost of the whole join at sf0.1. At scale this
+    # materialized token stream is the corpus token index every
+    # similarity join keeps anyway. No distinct() pass: per-doc dedup
+    # happens inside the pack's collect_set.
+    toks = (
+        _word_shingles(documents, text_col, id_col, n, distinct=False)
+        .withColumnRenamed("shingle", "tok")
         .localCheckpoint(eager=False)
     )
+
+    # Canonical global token order: ascending OCCURRENCE frequency,
+    # rarest first (ties on the token string for determinism). The
+    # prefix-filter guarantee holds for ANY consistent global order, so
+    # occurrence count (a plain partial-aggregated count, vocabulary-
+    # grain exchange) replaces document frequency — same boilerplate-
+    # last pruning behavior without the corpus-wide dedup shuffle exact
+    # df would need. The map is |vocab| rows — unbounded at corpus
+    # scale — so its broadcast is COUNT-GUARDED, never assumed.
+    df_map = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=True)
+    )
+
+    packed = _rank_pack(
+        toks, df_map, df_map.count(), max_broadcast_vocab
+    ).localCheckpoint(eager=False)
 
     # Prefix: the first |s| − ceil(t·|s|) + 1 tokens of the ordering —
     # each doc's RAREST shingles, so boilerplate never enters the join.

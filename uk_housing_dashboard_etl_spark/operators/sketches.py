@@ -132,7 +132,10 @@ def cms_frequency_estimates(
     Output per probe key: ``<key_col>, true_n, est_n, overestimate,
     never_under`` — CMS guarantees ``est ≥ true`` ALWAYS (the oracle
     asserts the flag), and the expected overestimate is ``N/w`` per
-    row, surfaced rather than hidden.
+    row, surfaced rather than hidden. EVERY non-null probe key gets a
+    row: a key absent from ``df`` reports ``true_n = 0`` with whatever
+    ``est_n ≥ 0`` its counters accumulated from colliding keys (the
+    round-5 advice fix — previously such probes were silently dropped).
 
     The hash family is the portable multiplicative hash (same rule as
     ``weighted_sample``), so the DuckDB oracle rebuilds the IDENTICAL
@@ -159,25 +162,37 @@ def cms_frequency_estimates(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # truth anchored on probe_keys (left join + coalesce 0), so probes
+    # absent from df still answer with true_n = 0 instead of vanishing
     truth = (
-        df.where(F.col(key_col).isNotNull())
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("true_n"))
-        .join(probe_keys, key_col, "left_semi")
+        probe_keys.where(F.col(key_col).isNotNull())
+        .select(key_col)
+        .distinct()
+        .join(
+            df.where(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("true_n")),
+            key_col,
+            "left",
+        )
+        .withColumn("true_n", F.coalesce("true_n", F.lit(0)))
     )
     probes = truth.select(
         key_col,
         "true_n",
         F.explode(buckets).alias("__b"),
     )
+    # left join: an absent key can hash to counters no df key touched —
+    # a missing sketch row means that counter is exactly 0
     est = (
         probes.join(
             F.broadcast(sketch),
             (F.col("__b.row") == F.col("row"))
             & (F.col("__b.bucket") == F.col("bucket")),
+            "left",
         )
         .groupBy(key_col, "true_n")
-        .agg(F.min("n").alias("est_n"))
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_n"))
     )
     return est.select(
         key_col,

@@ -527,8 +527,17 @@ def peak_concurrency(
     days); (3) a day-grain frame of per-day net totals gets the
     cross-day carry via one bounded unpartitioned window (|days| rows);
     (4) join the carry back (day-grain, AQE-broadcast) and take the
-    per-day max. Midnight-crossing intervals are exact: the carry
-    propagates their net effect into every later day.
+    per-day max.
+
+    Peak semantics are EVENT-INSTANT-ONLY (the spec shared with the
+    DuckDB oracle and the property test): a day's peak is the maximum
+    level measured AT its endpoints, so a day whose true maximum is the
+    midnight carry level before its first event reports the lower
+    post-event value, and days crossed by intervals but containing no
+    endpoints are absent from the output. The carry still propagates
+    midnight-crossing intervals' net effect into every later day's
+    endpoint levels — only the endpoint-free carry plateau itself is
+    unreported.
     """
     # endpoints via row-local explode, not a 2-scan union: one pass
     # over the interval table emits both the +1 start and −1 end points
