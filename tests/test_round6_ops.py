@@ -174,3 +174,116 @@ def test_fit_cache_stores_local_rows(spark):
     assert isinstance(rows, list), "cache must store driver-local rows"
     assert a.collect() == b.collect() == rows
     contract._FIT_CACHE.pop(key, None)
+
+
+# --- round-6b: khop BFS, bloom-pruned join, PCA ---
+
+
+def test_khop_distances_shortest_paths(spark):
+    from uk_housing_dashboard_etl_spark.operators.graph import khop_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    roots = spark.createDataFrame([(1,)], "root long")
+    got = {
+        (r["root"], r["node"]): r["dist"]
+        for r in khop_distances(edges, roots, max_hops=2).collect()
+    }
+    # 1-3 direct edge shortcuts the 1-2-3 path; 4 is 2 hops via 3
+    assert got == {(1, 1): 0, (1, 2): 1, (1, 3): 1, (1, 4): 2}
+
+
+def test_khop_multi_root_and_hop_bound(spark):
+    from uk_housing_dashboard_etl_spark.operators.graph import khop_distances
+
+    # a 5-chain: hop bound 1 must stop each root at its neighbours
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "src long, dst long"
+    )
+    roots = spark.createDataFrame([(1,), (5,)], "root long")
+    rows = khop_distances(edges, roots, max_hops=1).collect()
+    got = {(r["root"], r["node"], r["dist"]) for r in rows}
+    assert got == {(1, 1, 0), (1, 2, 1), (5, 5, 0), (5, 4, 1)}
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        bloom_pruned_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i % 37) for i in range(500)], "row_id long, fk long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in (0, 5, 11, 36)], "pk long, name string"
+    )
+    got = sorted(
+        (r["row_id"], r["name"])
+        for r in bloom_pruned_join(fact, dim, "fk", "pk").collect()
+    )
+    want = sorted(
+        (r["row_id"], r["name"])
+        for r in fact.join(dim, fact["fk"] == dim["pk"]).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_dense_bitmap_shape_and_membership(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        bloom_dense_bitmap,
+        bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    m_bits, k = 1 << 12, 3
+    items = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "v string"
+    )
+    bitmap = bloom_dense_bitmap(items, "v", m_bits, k)
+    [row] = bitmap.collect()
+    assert len(row["__bloom_bits"]) == m_bits // 64
+    probes = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)] + [("absent-zz",)], "v string"
+    )
+    hits = (
+        probes.crossJoin(F.broadcast(bitmap))
+        .select("v", bloom_probe(F.col("v"), m_bits, k).alias("hit"))
+        .collect()
+    )
+    by_v = {r["v"]: r["hit"] for r in hits}
+    # no false negatives, ever
+    assert all(by_v[f"key{i}"] for i in range(50))
+
+
+def test_pca_recovers_planted_direction(spark):
+    import numpy as np
+
+    from uk_housing_dashboard_etl_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+        pca_variance_check,
+    )
+
+    # points spread along (0.6, 0.8) with a small orthogonal wiggle
+    rng = [((i * 37) % 101 - 50) / 10.0 for i in range(200)]
+    wig = [((i * 53) % 7 - 3) / 30.0 for i in range(200)]
+    rows = [
+        (i, [0.6 * t - 0.8 * w + 1.0, 0.8 * t + 0.6 * w - 2.0])
+        for i, (t, w) in enumerate(zip(rng, wig))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    comps = pca_fit(emb, n_components=2).collect()
+    v1 = np.array(comps[0]["vector"])
+    assert abs(abs(float(np.dot(v1, [0.6, 0.8]))) - 1.0) < 1e-3
+    assert comps[0]["eigenvalue"] > comps[1]["eigenvalue"]
+    # canonical sign: the largest-|coordinate| entry is positive
+    for c in comps:
+        v = np.array(c["vector"])
+        assert v[int(np.argmax(np.abs(v)))] > 0
+    checks = pca_variance_check(emb, n_components=2).collect()
+    assert all(r["ok"] for r in checks)
+    # projection centers on the mean: scores of comp1 average ~0
+    scores = pca_project(emb, pca_fit(emb, 2)).collect()
+    s1 = [r["score"] for r in scores if r["component"] == 1]
+    assert abs(sum(s1) / len(s1)) < 1e-2

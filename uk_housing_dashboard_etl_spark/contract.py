@@ -8261,6 +8261,181 @@ QUERIES = {
     for name in _R5_FRONT + [q for q in QUERIES if q not in _R5_FRONT]
 }
 
+# ---------------------------------------------------------------------------
+# Round-6 additions beyond the reference surface: multi-source k-hop
+# BFS (recursive-CTE oracle — a new oracle family), Bloom-pruned
+# runtime-filter join (result ≡ the plain join, so the oracle is the
+# plain join), and PCA fit/project with a distributed spectral gate.
+
+
+def q_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (≤ 2 hops) over the 1996
+    co-purchase slice, from the 3 smallest node ids. Iterative
+    frontier-join BFS on the Spark side; the DuckDB oracle replays it
+    as a recursive CTE with UNION-dedup'd states and a min-dist
+    aggregate — both must land on identical (root, node, dist) sets."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        copurchase_edges,
+        khop_distances,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    edges = copurchase_edges(li)
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .union(edges.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    roots = nodes.orderBy("n").limit(3).select(F.col("n").alias("root"))
+    return khop_distances(edges, roots, max_hops=2)
+
+
+ORACLES["khop_distances"] = """
+    WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), e0 AS (
+        SELECT a.item AS src, b.item AS dst
+        FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2
+    ), e AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), roots AS (
+        SELECT DISTINCT src AS r FROM e ORDER BY 1 LIMIT 3
+    ), bfs AS (
+        SELECT r AS root, r AS node, 0 AS dist FROM roots
+        UNION
+        SELECT b.root, e.dst, b.dist + 1
+        FROM bfs b JOIN e ON b.node = e.src
+        WHERE b.dist < 2
+    )
+    SELECT root, node, CAST(min(dist) AS INT) AS dist
+    FROM bfs GROUP BY 1, 2
+"""
+QUERIES["khop_distances"] = q_khop_distances
+
+
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: 1996 urgent orders (selective dim) joined
+    to lineitem with the fact side Bloom-pruned INSIDE its scan stage
+    before the exact join — monthly order count + revenue. The result
+    is identical to the plain join (Bloom has no false negatives; the
+    exact join removes false positives), so the oracle is simply the
+    plain join — the correctness gate proves the pruning is invisible.
+    """
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        _dsum,
+        bloom_pruned_join,
+    )
+
+    dim = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    fact = read_table(spark, sf_dir, "lineitem")
+    joined = bloom_pruned_join(fact, dim, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy(F.month("o_orderdate").alias("month"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLES["bloom_join_prune"] = """
+    SELECT CAST(month(o_orderdate) AS INT) AS month,
+           count(DISTINCT o_orderkey) AS n_orders,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+"""
+QUERIES["bloom_join_prune"] = q_bloom_join_prune
+
+
+def _pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-cached top-4 PCA components of the embeddings table (the
+    fit is deterministic — exact integer-moment covariance + numpy
+    eigh + canonical sign — so the scores/check twins share it)."""
+    from uk_housing_dashboard_etl_spark.operators.pca import pca_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _cached_fit(
+        spark, sf_dir, "pca4", lambda: pca_fit(emb, n_components=4)
+    )
+
+
+def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scores on the top-4 principal components: the
+    distributed part is one covariance pass (D²-key combinable
+    aggregate) + a zero-shuffle broadcast projection; the D×D
+    eigenproblem is driver-sized by construction. Rows-only (no SQL
+    eigensolver); gated by ``pca_check`` in the same window."""
+    from uk_housing_dashboard_etl_spark.operators.pca import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, _pca_components(spark, sf_dir))
+
+
+def q_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spectral gate for the PCA family: per component,
+    the measured score variance must equal the eigenvalue (vᵀΣv = λ)
+    within 5%, and eigenvalues must be non-increasing. A sign error,
+    mean-centering bug, or misaligned projection fails this on real
+    data; the oracle expects every row TRUE."""
+    from uk_housing_dashboard_etl_spark.operators.pca import pca_project
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    comps = _pca_components(spark, sf_dir)
+    scores = pca_project(emb, comps)
+    measured = scores.groupBy("component").agg(
+        F.var_pop("score").alias("__var")
+    )
+    lam = comps.select(
+        "component",
+        "eigenvalue",
+        F.lead("eigenvalue")
+        .over(Window.orderBy("component"))
+        .alias("__next"),
+    )
+    return (
+        measured.join(F.broadcast(lam), "component")
+        .select(
+            "component",
+            (
+                (
+                    F.abs(F.col("__var") - F.col("eigenvalue"))
+                    <= 0.05
+                    * F.greatest(F.col("eigenvalue"), F.lit(1e-12))
+                )
+                & F.coalesce(
+                    F.col("eigenvalue") >= F.col("__next"), F.lit(True)
+                )
+            ).alias("ok"),
+        )
+        .orderBy("component")
+    )
+
+
+ORACLES["pca_check"] = """
+    SELECT CAST(c AS INT) AS component, TRUE AS ok
+    FROM (VALUES (1), (2), (3), (4)) AS t(c)
+"""
+QUERIES["pca_scores"] = q_pca_scores
+QUERIES["pca_check"] = q_pca_check
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8273,6 +8448,10 @@ QUERIES = {
 _R6_NEW: list[str] = [
     "similarity_ivfpq_res",
     "similarity_ivfpq_res_recall",
+    "khop_distances",
+    "bloom_join_prune",
+    "pca_scores",
+    "pca_check",
 ]
 _R6_FRONT = (
     _R6_NEW

@@ -335,3 +335,67 @@ def trade_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     fwd = pairs.select(c.alias("src"), s.alias("dst"), "weight")
     rev = pairs.select(s.alias("src"), c.alias("dst"), "weight")
     return fwd.union(rev)
+
+
+def khop_distances(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance (≤ ``max_hops``) from every
+    root to every node it reaches. Output ``(root, node, dist)`` with
+    ``dist`` the SHORTEST hop count, roots included at dist 0.
+
+    ``edges`` is treated as undirected (symmetrized internally, like
+    :func:`triangle_stats`); ``roots`` is a 1-column frame of node ids.
+
+    Plan shape — frontier-only expansion, the textbook distributed BFS:
+    each round joins the CURRENT FRONTIER (not the whole reached set)
+    against the edge list, anti-joins the already-visited set, and
+    checkpoints the round's result to cut the exponential lineage an
+    iterative self-referential plan would otherwise build. Per-round
+    shuffle volume is |frontier ⋈ edges| — bounded by the graph's
+    expansion, never by round count — and the visited set only ever
+    grows by genuinely new (root, node) pairs, so total work is
+    O(Σ frontier sizes), the same bound as single-machine BFS. At
+    100 TB the edge frame would be bucketed by ``src`` so every
+    frontier join is exchange-free on the edge side; round count is
+    ``max_hops`` — a constant — so the job is a fixed chain of
+    ≤ 2·max_hops shuffles, not a convergence loop.
+
+    The hop-bounded frontier NEVER collects to the driver; roots can be
+    millions of rows (e.g. "distance from every flagged document").
+    """
+    und = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    sym = (
+        und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    root_col = roots.columns[0]
+    frontier = (
+        roots.select(F.col(root_col).alias("root"))
+        .distinct()
+        .withColumn("node", F.col("root"))
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        # expand: frontier nodes -> their neighbours (one equi-join on
+        # the node key), dedup'd per (root, node) BEFORE the anti-join
+        # so the shuffle that prunes visited pairs carries each
+        # candidate once, not once per discovering path
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select("root", "node", "dist")

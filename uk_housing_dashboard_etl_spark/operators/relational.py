@@ -1143,3 +1143,99 @@ def pareto_skyline(
         (F.col(minimize_col) == F.col("__mv"))
         & (F.col(maximize_col) == F.col("__best")),
     ).drop("__mv", "__best")
+
+
+def bloom_dense_bitmap(
+    items: DataFrame, col: str, m_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """ONE-row dense Bloom bitmap: ``__bloom_bits`` is an
+    ``array<long>`` of exactly ``m_bits/64`` words (missing words
+    zero-filled), built from ``curation.build_bloom``'s sparse (word,
+    bits) frame by joining it onto the full word range and packing with
+    one ordered ``collect_list``. The row is ~``m_bits/8`` bytes
+    (128 KB at the default) REGARDLESS of item count — that bound, not
+    the data volume, is what makes it broadcastable at 100 TB."""
+    from uk_housing_dashboard_etl_spark.operators.curation import build_bloom
+
+    sparse = build_bloom(items, col, m_bits, k)
+    n_words = m_bits // 64
+    words = items.sparkSession.range(n_words).select(
+        F.col("id").alias("word")
+    )
+    return (
+        words.join(sparse, "word", "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "word", F.coalesce("bits", F.lit(0)).alias("bits")
+                    )
+                )
+            ).alias("__w")
+        )
+        .select(F.col("__w").getField("bits").alias("__bloom_bits"))
+    )
+
+
+def bloom_probe(col: F.Column, m_bits: int = 1 << 20, k: int = 5) -> F.Column:
+    """Row-local Bloom membership test against a ``bloom_dense_bitmap``
+    row in scope (column ``__bloom_bits``): true iff all ``k`` probe
+    bits are set. ``element_at`` on an ARRAY is O(1), so the whole test
+    is k hash-and-mask ops inside codegen — no join, no shuffle."""
+    test = F.lit(True)
+    for j in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m_bits))
+        word = (pos / 64).cast("int") + F.lit(1)  # element_at is 1-based
+        # F.shiftleft only takes a literal shift; call the SQL builtin
+        # so the bit index can be a column (same rule as build_bloom)
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("bigint"),
+            F.pmod(pos, F.lit(64)).cast("int"),
+        )
+        test = test & (
+            F.element_at("__bloom_bits", word).bitwiseAND(bit) != 0
+        )
+    return test
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Runtime-filter join: probe a Bloom filter built over the
+    (already filtered) dim keys ON THE FACT SCAN SIDE, then run the
+    exact join on the survivors. The result is IDENTICAL to
+    ``fact ⋈ dim`` — Bloom admits every true match (no false
+    negatives) and the exact join removes the false positives — but
+    the join shuffle only carries fact rows whose key MIGHT match.
+
+    This is the semi-join reduction Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects when statistics
+    allow; expressed as a first-class operator so the pruning applies
+    regardless of stats. The filter is a ONE-row dense bitmap
+    (:func:`bloom_dense_bitmap`, ~128 KB bounded by ``m_bits``) that
+    cross-joins broadcast into a row-local k-probe test
+    (:func:`bloom_probe`) — the fact side is filtered INSIDE its scan
+    stage, never shuffled to discover non-matches. At 100 TB the dim
+    key SET can be too large for a broadcast hash join while its Bloom
+    bitmap still fits in every executor: that asymmetry is the whole
+    pattern.
+    """
+    keyed = fact.withColumn("__k", F.col(fact_key).cast("string"))
+    bitmap = bloom_dense_bitmap(
+        dim.select(F.col(dim_key).cast("string").alias("__k")),
+        "__k",
+        m_bits,
+        k,
+    )
+    pruned = (
+        keyed.join(F.broadcast(bitmap))  # 1-row bitmap: row-local probe
+        .where(bloom_probe(F.col("__k"), m_bits, k))
+        .drop("__k", "__bloom_bits")
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
