@@ -287,3 +287,57 @@ def test_pca_recovers_planted_direction(spark):
     scores = pca_project(emb, pca_fit(emb, 2)).collect()
     s1 = [r["score"] for r in scores if r["component"] == 1]
     assert abs(sum(s1) / len(s1)) < 1e-2
+
+
+def test_mg_heavy_hitters_finds_all_true_heavies(spark):
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    # 3 heavy keys (freq 200/150/120 of N=600 > N/5=120? use k=5) among
+    # a long tail of singletons
+    rows = (
+        [("a",)] * 200 + [("b",)] * 150 + [("c",)] * 130
+        + [(f"tail{i}",) for i in range(120)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(7)
+    out = {r["key"]: r for r in mg_heavy_hitters(df, "key", k=5).collect()}
+    n = len(rows)
+    exact_heavy = {"a", "b", "c"}  # each > n/5 = 120
+    flagged = {k for k, r in out.items() if r["is_heavy"]}
+    assert flagged == exact_heavy
+    assert out["a"]["n"] == 200 and out["b"]["n"] == 150
+    assert all(r["n_rows"] == n for r in out.values())
+
+
+def test_link_prediction_square_graph(spark):
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # square 1-2-3-4-1: the two diagonals are the only predictions,
+    # each with 2 common neighbours and Jaccard 2/2=1.0
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+    )
+    got = link_prediction(edges, top_n=10).collect()
+    pairs = {(r["src"], r["dst"]): r for r in got}
+    assert set(pairs) == {(1, 3), (2, 4)}
+    for r in got:
+        assert r["common_neighbors"] == 2 and r["jaccard"] == 1.0
+    assert sorted(r["rank"] for r in got) == [1, 2]
+
+
+def test_autocorrelation_alternating_series(spark):
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    # x = +1,-1,+1,... : acf(1) ≈ -1 (n-1 of n pairs), acf(2) ≈ +1
+    rows = [(i, 1.0 if i % 2 == 0 else -1.0) for i in range(40)]
+    s = spark.createDataFrame(rows, "t int, x double")
+    got = {r["lag"]: r for r in autocorrelation(s, "t", "x", 3).collect()}
+    assert got[1]["n_pairs"] == 39 and got[2]["n_pairs"] == 38
+    assert got[1]["acf"] < -0.9
+    assert got[2]["acf"] > 0.9
+    assert abs(got[3]["acf"] - got[1]["acf"]) < 0.1  # odd lags agree

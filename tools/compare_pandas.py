@@ -96,9 +96,12 @@ def main() -> None:
         fabricate(spark, n, n_users=max(1000, n // 100), path=path)
 
         # ONE end-to-end pipeline pass (weekly mart cached by densify,
-        # so the fact aggregation runs exactly once — same as pandas)
-        spark_times = {}
-        t0 = time.time()
+        # so the fact aggregation runs exactly once — same as pandas).
+        # BEST OF TWO passes per engine, same rule (and reason) as
+        # bench.py: the first pass pays one-time JVM/codegen warmup
+        # that a long-lived deployment amortizes, and single-shot
+        # numbers on this box were measured swinging 3x on ambient VM
+        # noise (56s vs 18s for the SAME pipeline in one session).
         from pyspark.sql import functions as SF
 
         from uk_housing_dashboard_etl_spark.operators import (
@@ -124,11 +127,20 @@ def main() -> None:
                 "local_authority"
             ),
         )
-        weekly = weekly_mart(
-            enrich_with_lookup(standardize_transactions(raw), lk)
-        )
-        detect_anomalies(rolling_windows(densify_weekly_grid(weekly))).count()
-        spark_times["pipeline"] = round(time.time() - t0, 2)
+        spark_times = {}
+        for _ in range(2):
+            t0 = time.time()
+            weekly = weekly_mart(
+                enrich_with_lookup(standardize_transactions(raw), lk)
+            )
+            detect_anomalies(
+                rolling_windows(densify_weekly_grid(weekly))
+            ).count()
+            elapsed = round(time.time() - t0, 2)
+            spark_times["pipeline"] = min(
+                spark_times.get("pipeline", elapsed), elapsed
+            )
+            spark.catalog.clearCache()  # densify's cache: no carryover
         spark_core = spark_times["pipeline"]
 
         t0 = time.time()
@@ -136,6 +148,9 @@ def main() -> None:
         load_s = round(time.time() - t0, 2)
         lookup = {i: f"LA_{i % 400}" for i in range(100000)}
         pd_times = pandas_pipeline(pdf, lookup)
+        pd2 = pandas_pipeline(pdf, lookup)
+        if sum(pd2.values()) < sum(pd_times.values()):
+            pd_times = pd2
         pd_core = round(sum(pd_times.values()), 2)
 
         print(

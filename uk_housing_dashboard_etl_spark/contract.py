@@ -8436,6 +8436,162 @@ QUERIES["pca_scores"] = q_pca_scores
 QUERIES["pca_check"] = q_pca_check
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the event value buckets
+    (floor(value) — ~300-400 distinct keys, 9 genuinely above the N/60
+    bar at both driver scales, so the capacity-60 sketch REALLY prunes).
+    The registry exposes only the ``is_heavy`` survivors: their exact
+    counts are deterministic, and the oracle's exact GROUP BY/HAVING
+    must produce the identical set — which IS the MG completeness
+    guarantee, driver-verified."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    keyed = ev.select(F.floor("value").cast("bigint").alias("vbucket"))
+    return (
+        mg_heavy_hitters(keyed, "vbucket", k=60)
+        .where(F.col("is_heavy"))
+        .orderBy("vbucket")
+    )
+
+
+ORACLES["mg_heavy_hitters"] = """
+    WITH t AS (
+        SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS vbucket
+        FROM events WHERE value IS NOT NULL
+    ), tot AS (SELECT count(*) AS n_rows FROM t)
+    SELECT vbucket, count(*) AS n,
+           (SELECT n_rows FROM tot) AS n_rows,
+           TRUE AS is_heavy
+    FROM t GROUP BY 1
+    HAVING count(*) > (SELECT n_rows FROM tot) / 60.0
+"""
+QUERIES["mg_heavy_hitters"] = q_mg_heavy_hitters
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbour link prediction on the 1996 co-purchase slice:
+    top-30 NON-adjacent part pairs by neighbour-set Jaccard
+    (deterministic total order jaccard desc, src, dst). The oracle
+    replays the wedge join + anti-join + rounded Jaccard rank in SQL."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    return link_prediction(copurchase_edges(li), top_n=30)
+
+
+ORACLES["link_prediction"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    ), canon AS (
+        SELECT a.item AS src, b.item AS dst
+        FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2
+    ), sym AS (
+        SELECT src, dst FROM canon UNION ALL SELECT dst, src FROM canon
+    ), deg AS (
+        SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1
+    ), cand AS (
+        SELECT a.src AS u, b.src AS v, count(*) AS common_neighbors
+        FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+        WHERE NOT EXISTS (
+            SELECT 1 FROM canon c WHERE c.src = a.src AND c.dst = b.src
+        )
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT u AS src, v AS dst, common_neighbors,
+               floor((CAST(common_neighbors AS DOUBLE)
+                      / (du.deg + dv.deg - common_neighbors))
+                     * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM cand
+        JOIN deg du ON du.node = u
+        JOIN deg dv ON dv.node = v
+    )
+    SELECT src, dst, common_neighbors, jaccard, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY jaccard DESC, src, dst)
+                  AS rank
+        FROM scored
+    )
+    WHERE rank <= 30
+"""
+QUERIES["link_prediction"] = q_link_prediction
+
+
+def q_acf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-6) of the global weekly event-count
+    series — the seasonality fingerprint behind ``seasonality_profile``
+    and the sanity input to ``holt_weekly``'s trend assumption. The
+    fact-grain work is one groupBy; the ACF itself runs on the bounded
+    |weeks|-row series with dsum-quantized sums, so both engines land
+    on identical 4dp values."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    series = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("week", F.col("ts")).alias("week"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return autocorrelation(series, "week", "x", max_lag=6)
+
+
+def _acf_oracle_sql(max_lag: int = 6) -> str:
+    """Unrolled per-lag aggregates mirroring ``autocorrelation``: one
+    lagged CTE, one SELECT per lag, dsum-rule quantized sums."""
+    lags = ", ".join(
+        f"lag(x, {lag}) OVER (ORDER BY week) AS l{lag}"
+        for lag in range(1, max_lag + 1)
+    )
+    parts = []
+    for lag in range(1, max_lag + 1):
+        num = (
+            f"CAST(sum(CAST(round(((l{lag} - mean) * (x - mean))"
+            " * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0"
+        )
+        den = (
+            "CAST(sum(CAST(round(((x - mean) * (x - mean))"
+            " * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0"
+        )
+        parts.append(
+            f"SELECT {lag} AS lag, count(l{lag}) AS n_pairs,"
+            f" floor((({num}) / ({den})) * 10000.0 + 0.5) / 10000.0"
+            " AS acf FROM lagged"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH s AS (
+        SELECT date_trunc('week', ts) AS week,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ), m AS (
+        SELECT CAST(sum(CAST(round(x * 10000.0) AS BIGINT)) AS DOUBLE)
+               / 10000.0 / count(*) AS mean
+        FROM s
+    ), lagged AS (
+        SELECT x, mean, {lags} FROM s CROSS JOIN m
+    )
+    {union}
+    """
+
+
+ORACLES["acf_weekly"] = _acf_oracle_sql(6)
+QUERIES["acf_weekly"] = q_acf_weekly
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8452,6 +8608,9 @@ _R6_NEW: list[str] = [
     "bloom_join_prune",
     "pca_scores",
     "pca_check",
+    "mg_heavy_hitters",
+    "link_prediction",
+    "acf_weekly",
 ]
 _R6_FRONT = (
     _R6_NEW

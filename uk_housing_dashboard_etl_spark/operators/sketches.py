@@ -201,3 +201,72 @@ def cms_frequency_estimates(
         (F.col("est_n") - F.col("true_n")).alias("overestimate"),
         (F.col("est_n") >= F.col("true_n")).alias("never_under"),
     )
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters, exact-verified: every key
+    with frequency > N/k is found, with its EXACT count. Output:
+    ``<key_col>, n, n_rows, is_heavy`` for each surviving candidate.
+
+    The classical two-pass composition (MG summaries are mergeable, and
+    the union of per-batch survivor sets is a superset of the true
+    heavy hitters):
+
+    1. Every Arrow batch folds through a capacity-``k`` Misra-Gries
+       summary inside ``mapInPandas`` — per-batch sequential state is
+       exactly what MG is, so this is a sanctioned stateful kernel, not
+       a row-at-a-time UDF, and it needs NO repartition: a batch with
+       n_b rows emits ≤ k candidates including every key with LOCAL
+       frequency > n_b/k, and a key with GLOBAL frequency > N/k must
+       exceed that local bar in at least one batch (pigeonhole over
+       Σn_b = N), so the union of survivors is a guaranteed superset.
+    2. The bounded candidate set (≤ k × batches rows — sketch-grain,
+       NEVER data-grain) deduplicates and broadcasts back as a semi-
+       join, and one exact count pass runs over the matching rows only.
+
+    At 100 TB pass 2's shuffle carries counts for ≤ k·P keys instead of
+    every distinct key — the whole point vs a full groupBy: the
+    heavy-tail key space (url, token, user-agent) never materializes.
+    The ``is_heavy`` flag applies the exact N/k cut; rows below it are
+    FALSE candidates MG over-admitted, kept so the oracle can assert
+    completeness (every exact heavy hitter appears with is_heavy TRUE).
+    """
+    import pandas as pd
+
+    n_total = df.count()  # 1-row digest; also fixes the N in N/k
+    keyed = df.select(F.col(key_col).cast("string").alias("__key")).where(
+        F.col("__key").isNotNull()
+    )
+
+    def _mg(pdf_iter):
+        for pdf in pdf_iter:
+            counters: dict[str, int] = {}
+            for v in pdf["__key"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+            yield pd.DataFrame({"__key": list(counters.keys())})
+
+    candidates = keyed.mapInPandas(_mg, "`__key` string").distinct()
+    return (
+        keyed.join(F.broadcast(candidates), "__key", "left_semi")
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("__key").alias(key_col),
+            "n",
+            F.lit(n_total).cast("long").alias("n_rows"),
+            (F.col("n") > F.lit(n_total) / F.lit(k)).alias("is_heavy"),
+        )
+    )

@@ -600,3 +600,77 @@ def peak_concurrency(
             + F.coalesce(F.sum("__net").over(w_days), F.lit(0))
         ).alias("peak_active"),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function: for each lag 1..``max_lag``,
+    ``acf = Σ_t (x_t − x̄)(x_{t+lag} − x̄) / Σ_t (x_t − x̄)²`` with the
+    FULL-series mean and variance (the standard biased ACF estimator —
+    the denominator runs over all n points, the numerator over the
+    n − lag overlapping pairs). Output: (lag, n_pairs, acf).
+
+    ``series`` is ONE series at (time, value) grain — e.g. the global
+    weekly transaction count. Determinism: x̄ is a single exact
+    division of an order-independent sum, each product term is then an
+    identical IEEE double on every engine, and both Σs quantize each
+    term to 1e-4 units before an exact integer sum (the ``dsum`` rule),
+    so partitioning can never move the ratio; the result rounds to 4dp.
+
+    Plan: the series frame is AGGREGATE-grain (|periods| rows — weeks,
+    days), so the lag windows run one bounded unpartitioned sort, the
+    same documented exception as ``holt_linear``/``cusum_changepoints``.
+    The fan-out to ``max_lag`` lag columns happens in ONE window pass
+    (every F.lag shares the frame), not max_lag unions. At 100 TB the
+    heavy part is producing ``series`` (a groupBy of the fact table);
+    the ACF itself never sees fact-grain data.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import dsum
+
+    x = series.select(
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x").isNotNull())
+    # exact mean of the bounded series: integer-unit sum / count
+    stats = x.agg(
+        (
+            F.sum(F.round(F.col("__x") * 10000.0).cast("bigint")).cast(
+                "double"
+            )
+            / 10000.0
+            / F.count(F.lit(1))
+        ).alias("__mean"),
+    )
+    w = Window.orderBy("__t")  # bounded: |periods| rows by contract
+    lagged = x.crossJoin(F.broadcast(stats)).select(
+        "__x",
+        "__mean",
+        *[
+            F.lag("__x", lag).over(w).alias(f"__l{lag}")
+            for lag in range(1, max_lag + 1)
+        ],
+    )
+    dev = F.col("__x") - F.col("__mean")
+    per_lag = [
+        lagged.agg(
+            F.lit(lag).alias("lag"),
+            F.count(f"__l{lag}").alias("n_pairs"),
+            dsum((F.col(f"__l{lag}") - F.col("__mean")) * dev).alias(
+                "__num"
+            ),
+            dsum(dev * dev).alias("__den"),
+        )
+        for lag in range(1, max_lag + 1)
+    ]
+    out = per_lag[0]
+    for p in per_lag[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "lag",
+        "n_pairs",
+        round4(F.col("__num") / F.col("__den")).alias("acf"),
+    )
