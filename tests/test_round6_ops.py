@@ -341,3 +341,38 @@ def test_autocorrelation_alternating_series(spark):
     assert got[1]["acf"] < -0.9
     assert got[2]["acf"] > 0.9
     assert abs(got[3]["acf"] - got[1]["acf"]) < 0.1  # odd lags agree
+
+
+def test_band_join_matches_naive(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import band_join
+
+    left = spark.createDataFrame(
+        [(i, float(i * 3 % 50)) for i in range(80)], "lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(i, float(i * 7 % 50) + 0.5) for i in range(80)],
+        "rid long, rv double",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_join(left, right, "lv", "rv", 2.0).collect()
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in left.crossJoin(right)
+        .where(F.abs(F.col("lv") - F.col("rv")) <= 2.0)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_band_join_boundary_inclusive(spark):
+    from uk_housing_dashboard_etl_spark.operators.relational import band_join
+
+    left = spark.createDataFrame([(1, 10.0)], "lid long, lv double")
+    right = spark.createDataFrame(
+        [(1, 12.0), (2, 12.0001), (3, 8.0), (4, 7.9999)],
+        "rid long, rv double",
+    )
+    got = {r["rid"] for r in band_join(left, right, "lv", "rv", 2.0).collect()}
+    assert got == {1, 3}

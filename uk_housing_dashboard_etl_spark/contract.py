@@ -8592,6 +8592,59 @@ ORACLES["acf_weekly"] = _acf_oracle_sql(6)
 QUERIES["acf_weekly"] = q_acf_weekly
 
 
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: 1996-Q1 order pairs whose totals differ by ≤ 25.0 —
+    the |Δvalue| ≤ ε theta join as a LINEAR bucketed equi-join
+    (floor(val/ε) buckets, 3-way neighbour probe, exact filter) where
+    the naive plan is a cross join. The oracle IS the naive theta join,
+    so the gate proves the bucketing admits exactly the right pairs."""
+    from uk_housing_dashboard_etl_spark.operators.relational import band_join
+
+    ords = (
+        read_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+    a = ords.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_totalprice").alias("price_a"),
+    )
+    b = ords.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_totalprice").alias("price_b"),
+    )
+    return (
+        band_join(a, b, "price_a", "price_b", 25.0)
+        .where(F.col("order_a") < F.col("order_b"))
+        .select(
+            "order_a",
+            "order_b",
+            round4(F.abs(F.col("price_a") - F.col("price_b"))).alias(
+                "price_diff"
+            ),
+        )
+    )
+
+
+ORACLES["band_join"] = """
+    WITH o AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+    )
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           floor(abs(a.o_totalprice - b.o_totalprice) * 10000.0 + 0.5)
+               / 10000.0 AS price_diff
+    FROM o a JOIN o b
+      ON a.o_orderkey < b.o_orderkey
+     AND abs(a.o_totalprice - b.o_totalprice) <= 25.0
+"""
+QUERIES["band_join"] = q_band_join
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8611,6 +8664,7 @@ _R6_NEW: list[str] = [
     "mg_heavy_hitters",
     "link_prediction",
     "acf_weekly",
+    "band_join",
 ]
 _R6_FRONT = (
     _R6_NEW

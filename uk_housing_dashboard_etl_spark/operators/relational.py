@@ -1239,3 +1239,43 @@ def bloom_pruned_join(
         .drop("__k", "__bloom_bits")
     )
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    eps: float,
+) -> DataFrame:
+    """Band (theta) join: every (left, right) pair with
+    ``|left_val − right_val| ≤ eps``, computed WITHOUT a cross join.
+
+    Bucketize both sides to ``floor(val / eps)``; a qualifying pair's
+    buckets can differ by at most 1, so the left side probes its own
+    bucket and both neighbours (a row-local 3-way explode), the join is
+    a plain equi-join on the bucket id, and the exact |Δ| ≤ eps filter
+    removes the false candidates the coarse buckets admit. Shuffle
+    volume is 3·|left| + |right| rows keyed by bucket — linear, where
+    the naive theta join is |left|·|right|. Same decomposition as
+    ``embedding_near_dup``'s grid bucketing, in one dimension.
+
+    Skew: a value distribution that piles into one bucket degrades to
+    that bucket's local cross product — the operator is exact, so that
+    cost is irreducible (the matching pairs themselves are quadratic in
+    the pile-up); AQE's skew-join split keeps the stragglers parallel.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(eps)).cast("long")
+    probes = left.withColumn(
+        "__b", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    anchored = right.withColumn(
+        "__b", F.floor(F.col(right_val) / F.lit(eps)).cast("long")
+    )
+    return (
+        probes.join(anchored, "__b")
+        .where(
+            F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(eps)
+        )
+        .drop("__b")
+    )
