@@ -376,3 +376,39 @@ def test_band_join_boundary_inclusive(spark):
     )
     got = {r["rid"] for r in band_join(left, right, "lv", "rv", 2.0).collect()}
     assert got == {1, 3}
+
+
+def test_streaming_mg_candidates_superset(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from uk_housing_dashboard_etl_spark.streaming.topk_stream import (
+        mg_candidate_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        run_stream_once,
+    )
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", LongType())]
+    )
+    rows = (
+        [("hot1", 1)] * 60 + [("hot2", 1)] * 40
+        + [(f"tail{i}", 1) for i in range(50)]
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    sdf = mg_candidate_stream(spark, src, "k", schema, k=6, n_shards=2)
+    cand = run_stream_once(
+        sdf, query_name="mg_test_stream", output_mode="append"
+    )
+    keys = {r["key"] for r in cand.select("key").distinct().collect()}
+    # every key above N_shard/6 must survive; hot1/hot2 dominate any shard
+    assert {"hot1", "hot2"} <= keys
+    # candidate volume stays sketch-grain: <= k per shard per batch
+    per = cand.groupBy("shard", "batch_seq").count().collect()
+    assert all(r["count"] <= 6 for r in per)

@@ -8645,6 +8645,85 @@ ORACLES["band_join"] = """
 QUERIES["band_join"] = q_band_join
 
 
+def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries trending keys under the driver gate: the
+    capacity-60 per-shard summaries live in applyInPandasWithState and
+    fold each micro-batch incrementally (state persistence makes the
+    multi-batch fold identical to one-pass MG, so the superset
+    guarantee holds over the whole drain). The drained candidates are
+    exact-counted in one batch pass and cut at > N/60 — the result
+    must equal the exact batch heavy-hitter set, so the oracle is the
+    SAME exact GROUP BY/HAVING as ``mg_heavy_hitters``: the streaming
+    and batch sketches are interchangeable by construction."""
+    import hashlib
+    import tempfile
+    import uuid
+
+    from uk_housing_dashboard_etl_spark.streaming.topk_stream import (
+        mg_candidate_stream,
+    )
+    from uk_housing_dashboard_etl_spark.streaming.weekly_stream import (
+        EVENTS_STREAM_SCHEMA,
+        run_stream_once,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    land = os.path.join(tempfile.gettempdir(), f"spark_graft_mgstream_{tag}")
+    os.makedirs(land, exist_ok=True)
+    link = os.path.join(land, "events.parquet")
+    try:
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    except FileExistsError:
+        pass
+    sdf = mg_candidate_stream(
+        spark,
+        land,
+        "CAST(floor(value) AS BIGINT)",
+        EVENTS_STREAM_SCHEMA,
+        k=60,
+        n_shards=8,
+    )
+    with _stream_state_partitions(spark):
+        cand = run_stream_once(
+            sdf,
+            query_name=f"mgstr_{uuid.uuid4().hex[:10]}",
+            output_mode="append",
+        )
+    # every emitted candidate across batches: the FINAL per-shard
+    # summaries are the guaranteed superset, and earlier batches'
+    # since-evicted survivors only widen it (≤ k·shards·batches keys,
+    # sketch-grain) — the exact N/k cut below removes every extra, so
+    # the union avoids a memory-sink self-join for zero correctness cost
+    latest = cand.select("key")
+    keyed = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.floor("value").cast("bigint").cast("string").alias("vbucket"))
+    )
+    n_total = keyed.count()  # 1-row digest, fixes N for the N/k cut
+    return (
+        keyed.join(
+            F.broadcast(latest.distinct()),
+            keyed["vbucket"] == F.col("key"),
+            "left_semi",
+        )
+        .groupBy("vbucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > F.lit(n_total) / F.lit(60))
+        .select(
+            "vbucket",
+            "n",
+            F.lit(n_total).cast("long").alias("n_rows"),
+            F.lit(True).alias("is_heavy"),
+        )
+        .orderBy("vbucket")
+    )
+
+
+ORACLES["streaming_mg_topk"] = ORACLES["mg_heavy_hitters"]
+QUERIES["streaming_mg_topk"] = q_streaming_mg_topk
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8665,6 +8744,7 @@ _R6_NEW: list[str] = [
     "link_prediction",
     "acf_weekly",
     "band_join",
+    "streaming_mg_topk",
 ]
 _R6_FRONT = (
     _R6_NEW
