@@ -412,3 +412,52 @@ def test_streaming_mg_candidates_superset(spark, tmp_path):
     # candidate volume stays sketch-grain: <= k per shard per batch
     per = cand.groupBy("shard", "batch_seq").count().collect()
     assert all(r["count"] <= 6 for r in per)
+
+
+def test_matryoshka_recall_prefix_signal(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # all signal in dims 1-2, dims 3-8 ZERO: the truncated dot product
+    # and norms equal the full ones exactly, so the 2-dim ranking must
+    # reproduce the full ranking (recall 1.0)
+    rows = [
+        (i, [float(i % 13) + 1.0, float((i * 5) % 11) + 1.0] + [0.0] * 6)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.where(F.col("vec_id") >= 4)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = matryoshka_recall(corpus, queries, dims=(2, 8), k=5)
+    rows_out = out.collect()
+    by_dim = {}
+    for r in rows_out:
+        by_dim.setdefault(r["dim"], []).append(r["recall"])
+    assert all(v == 1.0 for v in by_dim[8]), "full dim must self-agree"
+    assert all(v == 1.0 for v in by_dim[2]), "prefix carries all signal"
+    assert len(rows_out) == 2 * 4  # every (dim, query) answered
+
+
+def test_matryoshka_recall_drops_when_signal_in_tail(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    # signal ONLY in the tail dims: a 2-dim truncation ranks on the
+    # constant prefix (all-equal scores -> id-ordered) and must lose
+    # most of the true top-k
+    rows = [
+        (i, [1.0, 1.0] + [float((i * 7) % 23), float((i * 3) % 19)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = emb.where(F.col("vec_id") >= 4)
+    queries = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = matryoshka_recall(corpus, queries, dims=(2,), k=5).collect()
+    mean_rec = sum(r["recall"] for r in out) / len(out)
+    assert mean_rec < 0.9

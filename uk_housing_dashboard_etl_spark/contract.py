@@ -8724,6 +8724,97 @@ ORACLES["streaming_mg_topk"] = ORACLES["mg_heavy_hitters"]
 QUERIES["streaming_mg_topk"] = q_streaming_mg_topk
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation curve: per (prefix-dim, query) recall of
+    truncated-vector cosine top-10 vs the full 64-dim exact top-10 —
+    the quality-vs-cost measurement for shrinking an embedding index.
+    Each dim is one zero-shuffle broadcast scan; the oracle replays
+    every truncated ranking with prefix-bounded dot products."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb.where(F.col("vec_id") >= 5),
+        _query_vectors(spark, sf_dir),
+        dims=(8, 16, 32),
+        k=10,
+    )
+
+
+def _matryoshka_oracle_sql(dims: tuple = (8, 16, 32), k: int = 10) -> str:
+    """Per-dim truncated rankings as unioned CTEs, each intersected
+    with the full-dim top-k (the same prefix-slice cosine the Spark
+    operator scores, dim-bounded ``generate_series`` dot products)."""
+
+    def cos_d(d: int) -> str:
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, {d}),"
+            " i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))),"
+            " (x, y) -> x + y)"
+        )
+        nq = (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, {d}),"
+            " i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),"
+            " (x, y) -> x + y))"
+        )
+        nc = (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, {d}),"
+            " i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))),"
+            " (x, y) -> x + y))"
+        )
+        return f"({dot}) / (({nq}) * ({nc}))"
+
+    parts = []
+    for d in sorted(dims):
+        parts.append(f"""
+    SELECT {d} AS dim, g.query_id,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / {k} AS recall
+    FROM (SELECT DISTINCT query_id FROM full_topk) g
+    LEFT JOIN (
+        SELECT t.query_id, count(*) AS n_hit
+        FROM (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY floor(({cos_d(d)}) * 10000.0 + 0.5)
+                                    / 10000.0 DESC, vec_id) AS r
+                FROM c CROSS JOIN q
+            ) WHERE r <= {k}
+        ) t
+        JOIN full_topk f
+          ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+        GROUP BY 1
+    ) h ON h.query_id = g.query_id""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5
+    ), full_topk AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY floor(({cos_d(64)}) * 10000.0 + 0.5)
+                                / 10000.0 DESC, vec_id) AS r
+            FROM c CROSS JOIN q
+        ) WHERE r <= {k}
+    )
+    {union}
+    """
+
+
+ORACLES["matryoshka_recall"] = _matryoshka_oracle_sql((8, 16, 32), 10)
+QUERIES["matryoshka_recall"] = q_matryoshka_recall
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8745,6 +8836,7 @@ _R6_NEW: list[str] = [
     "acf_weekly",
     "band_join",
     "streaming_mg_topk",
+    "matryoshka_recall",
 ]
 _R6_FRONT = (
     _R6_NEW
