@@ -461,3 +461,41 @@ def test_matryoshka_recall_drops_when_signal_in_tail(spark):
     out = matryoshka_recall(corpus, queries, dims=(2,), k=5).collect()
     mean_rec = sum(r["recall"] for r in out) / len(out)
     assert mean_rec < 0.9
+
+
+def test_bpe_train_learns_frequent_pair_first(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "abab cd cd")],
+        "doc_id long, text string",
+    )
+    merges = sorted(bpe_train(docs, n_merges=3).collect(), key=lambda r: r["rank"])
+    # 'ab' is the most frequent adjacent pair, then 'abab' forms
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+    assert merges[1]["merged"] == "abab"
+
+
+def test_bpe_apply_roundtrip_and_bounds(spark):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the"),
+            (3, "unseen zzzqqq words"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=10)
+    out = {r["doc_id"]: r for r in bpe_apply(docs, merges).collect()}
+    for r in out.values():
+        assert r["roundtrip_ok"] and r["compressed_ok"]
+    assert out[2]["n_words"] == 3 and out[2]["n_symbols_before"] == 9
+    # 'the' is the top word: after 10 merges it must be ONE token
+    assert out[2]["n_symbols_after"] == 3

@@ -8815,6 +8815,77 @@ ORACLES["matryoshka_recall"] = _matryoshka_oracle_sql((8, 16, 32), 10)
 QUERIES["matryoshka_recall"] = q_matryoshka_recall
 
 
+def _bpe_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-cached 40-merge BPE table applied to the documents corpus
+    (the trainer is deterministic — count-desc/pair tie-break over the
+    exact word-count table — so the encode/check twins share one fit)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        bpe_apply,
+        bpe_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _cached_fit(
+        spark, sf_dir, "bpe40", lambda: bpe_train(docs, n_merges=40)
+    )
+    return bpe_apply(docs, merges)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE tokenization stats under a trained 40-merge
+    table: token counts and the chars→tokens compression ratio. The
+    token counts depend on the learned merges (no SQL equivalent), so
+    this is rows-only; its invariants are hash-verified by
+    ``bpe_encode_check`` in the same window."""
+    out = _bpe_applied(spark, sf_dir)
+    return out.select(
+        "doc_id",
+        "n_symbols_after",
+        round4(
+            F.col("n_symbols_after")
+            / F.greatest(F.col("n_symbols_before"), F.lit(1)).cast("double")
+        ).alias("compression"),
+    )
+
+
+def q_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the BPE family: per doc, the word and character
+    counts must match the SQL-computed truth exactly, the tokenization
+    must round-trip (concatenating each word's tokens rebuilds the
+    word — lossless by construction), and token counts must sit in
+    [words, characters]. A merge-application bug breaks roundtrip or
+    the bounds on real data."""
+    return _bpe_applied(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "n_symbols_before",
+        "roundtrip_ok",
+        "compressed_ok",
+    )
+
+
+ORACLES["bpe_encode_check"] = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       '\\s+'),
+                   x -> x <> '') AS words
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                AS BIGINT) AS n_symbols_before,
+           TRUE AS roundtrip_ok,
+           TRUE AS compressed_ok
+    FROM w
+"""
+QUERIES["bpe_encode"] = q_bpe_encode
+QUERIES["bpe_encode_check"] = q_bpe_encode_check
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8837,6 +8908,8 @@ _R6_NEW: list[str] = [
     "band_join",
     "streaming_mg_topk",
     "matryoshka_recall",
+    "bpe_encode",
+    "bpe_encode_check",
 ]
 _R6_FRONT = (
     _R6_NEW

@@ -1187,3 +1187,180 @@ def strip_boilerplate_chunks(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = 40,
+    text_col: str = "text",
+    max_vocab_rows: int = 2_000_000,
+) -> DataFrame:
+    """Train a byte-pair-encoding merge list (Sennrich et al. 2016):
+    returns (rank 1-based, left, right, merged) — the sequential merge
+    table :func:`bpe_apply` consumes.
+
+    Scale split (the ``pca_fit`` pattern): the DATA-sized work is ONE
+    distributed word-count aggregate (corpus tokens collapse to the
+    distinct-word frame — at 100 TB, millions of rows vs trillions of
+    tokens); the MODEL-sized work — the inherently SEQUENTIAL merge
+    loop, where merge i+1's counts depend on merge i — runs driver-side
+    over that compact table, exactly like the classical trainer. The
+    collect is VOCABULARY-grain and guarded: above ``max_vocab_rows``
+    the trainer keeps the most frequent words (documented truncation —
+    the standard practice of training tokenizers on a capped vocab /
+    sample; rare-word tails contribute ~nothing to pair counts).
+
+    Determinism: ties on pair count break on the pair itself, so the
+    merge list is a pure function of the word-count table.
+    """
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+        r"\s+",
+    )
+    wc = (
+        documents.select(F.explode(toks).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from uk_housing_dashboard_etl_spark.functions.topk import (
+        deterministic_topk,
+    )
+
+    rows = deterministic_topk(
+        wc, [F.col("n").desc(), F.col("word")], max_vocab_rows
+    ).collect()
+    vocab = {tuple(r["word"]): int(r["n"]) for r in rows}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == best
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+        merges.append((rank, best[0], best[1], merged))
+    return documents.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string"
+    )
+
+
+def bpe_apply(
+    documents: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize every document with a trained merge list: per doc,
+    ``n_words, n_symbols_before (characters), n_symbols_after (BPE
+    tokens), roundtrip_ok (concatenating each word's tokens rebuilds
+    the word — tokenization is lossless by construction, so FALSE means
+    a bug), compressed_ok (words ≤ tokens ≤ characters)``.
+
+    Plan: the merge list is model-grain (n_merges rows) and broadcasts
+    inside an Arrow-batched ``mapInPandas`` kernel — encoding is the
+    per-word sequential merge fold, memoized per DISTINCT word within
+    each batch (Zipf reuse makes the memo hit rate high), so this is a
+    sanctioned stateful kernel on the UDF-allowed list, not row-at-a-
+    time Python in a hot loop. The corpus never shuffles; output is
+    doc-grain.
+    """
+    import re as _re
+
+    import pandas as pd
+
+    merge_list = [
+        (r["left"], r["right"]) for r in sorted(
+            merges.collect(), key=lambda r: r["rank"]
+        )
+    ]
+
+    def _encode_word(word: str, memo: dict) -> list:
+        if word in memo:
+            return memo[word]
+        syms = list(word)
+        for left, right in merge_list:
+            i, out = 0, []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = syms
+        return syms
+
+    def _kernel(pdfs):
+        memo: dict = {}
+        for pdf in pdfs:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [
+                    w
+                    for w in _re.split(r"\s+", (text or "").lower().strip())
+                    if w
+                ]
+                n_chars = sum(len(w) for w in words)
+                n_tok = 0
+                ok = True
+                for w in words:
+                    t = _encode_word(w, memo)
+                    n_tok += len(t)
+                    if "".join(t) != w:
+                        ok = False
+                recs.append(
+                    (
+                        doc_id,
+                        len(words),
+                        n_chars,
+                        n_tok,
+                        ok,
+                        len(words) <= n_tok <= n_chars if words else True,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id",
+                    "n_words",
+                    "n_symbols_before",
+                    "n_symbols_after",
+                    "roundtrip_ok",
+                    "compressed_ok",
+                ],
+            )
+
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return base.mapInPandas(
+        _kernel,
+        "doc_id long, n_words long, n_symbols_before long,"
+        " n_symbols_after long, roundtrip_ok boolean,"
+        " compressed_ok boolean",
+    )
