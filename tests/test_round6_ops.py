@@ -499,3 +499,42 @@ def test_bpe_apply_roundtrip_and_bounds(spark):
     assert out[2]["n_words"] == 3 and out[2]["n_symbols_before"] == 9
     # 'the' is the top word: after 10 merges it must be ONE token
     assert out[2]["n_symbols_after"] == 3
+
+
+def test_salted_join_equals_plain_join(spark):
+    from uk_housing_dashboard_etl_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 5) for i in range(300)] + [(1000 + i, 2) for i in range(200)],
+        "row_id long, fk long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(5)], "pk long, name string"
+    )
+    got = sorted(
+        (r["row_id"], r["name"])
+        for r in salted_join(fact, dim, "fk", "pk", 8).collect()
+    )
+    want = sorted(
+        (r["row_id"], r["name"])
+        for r in fact.join(dim, fact["fk"] == dim["pk"]).collect()
+    )
+    assert got == want and len(got) == 500
+
+
+def test_hll_intersection_estimate_bounds(spark):
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    rows = (
+        [("a", i) for i in range(400)]          # A = 0..399
+        + [("b", i) for i in range(200, 700)]   # B = 200..699
+        + [("c", i) for i in range(50)]         # noise set, excluded
+    )
+    df = spark.createDataFrame(rows, "s string, id long")
+    [r] = hll_intersection_estimate(df, "s", "id", "a", "b").collect()
+    assert r["exact_a"] == 400 and r["exact_b"] == 500
+    assert r["exact_union"] == 700 and r["exact_inter"] == 200
+    assert r["within_bound"]
+    assert abs(r["est_inter"] - 200) <= 0.05 * 700

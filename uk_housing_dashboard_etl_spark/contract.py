@@ -8886,6 +8886,84 @@ QUERIES["bpe_encode"] = q_bpe_encode
 QUERIES["bpe_encode_check"] = q_bpe_encode_check
 
 
+def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join under the driver gate: lineitem ⋈ 1996
+    orders on (orderkey, per-row salt) with the dim replicated 16× —
+    identical result to the plain join (which IS the oracle), hot fact
+    keys spread over 16 reducers. The explicit form of what AQE's
+    skew-join split does when runtime stats reveal the skew."""
+    from uk_housing_dashboard_etl_spark.functions.skew import salted_join
+    from uk_housing_dashboard_etl_spark.operators.relational import _dsum
+
+    dim = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_orderpriority")
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        salted_join(fact, dim, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLES["salted_join_stats"] = """
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+"""
+QUERIES["salted_join_stats"] = q_salted_join_stats
+
+
+def q_sketch_intersection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL inclusion-exclusion set overlap under the driver gate:
+    |clickers ∩ purchasers| estimated from three mergeable sketches,
+    emitted next to the exact counts with a 3-standard-error bound flag
+    (error scales with |A ∪ B| — surfaced, not hidden). The oracle
+    recomputes the exact side and asserts the flag; the raw estimate is
+    engine-specific and stays out of the hashed columns."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        hll_intersection_estimate,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return hll_intersection_estimate(
+        ev, "event_type", "user_id", "click", "purchase", lg_k=12
+    ).select(
+        "exact_a", "exact_b", "exact_union", "exact_inter", "within_bound"
+    )
+
+
+ORACLES["sketch_intersection_check"] = """
+    WITH ids AS (
+        SELECT event_type AS s, user_id AS id FROM events
+        WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+    )
+    SELECT
+        (SELECT count(DISTINCT id) FROM ids WHERE s = 'click') AS exact_a,
+        (SELECT count(DISTINCT id) FROM ids WHERE s = 'purchase') AS exact_b,
+        (SELECT count(DISTINCT id) FROM ids) AS exact_union,
+        (SELECT count(*) FROM (
+            SELECT DISTINCT id FROM ids WHERE s = 'click'
+            INTERSECT
+            SELECT DISTINCT id FROM ids WHERE s = 'purchase')) AS exact_inter,
+        TRUE AS within_bound
+"""
+QUERIES["sketch_intersection_check"] = q_sketch_intersection_check
+
+
 # Round-6 window rotation (README "r6 (planned)" row, VERDICT r5 item
 # 3): the round-6 additions first, then the twenty r1-era entries the
 # r5 TPC-H fill displaced past the window edge (dedup/sketch families +
@@ -8910,6 +8988,8 @@ _R6_NEW: list[str] = [
     "matryoshka_recall",
     "bpe_encode",
     "bpe_encode_check",
+    "salted_join_stats",
+    "sketch_intersection_check",
 ]
 _R6_FRONT = (
     _R6_NEW

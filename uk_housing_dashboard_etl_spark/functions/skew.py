@@ -47,3 +47,42 @@ def salted_agg(
         for col, how in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join: identical result to ``fact ⋈ dim``, but a
+    pathologically hot fact key spreads over ``salt_buckets`` reducers
+    instead of funneling through one.
+
+    Fact rows get a per-ROW salt (``rand``-derived — correctness never
+    depends on it); the dim side replicates each row ``salt_buckets``
+    times via a row-local explode, and the join runs on
+    (key, salt) — so the hot key's rows land on ``salt_buckets``
+    distinct reducers, each holding a full copy of that key's dim rows.
+
+    Cost model: dim inflates ``salt_buckets``×, so this is for the
+    MEDIUM dim — too big to broadcast (where the skew problem wouldn't
+    exist), small enough that B× replication beats one straggler
+    reducer holding the hot key's entire fact volume. AQE's skew-join
+    split covers most such cases automatically (enabled in session.py);
+    this operator is the explicit form for engines/paths where AQE
+    can't see the skew (e.g. a first-shuffle straight off a scan with
+    no runtime stats yet).
+    """
+    f = fact.withColumn(
+        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    return f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+    ).drop("__salt")

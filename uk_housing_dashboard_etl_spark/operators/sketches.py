@@ -270,3 +270,80 @@ def mg_heavy_hitters(
             (F.col("n") > F.lit(n_total) / F.lit(k)).alias("is_heavy"),
         )
     )
+
+
+def hll_intersection_estimate(
+    df: DataFrame,
+    set_col: str,
+    id_col: str,
+    set_a: str,
+    set_b: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Estimate |A ∩ B| from HLL sketches via inclusion-exclusion
+    (|A| + |B| − |A ∪ B|) next to the EXACT intersection — the
+    set-overlap question (audience overlap, benchmark contamination
+    overlap) answered without materializing either id set.
+
+    One row out: exact_a/b/union/inter, est_inter, within_bound. HLL
+    union is LOSSLESS over sketches (the registers max-merge), so the
+    only error is estimation error on three cardinalities; the bound
+    flag allows 3 standard HLL errors (3·1.04/√2^lg_k) on the UNION
+    magnitude — inclusion-exclusion error scales with |A ∪ B|, not
+    with the (possibly tiny) intersection, and the output surfaces
+    that honestly rather than promising relative accuracy.
+
+    Plan: one scan builds both sketches (conditional aggregates), the
+    exact side is two semi-joined count-distincts for the gate; at
+    100 TB you keep ONLY the sketches (mergeable, ~4 KB each) and the
+    exact side disappears.
+    """
+    ids = df.select(
+        F.col(set_col).alias("__s"), F.col(id_col).alias("__id")
+    ).where(F.col("__s").isin(set_a, set_b) & F.col("__id").isNotNull())
+    a_ids = F.when(F.col("__s") == set_a, F.col("__id"))
+    b_ids = F.when(F.col("__s") == set_b, F.col("__id"))
+    sk = ids.agg(
+        F.hll_sketch_agg(a_ids, F.lit(lg_k)).alias("__ska"),
+        F.hll_sketch_agg(b_ids, F.lit(lg_k)).alias("__skb"),
+        F.countDistinct(a_ids).alias("exact_a"),
+        F.countDistinct(b_ids).alias("exact_b"),
+    ).select(
+        "exact_a",
+        "exact_b",
+        F.hll_sketch_estimate("__ska").alias("__ea"),
+        F.hll_sketch_estimate("__skb").alias("__eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("__ska", "__skb")
+        ).alias("__eu"),
+    )
+    exact_inter = (
+        ids.where(F.col("__s") == set_a)
+        .select("__id")
+        .intersect(ids.where(F.col("__s") == set_b).select("__id"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exact_union = ids.agg(
+        F.countDistinct("__id").alias("exact_union")
+    )
+    err = 3.0 * 1.04 / (2.0 ** (lg_k / 2.0))
+    return (
+        sk.crossJoin(exact_inter)  # three 1-row frames: scalar joins
+        .crossJoin(exact_union)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            (F.col("__ea") + F.col("__eb") - F.col("__eu")).alias(
+                "est_inter"
+            ),
+            (
+                F.abs(
+                    (F.col("__ea") + F.col("__eb") - F.col("__eu"))
+                    - F.col("exact_inter")
+                )
+                <= F.lit(err) * F.col("exact_union")
+            ).alias("within_bound"),
+        )
+    )
