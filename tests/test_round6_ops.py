@@ -538,3 +538,51 @@ def test_hll_intersection_estimate_bounds(spark):
     assert r["exact_union"] == 700 and r["exact_inter"] == 200
     assert r["within_bound"]
     assert abs(r["est_inter"] - 200) <= 0.05 * 700
+
+
+def test_bloom_pruned_join_filters_fact_before_exchange(spark):
+    """The Bloom probe must run as a row-local Filter on the fact scan
+    side (below the equi-join), and the bitmap must arrive via a 1-row
+    broadcast — never a shuffle."""
+    from uk_housing_dashboard_etl_spark.operators.relational import (
+        bloom_pruned_join,
+    )
+
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 97).alias("fk")
+    )
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("pk"), F.concat(F.lit("d"), F.col("id")).alias("nm")
+    )
+    plan = (
+        bloom_pruned_join(fact, dim, "fk", "pk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan, "bloom probe filter missing from the plan"
+    # the 1-row bitmap joins as a broadcast nested loop (no join keys),
+    # so the probed fact never shuffles to discover non-matches
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_join_plans_as_equi_join(spark):
+    """The bucketed band join must plan as a hash/sort-merge equi-join
+    on the bucket id — never a nested-loop/cartesian theta join."""
+    from uk_housing_dashboard_etl_spark.operators.relational import band_join
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("lid"), (F.col("id") % 211).cast("double").alias("lv")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("rid"), (F.col("id") % 223).cast("double").alias("rv")
+    )
+    plan = (
+        band_join(left, right, "lv", "rv", 2.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
