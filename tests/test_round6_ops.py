@@ -586,3 +586,27 @@ def test_band_join_plans_as_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_normalize_ranks_per_dimension(spark):
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        quantile_normalize,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [10.0, 5.0]),
+            (2, [20.0, 5.0]),
+            (3, [30.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["vec_id"], r["dim"]): r["q"]
+        for r in quantile_normalize(emb).collect()
+    }
+    # dim 1: strictly increasing -> 0, 0.5, 1
+    assert got[(1, 1)] == 0.0 and got[(2, 1)] == 0.5 and got[(3, 1)] == 1.0
+    # dim 2: tie at 5.0 shares percent_rank 0.5; the 1.0 value is rank 0
+    assert got[(3, 2)] == 0.0
+    assert got[(1, 2)] == got[(2, 2)] == 0.5

@@ -8946,6 +8946,35 @@ def q_sketch_intersection_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension rank (quantile) normalization of the embedding
+    matrix — distribution-free feature scaling before quantization or
+    mixed-model ensembling. One posexplode + ONE window partitioned by
+    dimension (D parallel bounded sorts); the documented 100 TB
+    degradation path is KLL-bucketed mapping (no per-dim sort)."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(read_table(spark, sf_dir, "embeddings"))
+
+
+ORACLES["embedding_quantile_norm"] = """
+    SELECT vec_id,
+           CAST(pos AS INT) AS dim,
+           floor(CAST(v AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS value,
+           floor(percent_rank() OVER (PARTITION BY pos ORDER BY v)
+                 * 10000.0 + 0.5) / 10000.0 AS q
+    FROM (
+        SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    )
+"""
+QUERIES["embedding_quantile_norm"] = q_embedding_quantile_norm
+
+
 ORACLES["sketch_intersection_check"] = """
     WITH ids AS (
         SELECT event_type AS s, user_id AS id FROM events
@@ -8990,6 +9019,7 @@ _R6_NEW: list[str] = [
     "bpe_encode_check",
     "salted_join_stats",
     "sketch_intersection_check",
+    "embedding_quantile_norm",
 ]
 _R6_FRONT = (
     _R6_NEW

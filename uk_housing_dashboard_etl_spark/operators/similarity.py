@@ -938,3 +938,40 @@ def matryoshka_recall(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def quantile_normalize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension rank (quantile) normalization: every coordinate
+    maps to its percent_rank within its dimension — the
+    distribution-free feature scaling that makes heterogeneous
+    embedding dimensions comparable (heavy-tailed dims stop dominating
+    L2 distances; the standard preprocessing before quantization or
+    mixed-model ensembling). Output: (vec_id, dim 1-based, value, q)
+    with q ∈ [0, 1], ties sharing a rank (SQL percent_rank semantics,
+    identical across engines).
+
+    Plan: one row-local posexplode, then ONE window partitioned BY
+    DIMENSION — D partitions of n rows each, a bounded per-partition
+    sort that parallelizes across dims. At 100 TB exact per-dim ranks
+    mean sorting n values per dim; the documented degradation path is
+    the KLL sketch (``sketches.quantile_sketch_summary``): estimate
+    each dim's quantile boundaries once, then map coordinates to
+    buckets row-locally — constant memory, no per-dim sort.
+    """
+    from pyspark.sql import Window
+
+    exploded = embeddings.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "value"),
+    )
+    w = Window.partitionBy("__pos").orderBy("value")
+    return exploded.select(
+        "vec_id",
+        (F.col("__pos") + 1).cast("int").alias("dim"),
+        round4(F.col("value").cast("double")).alias("value"),
+        round4(F.percent_rank().over(w)).alias("q"),
+    )
