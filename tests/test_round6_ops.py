@@ -610,3 +610,21 @@ def test_quantile_normalize_ranks_per_dimension(spark):
     # dim 2: tie at 5.0 shares percent_rank 0.5; the 1.0 value is rank 0
     assert got[(3, 2)] == 0.0
     assert got[(1, 2)] == got[(2, 2)] == 0.5
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    # one group: 19 values at 10.0 and one huge outlier
+    rows = [("g", 10.0)] * 19 + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    [r] = winsorized_stats(df, "grp", "v", lo=0.05, hi=0.95).collect()
+    assert r["n"] == 20
+    assert r["raw_mean"] == 59.5
+    # p95 (interpolated over 19x10+1000) pins the fence near 10,
+    # so the winsorized mean collapses toward 10 and below the raw mean
+    assert r["winsorized_mean"] < r["raw_mean"]
+    assert r["winsorized_mean"] < 70.0
+    assert r["p_lo"] == 10.0

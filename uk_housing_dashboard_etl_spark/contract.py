@@ -8975,6 +8975,46 @@ ORACLES["embedding_quantile_norm"] = """
 QUERIES["embedding_quantile_norm"] = q_embedding_quantile_norm
 
 
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized order totals per priority: exact [p5, p95] fences,
+    row-local clip, dsum-disciplined mean next to the raw mean — the
+    bounded-influence robust aggregate that keeps every row's vote."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    return winsorized_stats(
+        read_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+    ).orderBy("o_orderpriority")
+
+
+ORACLES["winsorized_prices"] = """
+    WITH fences AS (
+        SELECT o_orderpriority AS grp,
+               count(*) AS n,
+               floor(quantile_cont(o_totalprice, 0.05) * 10000.0 + 0.5)
+                   / 10000.0 AS p_lo,
+               floor(quantile_cont(o_totalprice, 0.95) * 10000.0 + 0.5)
+                   / 10000.0 AS p_hi,
+               floor((CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) AS DOUBLE)
+                      / 10000.0 / count(o_totalprice)) * 10000.0 + 0.5)
+                   / 10000.0 AS raw_mean
+        FROM orders GROUP BY 1
+    )
+    SELECT f.grp AS o_orderpriority, f.n, f.p_lo, f.p_hi, f.raw_mean,
+           floor((CAST(sum(CAST(round(
+                      greatest(least(o.o_totalprice, f.p_hi), f.p_lo)
+                      * 10000.0) AS BIGINT)) AS DOUBLE)
+                  / 10000.0 / count(*)) * 10000.0 + 0.5) / 10000.0
+               AS winsorized_mean
+    FROM orders o JOIN fences f ON o.o_orderpriority = f.grp
+    GROUP BY 1, 2, 3, 4, 5
+"""
+QUERIES["winsorized_prices"] = q_winsorized_prices
+
+
 ORACLES["sketch_intersection_check"] = """
     WITH ids AS (
         SELECT event_type AS s, user_id AS id FROM events
@@ -9020,6 +9060,7 @@ _R6_NEW: list[str] = [
     "salted_join_stats",
     "sketch_intersection_check",
     "embedding_quantile_norm",
+    "winsorized_prices",
 ]
 _R6_FRONT = (
     _R6_NEW

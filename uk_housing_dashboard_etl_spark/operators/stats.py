@@ -836,3 +836,56 @@ def chi2_independence(
         round4(F.col("__chi2")).alias("chi2"),
         round4(v).alias("cramers_v"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean: values CLIP to the group's exact
+    [p_lo, p_hi] percentile envelope (linear interpolation — the same
+    exact-percentile contract as the weekly mart's A3/A4), then average
+    — the bounded-influence alternative to trimming when row COUNT must
+    be preserved (every row still votes, outliers just vote at the
+    fence). Output: group, n, p_lo, p_hi, raw_mean, winsorized_mean.
+
+    Plan: ONE grouped aggregate computes both percentile fences AND the
+    raw moments (single shuffle); the fences broadcast back onto the
+    rows (group-grain frame, k rows) for a row-local clip, and the
+    winsorized mean reduces through the dsum discipline so partitioning
+    can't move it. Two passes over the fact input, one shuffle each —
+    at 100 TB swap the exact fences for KLL estimates and the plan
+    shape is unchanged.
+    """
+    from uk_housing_dashboard_etl_spark.functions.rounding import (
+        dmean,
+        round4,
+    )
+
+    fences = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        round4(F.percentile(value_col, lo)).alias("p_lo"),
+        round4(F.percentile(value_col, hi)).alias("p_hi"),
+        round4(dmean(F.col(value_col))).alias("raw_mean"),
+    )
+    clipped = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("__v")
+    ).join(F.broadcast(fences), "grp")
+    wmean = clipped.groupBy(
+        "grp", "n", "p_lo", "p_hi", "raw_mean"
+    ).agg(
+        round4(
+            dmean(F.greatest(F.least(F.col("__v"), F.col("p_hi")), F.col("p_lo")))
+        ).alias("winsorized_mean")
+    )
+    return wmean.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "p_lo",
+        "p_hi",
+        "raw_mean",
+        "winsorized_mean",
+    )
