@@ -628,3 +628,30 @@ def test_winsorized_stats_clips_outliers(spark):
     assert r["winsorized_mean"] < r["raw_mean"]
     assert r["winsorized_mean"] < 70.0
     assert r["p_lo"] == 10.0
+
+
+def test_expectation_suite_counts_violations_and_nulls(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None), (4, 5.0)],
+        "id long, v double",
+    )
+    out = {
+        r["check_name"]: r
+        for r in expectation_suite(
+            df,
+            [
+                ("v_non_negative", F.col("v") >= 0),
+                ("id_positive", F.col("id") > 0),
+            ],
+        ).collect()
+    }
+    # NULL predicate result counts as a violation (unknown != verified)
+    assert out["v_non_negative"]["n_violations"] == 2
+    assert not out["v_non_negative"]["passed"]
+    assert out["id_positive"]["n_violations"] == 0
+    assert out["id_positive"]["passed"]
+    assert all(r["n_rows"] == 4 for r in out.values())

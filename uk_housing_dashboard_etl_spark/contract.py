@@ -9015,6 +9015,61 @@ ORACLES["winsorized_prices"] = """
 QUERIES["winsorized_prices"] = q_winsorized_prices
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-contract suite over lineitem: five named
+    row-level expectations evaluated in ONE scan (every check is a
+    conditional sum inside a single combinable aggregate — checks scale
+    on expression budget, never extra scans). NULL predicate results
+    count as violations."""
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        expectation_suite,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return expectation_suite(
+        li,
+        [
+            ("qty_in_range", F.col("l_quantity").between(1, 50)),
+            ("discount_in_range", F.col("l_discount").between(0.0, 0.1)),
+            ("shipdate_complete", F.col("l_shipdate").isNotNull()),
+            ("orderkey_positive", F.col("l_orderkey") > 0),
+            (
+                "returnflag_in_domain",
+                F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+        ],
+    ).orderBy("check_name")
+
+
+ORACLES["expectations"] = """
+    WITH t AS (
+        SELECT count(*) AS n_rows,
+            sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                THEN 0 ELSE 1 END) AS qty_in_range,
+            sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+                THEN 0 ELSE 1 END) AS discount_in_range,
+            sum(CASE WHEN l_shipdate IS NOT NULL
+                THEN 0 ELSE 1 END) AS shipdate_complete,
+            sum(CASE WHEN coalesce(l_orderkey > 0, FALSE)
+                THEN 0 ELSE 1 END) AS orderkey_positive,
+            sum(CASE WHEN coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)
+                THEN 0 ELSE 1 END) AS returnflag_in_domain
+        FROM lineitem
+    )
+    SELECT u.check_name, t.n_rows,
+           CAST(u.n_violations AS BIGINT) AS n_violations,
+           u.n_violations = 0 AS passed
+    FROM t, (
+        SELECT 'qty_in_range' AS check_name, qty_in_range AS n_violations FROM t
+        UNION ALL SELECT 'discount_in_range', discount_in_range FROM t
+        UNION ALL SELECT 'shipdate_complete', shipdate_complete FROM t
+        UNION ALL SELECT 'orderkey_positive', orderkey_positive FROM t
+        UNION ALL SELECT 'returnflag_in_domain', returnflag_in_domain FROM t
+    ) u
+"""
+QUERIES["expectations"] = q_expectations
+
+
 ORACLES["sketch_intersection_check"] = """
     WITH ids AS (
         SELECT event_type AS s, user_id AS id FROM events
@@ -9061,6 +9116,7 @@ _R6_NEW: list[str] = [
     "sketch_intersection_check",
     "embedding_quantile_norm",
     "winsorized_prices",
+    "expectations",
 ]
 _R6_FRONT = (
     _R6_NEW

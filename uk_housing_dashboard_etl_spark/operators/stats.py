@@ -889,3 +889,45 @@ def winsorized_stats(
         "raw_mean",
         "winsorized_mean",
     )
+
+
+def expectation_suite(
+    df: DataFrame,
+    checks: list[tuple[str, "F.Column"]],
+) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/Great-Expectations
+    shape): evaluate NAMED row-level expectations in ONE scan and
+    report, per check, the row count, violation count and pass flag.
+    ``checks`` is [(name, boolean Column)]; a NULL predicate result
+    counts as a violation (unknown ≠ verified).
+
+    Plan: every check compiles to one conditional-sum aggregate in a
+    SINGLE global aggregation — one pass over the fact table, fully
+    map-side combinable, regardless of how many expectations run. The
+    wide 1-row result unpivots row-locally to check-grain. This is the
+    shape a 100 TB nightly data-contract job needs: checks scale on the
+    expression budget, never on extra scans.
+    """
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for name, expr in checks:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+            ).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{name}', `__v_{name}`" for name, _ in checks
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(checks)}, {stack}) AS (check_name, n_violations)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select(
+        "check_name",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
