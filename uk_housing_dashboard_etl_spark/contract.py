@@ -237,10 +237,14 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8/A10: single-row QA record."""
+    """A8/A10: single-row QA record (fused single-scan form — the
+    mart/coverage subtrees re-cleaned the input three times)."""
+    from uk_housing_dashboard_etl_spark.operators.snapshot import (
+        qa_metrics_fused,
+    )
+
     raw = load_transactions_raw(spark, sf_dir)
-    enriched = _enriched(spark, sf_dir)
-    qa = qa_metrics(raw, weekly_mart(enriched), coverage_report(enriched))
+    qa = qa_metrics_fused(raw, _enriched(spark, sf_dir))
     return _round(qa, ["coverage_pct"])
 
 
@@ -7158,11 +7162,20 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq(spark: SparkSession, sf_dir: str):
+    """Shared-fit IVF-PQ assembly (round-7 dedup): the coarse quantizer
+    is ONE unit-sphere k-means (`ivfpq_coarse`) shared with the
+    residual variant — fitting it on the L2-normalized corpus also
+    fixes a geometry mismatch where probes measured normalized queries
+    against raw-space centroids — and the deterministic index artifacts
+    (PQ codes, cell assignment) are fit-cached alongside the codebooks,
+    so repeat calls pay only probe + ADC scan + rerank, never a corpus
+    re-encode."""
     from uk_housing_dashboard_etl_spark.operators.ivf import (
         ivf_index,
         kmeans_fit,
     )
     from uk_housing_dashboard_etl_spark.operators.pq import (
+        _norm_vectors,
         ivfpq_topk,
         pq_encode,
         pq_fit,
@@ -7170,17 +7183,30 @@ def _ivfpq(spark: SparkSession, sf_dir: str):
 
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
+    unit = _norm_vectors(corpus, "vec_id", "embedding")
     cents = _cached_fit(
-        spark, sf_dir, "ivfpq_cents",
-        lambda: kmeans_fit(corpus, k=8, iterations=4),
+        spark, sf_dir, "ivfpq_coarse",
+        lambda: kmeans_fit(
+            unit, k=8, iterations=4, id_col="vec_id", vec_col="vec"
+        ),
     )
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
+    codes = _cached_fit(
+        spark, sf_dir, "pq32_codes",
+        lambda: pq_encode(corpus, codebooks),
+    )
+    cells = _cached_fit(
+        spark, sf_dir, "ivfpq_cells",
+        lambda: ivf_index(
+            unit, cents, id_col="vec_id", vec_col="vec"
+        ).select("vec_id", "cell"),
+    )
     return ivfpq_topk(
-        pq_encode(corpus, codebooks),
+        codes,
         codebooks,
-        ivf_index(corpus, cents),
+        cells,
         cents,
         corpus,
         _query_vectors(spark, sf_dir),
@@ -7217,7 +7243,10 @@ def _ivfpq_res(spark: SparkSession, sf_dir: str):
     difference. Coarse centroids and the shared residual codebook are
     fit-cached; the assignment/residual/encode frames are row-local
     projections rebuilt per call."""
-    from uk_housing_dashboard_etl_spark.operators.ivf import kmeans_fit
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        ivf_index,
+        kmeans_fit,
+    )
     from uk_housing_dashboard_etl_spark.operators.pq import (
         _norm_vectors,
         ivfpq_residual_build,
@@ -7227,8 +7256,11 @@ def _ivfpq_res(spark: SparkSession, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") >= 5)
     unit = _norm_vectors(corpus, "vec_id", "embedding")
+    # `ivfpq_coarse` and `ivfpq_cells` are the SAME cache kinds _ivfpq
+    # uses: both families probe one unit-sphere coarse quantizer and one
+    # cell assignment, so the triplet fits it once (round-7 fit dedup)
     cents = _cached_fit(
-        spark, sf_dir, "ivfpq_res_cents",
+        spark, sf_dir, "ivfpq_coarse",
         lambda: kmeans_fit(
             unit, k=8, iterations=4, id_col="vec_id", vec_col="vec"
         ),
@@ -7239,8 +7271,17 @@ def _ivfpq_res(spark: SparkSession, sf_dir: str):
             corpus, m=32, k=16, pq_iterations=2, centroids=cents
         )[2],
     )
-    _, cells, _, codes = ivfpq_residual_build(
-        corpus, m=32, k=16, centroids=cents, codebooks=codebooks
+    cells = _cached_fit(
+        spark, sf_dir, "ivfpq_cells",
+        lambda: ivf_index(
+            unit, cents, id_col="vec_id", vec_col="vec"
+        ).select("vec_id", "cell"),
+    )
+    codes = _cached_fit(
+        spark, sf_dir, "ivfpq_res_codes",
+        lambda: ivfpq_residual_build(
+            corpus, m=32, k=16, centroids=cents, codebooks=codebooks
+        )[3],
     )
     return ivfpq_topk(
         codes, codebooks, cells, cents, corpus,
@@ -7452,8 +7493,12 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
+    codes = _cached_fit(
+        spark, sf_dir, "pq32_codes",
+        lambda: pq_encode(corpus, codebooks),
+    )
     return pq_topk_rerank(
-        pq_encode(corpus, codebooks),
+        codes,
         codebooks,
         corpus,
         _query_vectors(spark, sf_dir),
@@ -7478,8 +7523,12 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
+    codes = _cached_fit(
+        spark, sf_dir, "pq32_codes",
+        lambda: pq_encode(corpus, codebooks),
+    )
     approx = pq_topk_rerank(
-        pq_encode(corpus, codebooks), codebooks, corpus, qs, k=10,
+        codes, codebooks, corpus, qs, k=10,
         oversample=5,
     )
     return _topk_recall_gate(
@@ -8748,6 +8797,20 @@ def _matryoshka_oracle_sql(dims: tuple = (8, 16, 32), k: int = 10) -> str:
     with the full-dim top-k (the same prefix-slice cosine the Spark
     operator scores, dim-bounded ``generate_series`` dot products)."""
 
+    def nonzero_d(d: int) -> str:
+        """Mirror of the Spark side's zero-prefix exclusion (round-6
+        advice): a vector whose first-d prefix is all zeros has no
+        cosine at this dim and must not be ranked by either engine."""
+        sq = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(generate_series(1, {d}),"
+            " i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))),"
+            " (x, y) -> x + y)"
+        )
+        return (
+            f"({sq.format(v='ce')}) > 0 AND ({sq.format(v='qe')}) > 0"
+        )
+
     def cos_d(d: int) -> str:
         dot = (
             "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
@@ -8785,6 +8848,7 @@ def _matryoshka_oracle_sql(dims: tuple = (8, 16, 32), k: int = 10) -> str:
                            ORDER BY floor(({cos_d(d)}) * 10000.0 + 0.5)
                                     / 10000.0 DESC, vec_id) AS r
                 FROM c CROSS JOIN q
+                WHERE {nonzero_d(d)}
             ) WHERE r <= {k}
         ) t
         JOIN full_topk f
@@ -8805,6 +8869,7 @@ def _matryoshka_oracle_sql(dims: tuple = (8, 16, 32), k: int = 10) -> str:
                        ORDER BY floor(({cos_d(64)}) * 10000.0 + 0.5)
                                 / 10000.0 DESC, vec_id) AS r
             FROM c CROSS JOIN q
+            WHERE {nonzero_d(64)}
         ) WHERE r <= {k}
     )
     {union}
@@ -8865,12 +8930,14 @@ def q_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bpe_encode_check"] = """
+    -- word segmentation uses the SAME explicit ASCII whitespace class
+    -- as _bpe_words (Spark train+apply): \\s differs across RE2 / Java
+    -- / Python re on non-ASCII whitespace (round-6 advice)
     WITH w AS (
         SELECT doc_id,
                list_filter(
                    string_split_regex(
-                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
-                       '\\s+'),
+                       lower(text), '[ \\t\\n\\r\\f\\x0B]+'),
                    x -> x <> '') AS words
         FROM documents
     )

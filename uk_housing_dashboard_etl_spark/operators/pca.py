@@ -60,14 +60,19 @@ def pca_fit(
         i, j = r["dim_i"] - 1, r["dim_j"] - 1
         cov[i, j] = cov[j, i] = r["cov"]
     # per-dimension means: a second D-row aggregate (posexplode +
-    # combinable avg — shuffle carries D rows), 4dp like the covariance
-    # so refits are bit-stable
+    # combinable sum — shuffle carries D rows). dmean, not avg: plain
+    # avg is summation-order dependent, so a refit under different
+    # partitioning could flip a 4th-decimal rounding boundary and break
+    # the bit-identical-refit claim (round-6 advice; same integer-unit
+    # discipline as embedding_covariance)
+    from uk_housing_dashboard_etl_spark.functions.rounding import dmean
+
     mean = np.zeros(d)
     mean_rows = (
         embeddings.where(F.col(vec_col).isNotNull())
         .select(F.posexplode(vec_col).alias("__pos", "__x"))
         .groupBy("__pos")
-        .agg(round4(F.avg(F.col("__x").cast("double"))).alias("__m"))
+        .agg(round4(dmean(F.col("__x").cast("double"))).alias("__m"))
         .collect()
     )
     for r in mean_rows:

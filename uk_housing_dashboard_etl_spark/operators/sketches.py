@@ -237,10 +237,14 @@ def mg_heavy_hitters(
     """
     import pandas as pd
 
-    n_total = df.count()  # 1-row digest; also fixes the N in N/k
     keyed = df.select(F.col(key_col).cast("string").alias("__key")).where(
         F.col("__key").isNotNull()
     )
+    # N counts the NULL-FILTERED stream: candidate counts and the MG
+    # pigeonhole argument both run over `keyed`, so a null-inclusive N
+    # would inflate the N/k cut and could flag a true heavy hitter of
+    # the non-null stream is_heavy=FALSE (round-6 advice)
+    n_total = keyed.count()  # 1-row digest; also fixes the N in N/k
 
     def _mg(pdf_iter):
         for pdf in pdf_iter:

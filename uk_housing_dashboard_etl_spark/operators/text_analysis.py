@@ -1189,6 +1189,25 @@ def strip_boilerplate_chunks(
     )
 
 
+# ONE word-segmentation engine for the whole BPE family (round-6
+# advice): an EXPLICIT ASCII whitespace class, not \s — Java \s is
+# ASCII-only while Python re's is Unicode, so training, encoding and
+# the DuckDB oracle would disagree on e.g. U+00A0 if each tokenized
+# with its own engine's \s. Train and apply both call this Spark-side
+# splitter (the apply kernel receives pre-split word arrays), and the
+# bpe_encode_check oracle uses the identical class in RE2.
+_BPE_WS = r"[ \t\n\r\f\x0B]+"
+
+
+def _bpe_words(text_col: str) -> F.Column:
+    """Non-empty lowercased words of ``text_col`` under the shared
+    ASCII-whitespace segmentation — array<string>, Spark-side."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), _BPE_WS),
+        lambda w: F.length(w) >= 1,
+    )
+
+
 def bpe_train(
     documents: DataFrame,
     n_merges: int = 40,
@@ -1213,10 +1232,7 @@ def bpe_train(
     Determinism: ties on pair count break on the pair itself, so the
     merge list is a pure function of the word-count table.
     """
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
-        r"\s+",
-    )
+    toks = _bpe_words(text_col)
     wc = (
         documents.select(F.explode(toks).alias("word"))
         .where(F.length("word") >= 1)
@@ -1281,11 +1297,12 @@ def bpe_apply(
     per-word sequential merge fold, memoized per DISTINCT word within
     each batch (Zipf reuse makes the memo hit rate high), so this is a
     sanctioned stateful kernel on the UDF-allowed list, not row-at-a-
-    time Python in a hot loop. The corpus never shuffles; output is
-    doc-grain.
+    time Python in a hot loop. Word segmentation happens SPARK-SIDE
+    (:func:`_bpe_words` — the same engine ``bpe_train`` used; the
+    kernel receives word arrays and never re-tokenizes, so no
+    Python-vs-Java regex divergence can split words differently than
+    training did). The corpus never shuffles; output is doc-grain.
     """
-    import re as _re
-
     import pandas as pd
 
     merge_list = [
@@ -1319,12 +1336,8 @@ def bpe_apply(
         memo: dict = {}
         for pdf in pdfs:
             recs = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [
-                    w
-                    for w in _re.split(r"\s+", (text or "").lower().strip())
-                    if w
-                ]
+            for doc_id, words in zip(pdf["doc_id"], pdf["words"]):
+                words = list(words) if words is not None else []
                 n_chars = sum(len(w) for w in words)
                 n_tok = 0
                 ok = True
@@ -1356,7 +1369,8 @@ def bpe_apply(
             )
 
     base = documents.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"),
+        _bpe_words(text_col).alias("words"),
     )
     return base.mapInPandas(
         _kernel,
