@@ -218,6 +218,17 @@ def main() -> None:
         "queries_median": medians,
         "failures": failures,
         "maintenance": maint,
+        # fit/search split for the ANN family (round-6 advice item 4):
+        # per-query min times above are SEARCH-only (the deterministic
+        # fits cache across runs); this records what each fit kind cost
+        # the one time it ran. Kinds are shared across the family —
+        # e.g. ivfpq and ivfpq_res probe one `ivfpq_coarse` k-means —
+        # so the split is per-kind, not per-query, by design.
+        "ann_fit_seconds": {
+            kind: sec
+            for (fit_sf, kind), sec in sorted(contract.FIT_TIMES.items())
+            if fit_sf == SF_DIR
+        },
     }
     if maint_err:
         detail["maintenance_error"] = maint_err

@@ -40,23 +40,30 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_registry_front_window_is_unverified_families():
-    """Round-6 rotation (README r6 row): round-6 additions first, then
-    the twenty r1-era dedup/sketch/§2-satellite entries the r5 window
-    displaced, then the r2-era similarity/text/curation block — and the
-    declared front ordering must be applied verbatim."""
+    """Round-7 rotation (README r7 row): round-7 additions first, then
+    every query whose last driver check was round 2 (the 37-name true
+    debt — the planned r4 tail sample never ran), then the oldest
+    r3-era block — and the declared front ordering must be applied
+    verbatim."""
     order = list(contract.QUERIES)
-    n_new = len(contract._R6_NEW)
-    assert order[:n_new] == contract._R6_NEW
+    n_new = len(contract._R7_NEW)
+    assert order[:n_new] == contract._R7_NEW
     # the ~50-query driver window must be filled by the oldest-verified
-    # families: every r1-era satellite sits inside the first 50 slots
-    r1_era = {
-        "asof_join", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_clusters", "top_ngrams", "dedup_minhash", "dedup_simhash",
-        "sketch_cardinalities", "sketch_weekly_distinct",
-        "sketch_quantiles", "type_breakdown", "coverage_report",
-        "grid_weekly", "qa_metrics", "week_over_week", "props_json",
-        "quality_checks", "latest_by_key", "revenue_filter",
-        "weekly_type_pivot",
+    # families: every r2-era name sits inside the first 50 slots
+    r2_era = {
+        "sessionize", "range_join", "similarity_topk",
+        "embedding_near_dup_lsh", "text_stats", "quality_score",
+        "doc_fingerprint", "filter_funnel", "embedding_quantize",
+        "token_histogram", "robust_anomalies", "price_deciles",
+        "lapsed_parts", "source_cap", "weekly_unpivot",
+        "repeat_customers", "supplier_percentile", "gap_interpolation",
+        "top_parts_per_nation", "modal_type", "curate_corpus",
+        "knn_classify", "embedding_centroids", "conversion_funnel",
+        "weekly_retention", "multimodal_meta", "multimodal_frames",
+        "cumulative_users", "event_transitions", "first_last_touch",
+        "corr_stats", "price_histogram", "grouping_sets",
+        "range_rolling", "active_suppliers", "similarity_lsh_recall",
+        "similarity_ivf_recall",
     }
-    assert r1_era <= set(order[:50])
-    assert order[: len(contract._R6_FRONT)] == contract._R6_FRONT
+    assert r2_era <= set(order[:50])
+    assert order[: len(contract._R7_FRONT)] == contract._R7_FRONT

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -7464,12 +7465,20 @@ _EXTENSION_ORACLES["streaming_joined_outer"] = """
 # bounded by |sf_dirs| × |fit kinds|.
 _FIT_CACHE: dict[tuple, tuple] = {}
 
+# wall-clock seconds each fit kind cost when it actually ran (cache
+# misses only) — bench.py publishes this as the fit/search split for
+# the ANN family (round-6 advice: PQ regressions were only diagnosable
+# by reading code), keyed (sf_dir, kind)
+FIT_TIMES: dict[tuple, float] = {}
+
 
 def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
     key = (sf_dir, kind)
     if key not in _FIT_CACHE:
+        t0 = time.time()
         fitted = builder()
         _FIT_CACHE[key] = (fitted.schema, fitted.collect())
+        FIT_TIMES[key] = round(time.time() - t0, 3)
     schema, rows = _FIT_CACHE[key]
     return spark.createDataFrame(rows, schema)
 
@@ -9257,4 +9266,268 @@ _R6_FRONT = (
 QUERIES = {
     name: QUERIES[name]
     for name in _R6_FRONT + [q for q in QUERIES if q not in _R6_FRONT]
+}
+
+
+# ------------------------------------------------- round-7 additions
+
+
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup stats (Lee et al. 2022), EXACT character
+    grain: per doc, the characters covered by maximal duplicated spans
+    of length >= 30 — the suffix-grain formulation (sorted 30-char
+    suffix prefixes + within-doc extension) of the suffix-array
+    algorithm, complementing ``dup_span_stats``'s word-k-gram coverage.
+    String-exact (``hash_grams=False``) so the DuckDB oracle matches
+    bit-for-bit."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_stats,
+    )
+
+    return exact_substr_stats(
+        read_table(spark, sf_dir, "documents"), min_len=30,
+        hash_grams=False,
+    )
+
+
+def q_dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr CUT LIST: every maximal duplicated char span
+    (doc_id, span_id, span_start, span_end, span_len) a span-level
+    trimmer would remove — the byte ranges themselves, not just
+    coverage ratios."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_spans,
+    )
+
+    return exact_substr_spans(
+        read_table(spark, sf_dir, "documents"), min_len=30,
+        hash_grams=False,
+    )
+
+
+def q_dedup_exact_substr_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement gate between the two ExactSubstr formulations: docs
+    flagged >= 0.3 duplicated by EXACT char-grain spans (min_len=30)
+    vs by word-5-gram positional coverage (``dup_span_stats``) —
+    corpus-level flag counts + Jaccard, ok = Jaccard >= 0.8 (measured
+    1.0 at sf0.01, 0.92 at sf0.1: the word approximation misses only
+    span-boundary slivers)."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        dup_span_stats,
+        exact_substr_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    cs = exact_substr_stats(docs, min_len=30, hash_grams=False).select(
+        "doc_id", (F.col("dup_frac") >= 0.3).alias("__cf")
+    )
+    ws = dup_span_stats(docs, k=5, hash_shingles=False).select(
+        "doc_id", (F.col("dup_ratio") >= 0.3).alias("__wf")
+    )
+    j = cs.join(ws, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__cf").cast("long")).alias("char_flagged"),
+        F.sum(F.col("__wf").cast("long")).alias("word_flagged"),
+        F.sum((F.col("__cf") & F.col("__wf")).cast("long")).alias(
+            "both_flagged"
+        ),
+    )
+    jac = round4(
+        F.col("both_flagged").cast("double")
+        / F.greatest(
+            F.col("char_flagged") + F.col("word_flagged")
+            - F.col("both_flagged"),
+            F.lit(1),
+        ).cast("double")
+    )
+    return agg.select(
+        "n_docs", "char_flagged", "word_flagged", "both_flagged",
+        jac.alias("jaccard"),
+        (jac >= 0.8).alias("ok"),
+    )
+
+
+_EXACT_SUBSTR_SQL = """
+    WITH g AS (
+        SELECT doc_id, unnest(generate_series(0, length(text) - 30))
+                   AS pos, text
+        FROM documents WHERE length(text) >= 30
+    ), grams AS (
+        SELECT doc_id, pos, substring(text, pos + 1, 30) AS gram FROM g
+    ), dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+            FROM grams
+        ) WHERE c >= 2
+    ), marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL
+                      OR pos - lag(pos) OVER w > 30
+                    THEN 1 ELSE 0 END AS is_start
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+               min(pos) AS span_start,
+               max(pos) + 30 AS span_end
+        FROM isl GROUP BY 1, 2
+    )
+"""
+
+ORACLES["dedup_exact_substr"] = _EXACT_SUBSTR_SQL + """
+    , per_doc AS (
+        SELECT doc_id, count(*) AS n_spans,
+               sum(span_end - span_start) AS dup_chars
+        FROM spans GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           floor(CAST(coalesce(p.dup_chars, 0) AS DOUBLE)
+                 / greatest(length(d.text), 1) * 10000.0 + 0.5)
+               / 10000.0 AS dup_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+ORACLES["dedup_exact_substr_spans"] = _EXACT_SUBSTR_SQL + """
+    SELECT doc_id, span_id, span_start, span_end,
+           span_end - span_start AS span_len
+    FROM spans
+"""
+
+ORACLES["dedup_exact_substr_agree"] = _EXACT_SUBSTR_SQL + f"""
+    , per_doc AS (
+        SELECT doc_id, sum(span_end - span_start) AS dup_chars
+        FROM spans GROUP BY 1
+    ), cs AS (
+        SELECT d.doc_id,
+               (floor(CAST(coalesce(p.dup_chars, 0) AS DOUBLE)
+                      / greatest(length(d.text), 1) * 10000.0 + 0.5)
+                    / 10000.0) >= 0.3 AS cf
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ), toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), wg AS (
+        SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS sh
+        FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), wdup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS c
+            FROM wg
+        ) WHERE c >= 2
+    ), wcontrib AS (
+        SELECT doc_id,
+               least(5, coalesce(lead(pos) OVER (PARTITION BY doc_id
+                   ORDER BY pos) - pos, 5)) AS c
+        FROM wdup
+    ), wcov AS (
+        SELECT doc_id, sum(c) AS ct FROM wcontrib GROUP BY 1
+    ), ws AS (
+        SELECT t.doc_id,
+               (floor(CAST(coalesce(w.ct, 0) AS DOUBLE) / len(t.t)
+                      * 10000.0 + 0.5) / 10000.0) >= 0.3 AS wf
+        FROM toks t LEFT JOIN wcov w ON t.doc_id = w.doc_id
+    ), agg AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN cs.cf THEN 1 ELSE 0 END) AS BIGINT)
+                   AS char_flagged,
+               CAST(sum(CASE WHEN ws.wf THEN 1 ELSE 0 END) AS BIGINT)
+                   AS word_flagged,
+               CAST(sum(CASE WHEN cs.cf AND ws.wf THEN 1 ELSE 0 END)
+                   AS BIGINT) AS both_flagged
+        FROM cs JOIN ws ON cs.doc_id = ws.doc_id
+    )
+    SELECT n_docs, char_flagged, word_flagged, both_flagged,
+           floor(CAST(both_flagged AS DOUBLE)
+                 / greatest(char_flagged + word_flagged - both_flagged, 1)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard,
+           (floor(CAST(both_flagged AS DOUBLE)
+                  / greatest(char_flagged + word_flagged - both_flagged, 1)
+                  * 10000.0 + 0.5) / 10000.0) >= 0.8 AS ok
+    FROM agg
+"""
+
+QUERIES["dedup_exact_substr"] = q_dedup_exact_substr
+QUERIES["dedup_exact_substr_spans"] = q_dedup_exact_substr_spans
+QUERIES["dedup_exact_substr_agree"] = q_dedup_exact_substr_agree
+
+
+# Round-7 window rotation (README "r7 (planned)" row, VERDICT r6 item
+# 1): the three round-7 additions first, then EVERY query whose last
+# driver check is round 2 (the r4 "tail sample" the README planned
+# never ran — the driver window cut at exactly 50 slots — so the true
+# r2-era debt is 37 names, not 13), then the oldest r3-era block
+# (multimodal + batch-streaming families) up to the ~50-slot window
+# edge. The ~35 remaining r3-era names queue immediately after and
+# lead the r8 rotation.
+_R7_NEW: list[str] = [
+    "dedup_exact_substr",
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_agree",
+]
+_R7_FRONT = (
+    _R7_NEW
+    + [
+        # --- last driver-verified in round 2 ---
+        "sessionize",
+        "range_join",
+        "similarity_topk",
+        "embedding_near_dup_lsh",
+        "text_stats",
+        "quality_score",
+        "doc_fingerprint",
+        "filter_funnel",
+        "embedding_quantize",
+        "token_histogram",
+        "robust_anomalies",
+        "price_deciles",
+        "lapsed_parts",
+        "source_cap",
+        "weekly_unpivot",
+        "repeat_customers",
+        "supplier_percentile",
+        "gap_interpolation",
+        "top_parts_per_nation",
+        "modal_type",
+        "curate_corpus",
+        "knn_classify",
+        "embedding_centroids",
+        "conversion_funnel",
+        "weekly_retention",
+        "multimodal_meta",
+        "multimodal_frames",
+        "cumulative_users",
+        "event_transitions",
+        "first_last_touch",
+        "corr_stats",
+        "price_histogram",
+        "grouping_sets",
+        "range_rolling",
+        "active_suppliers",
+        "similarity_lsh_recall",
+        "similarity_ivf_recall",
+        # --- oldest r3-era block (last driver-verified in round 3) ---
+        "multimodal_decode",
+        "multimodal_features",
+        "streaming_weekly",
+        "streaming_sessions",
+        "streaming_dedup",
+        "streaming_funnel",
+        "multimodal_decode_check",
+        "multimodal_features_check",
+        "multimodal_audio",
+        "multimodal_audio_check",
+    ]
+)
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R7_FRONT + [q for q in QUERIES if q not in _R7_FRONT]
 }
