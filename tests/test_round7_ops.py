@@ -104,3 +104,35 @@ def test_exact_substr_maximal_extension(spark):
     assert len(spans) == 2
     for r in spans:
         assert r["span_len"] == 50
+
+
+def test_exact_substr_trim_rebuilds_and_cuts(spark):
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_trim,
+    )
+
+    shared = "this exact fragment is long enough to be duplicated!"
+    rows = [
+        (1, "AA_" + shared + "_keepme"),
+        (2, "BB__" + shared + "__alsokept"),
+        (3, "totally novel text that should pass through unchanged ok"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in exact_substr_trim(
+            _docs(spark, rows), min_len=30, hash_grams=False
+        ).collect()
+    }
+    # doc 3 untouched: trimmed == original
+    assert out[3]["trimmed_chars"] == out[3]["n_chars"]
+    assert out[3]["n_cuts"] == 0
+    # docs 1/2: the shared region is cut, the unique flanks survive
+    assert out[1]["n_cuts"] == 1
+    assert out[1]["trimmed_chars"] < out[1]["n_chars"]
+    assert out[2]["trimmed_chars"] < out[2]["n_chars"]
+    # md5 of doc 3's trimmed text equals md5 of its original text
+    import hashlib
+
+    assert out[3]["trimmed_md5"] == hashlib.md5(
+        rows[2][1].encode()
+    ).hexdigest()

@@ -9456,6 +9456,55 @@ ORACLES["dedup_exact_substr_agree"] = _EXACT_SUBSTR_SQL + f"""
 """
 
 QUERIES["dedup_exact_substr"] = q_dedup_exact_substr
+
+
+def q_dedup_exact_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ExactSubstr cut list: per doc, lengths before/after
+    removing every maximal duplicated span plus the md5 of the rebuilt
+    text — the operator that actually PRODUCES the deduplicated corpus
+    (the span-level trim of Lee et al. 2022), not just its statistics.
+    The md5 makes the rebuilt string itself hash-verified against the
+    DuckDB reconstruction."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_trim,
+    )
+
+    return exact_substr_trim(
+        read_table(spark, sf_dir, "documents"), min_len=30,
+        hash_grams=False,
+    )
+
+
+ORACLES["dedup_exact_substr_trim"] = _EXACT_SUBSTR_SQL + """
+    , segs AS (
+        SELECT doc_id,
+               coalesce(lag(span_end) OVER (PARTITION BY doc_id
+                   ORDER BY span_start), 0) AS a,
+               span_start AS b
+        FROM spans
+        UNION ALL
+        SELECT doc_id, max(span_end) AS a, NULL AS b
+        FROM spans GROUP BY doc_id
+    ), pieces AS (
+        SELECT s.doc_id,
+               substring(d.text, CAST(s.a AS INT) + 1,
+                   CAST(coalesce(s.b, length(d.text)) - s.a AS INT))
+                   AS piece,
+               s.a
+        FROM segs s JOIN documents d USING (doc_id)
+    ), rebuilt AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY a) AS t,
+               count(*) - 1 AS n_cuts
+        FROM pieces GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(length(coalesce(r.t, d.text)) AS BIGINT) AS trimmed_chars,
+           CAST(coalesce(r.n_cuts, 0) AS BIGINT) AS n_cuts,
+           md5(coalesce(r.t, d.text)) AS trimmed_md5
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+QUERIES["dedup_exact_substr_trim"] = q_dedup_exact_substr_trim
 QUERIES["dedup_exact_substr_spans"] = q_dedup_exact_substr_spans
 QUERIES["dedup_exact_substr_agree"] = q_dedup_exact_substr_agree
 
@@ -9471,6 +9520,7 @@ QUERIES["dedup_exact_substr_agree"] = q_dedup_exact_substr_agree
 _R7_NEW: list[str] = [
     "dedup_exact_substr",
     "dedup_exact_substr_spans",
+    "dedup_exact_substr_trim",
     "dedup_exact_substr_agree",
 ]
 _R7_FRONT = (
@@ -9523,8 +9573,11 @@ _R7_FRONT = (
         "streaming_funnel",
         "multimodal_decode_check",
         "multimodal_features_check",
-        "multimodal_audio",
+        # with the 4 r7 additions the window edge lands here: the
+        # oracle-gated audio check takes slot 50; its rows-only twin
+        # sits first past the edge and is re-verified in r8
         "multimodal_audio_check",
+        "multimodal_audio",
     ]
 )
 QUERIES = {

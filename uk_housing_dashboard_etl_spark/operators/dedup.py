@@ -1095,3 +1095,69 @@ def exact_substr_stats(
             / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
         ).alias("dup_frac"),
     )
+
+
+def exact_substr_trim(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 30,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Apply the ExactSubstr cut list: remove every maximal duplicated
+    span (:func:`exact_substr_spans`) from each document — the
+    aggressive span-level variant of Lee et al.'s dedup, which treats
+    corpus-repeated material as boilerplate and keeps only the novel
+    text. Output per input doc: ``doc_id, n_chars, trimmed_chars,
+    n_cuts, trimmed_md5`` (the md5 keeps the result driver-hashable
+    without exposing the rebuilt string).
+
+    Plan: spans collapse to ONE sorted struct-array row per doc (span
+    grain, bounded by n_chars/min_len per doc), join back to the text,
+    and the rebuild is a row-local ``aggregate`` fold over the span
+    array inside codegen — concatenating the inter-span segments in
+    order. No shuffle beyond what the span derivation already does; at
+    100 TB the rebuild is a map-only pass over (text, spans).
+    """
+    spans = exact_substr_spans(
+        documents, text_col, id_col, min_len, hash_grams
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp")
+    )
+    trimmed = F.expr(
+        f"""CASE WHEN __sp IS NULL THEN {text_col} ELSE
+            aggregate(
+              __sp,
+              struct(CAST('' AS STRING) AS t, CAST(0 AS BIGINT) AS p),
+              (acc, s) -> struct(
+                concat(acc.t, substring({text_col},
+                    CAST(acc.p AS INT) + 1,
+                    CAST(s.span_start - acc.p AS INT))),
+                s.span_end),
+              acc -> concat(acc.t, substring({text_col},
+                  CAST(acc.p AS INT) + 1,
+                  CAST(length({text_col}) - acc.p AS INT))))
+            END"""
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), text_col)
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length(text_col).cast("bigint").alias("n_chars"),
+            trimmed.alias("__t"),
+            F.coalesce(F.size("__sp"), F.lit(0)).cast("bigint").alias(
+                "n_cuts"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length("__t").cast("bigint").alias("trimmed_chars"),
+            "n_cuts",
+            F.md5(F.col("__t").cast("binary")).alias("trimmed_md5"),
+        )
+    )
