@@ -173,6 +173,23 @@ def _weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_mart(_enriched(spark, sf_dir))
 
 
+def _weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(week, local_authority, transactions) only — value-identical to
+    ``_weekly``'s projection (the mart is ``stats ⋈ counts`` over the
+    same group keys, so the counts aggregate alone yields the same
+    rows) but skips the percentile aggregate, the mart join and the
+    presentation sort. The time-series family (ewma/holt/cusum/
+    theil-sen/robust-anomaly) consumes ONLY the count series, so
+    rebuilding the full mart per query was pure waste under the
+    clean-room bench."""
+    base = _enriched(spark, sf_dir).where(
+        F.col("local_authority").isNotNull()
+    ).withColumn("week", F.date_trunc("week", F.col("date")))
+    return base.groupBy("week", "local_authority").agg(
+        F.countDistinct("transaction_id").alias("transactions")
+    )
+
+
 def _windows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_windows(densify_weekly_grid(_weekly(spark, sf_dir)), WINDOWS)
 
@@ -1678,9 +1695,7 @@ def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     resistant companion to the reference's mean/stddev z-score)."""
     from uk_housing_dashboard_etl_spark.operators.anomaly import robust_anomalies
 
-    return robust_anomalies(
-        _weekly(spark, sf_dir).select("week", "local_authority", "transactions")
-    )
+    return robust_anomalies(_weekly_counts(spark, sf_dir))
 
 
 def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5385,7 +5400,7 @@ def q_ewma_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle matches bit-for-bit with no rounding."""
     from uk_housing_dashboard_etl_spark.operators.timeseries import ewma_smooth
 
-    return ewma_smooth(_weekly(spark, sf_dir))
+    return ewma_smooth(_weekly_counts(spark, sf_dir))
 
 
 _EXTENSION_ORACLES["ewma_weekly"] = _BASE.replace(
@@ -5897,7 +5912,7 @@ def q_cusum_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_changepoints,
     )
 
-    return cusum_changepoints(_weekly(spark, sf_dir), threshold=5.0)
+    return cusum_changepoints(_weekly_counts(spark, sf_dir), threshold=5.0)
 
 
 _EXTENSION_ORACLES["cusum_weekly"] = _BASE.replace(
@@ -6027,7 +6042,7 @@ def q_theil_sen_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`value_trend`) is not."""
     from uk_housing_dashboard_etl_spark.operators.stats import theil_sen_slope
 
-    return theil_sen_slope(_weekly(spark, sf_dir))
+    return theil_sen_slope(_weekly_counts(spark, sf_dir))
 
 
 _EXTENSION_ORACLES["theil_sen_weekly"] = _BASE + """
@@ -6054,7 +6069,7 @@ def q_holt_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     coupled two-state recursive fold vs a recursive-CTE oracle."""
     from uk_housing_dashboard_etl_spark.operators.timeseries import holt_linear
 
-    return holt_linear(_weekly(spark, sf_dir))
+    return holt_linear(_weekly_counts(spark, sf_dir))
 
 
 _EXTENSION_ORACLES["holt_weekly"] = _BASE.replace(
