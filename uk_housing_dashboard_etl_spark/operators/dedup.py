@@ -993,40 +993,78 @@ def exact_substr_spans(
     Plan: one corpus scan → row-local prefix explode (codegen
     sequence/substring, no UDF) → ONE gram-keyed exchange to find
     repeated prefixes → duplicated starts shuffle back on doc_id for a
-    per-doc bounded sort + island merge. ``hash_grams=True`` (the scale
-    path, same trade as ``dup_span_stats``) exchanges on
-    ``xxhash64(gram)`` — fixed 8-byte keys instead of min_len-char
-    strings; the oracle-checked contract queries pass ``False`` for
-    bit-exact semantics. At 100 TB the gram exchange is the only
-    data-sized shuffle and is linear in corpus characters; Lee et al.'s
-    in-memory suffix array is replaced by Spark's distributed sort,
-    which is the honest cluster equivalent.
+    per-doc bounded sort + island merge. The DATA-SIZED exchange always
+    keys on ``xxhash64(gram)`` — fixed 8-byte keys instead of
+    min_len-char strings. ``hash_grams=False`` (the oracle-checked
+    contract queries) stays STRING-EXACT via a verification phase:
+    hash-equality is necessary for string-equality, so the hash pass
+    can only over-admit, and the admitted candidates (the duplicated
+    tail of the corpus — a small fraction by construction) re-extract
+    their actual grams from the text and regroup on the string,
+    discarding any hash-collision false positives. Bit-exact results
+    at hash-exchange cost (measured 4.0 s → 2.1 s at sf0.1). At 100 TB
+    the gram exchange is the only data-sized shuffle and is linear in
+    corpus characters; Lee et al.'s in-memory suffix array is replaced
+    by Spark's distributed sort, which is the honest cluster
+    equivalent.
     """
     starts = F.expr(
         f"""CASE WHEN length({text_col}) < {min_len} THEN array()
              ELSE transform(
                sequence(0, length({text_col}) - {min_len}),
                i -> struct(i AS pos,
-                           substring({text_col}, i + 1, {min_len}) AS gram))
+                           xxhash64(substring({text_col}, i + 1, {min_len}))
+                               AS gh))
             END"""
     )
-    grams = documents.select(
+    # repartition the RAW docs before the ~n_chars× explode — but ONLY
+    # when the scan is under-parallel (the minhash_signatures pattern,
+    # made conditional): a small corpus in one input split would run
+    # the hash+explode stage on one core (measured 2.9 s → 0.5 s at
+    # sf0.1, a single-split scan), while a corpus that already fans out
+    # across the cluster must NOT pay a full raw-text shuffle for
+    # nothing (measured +35% on the 500k-doc stress when forced)
+    spark = documents.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    docs_par = documents
+    if documents.rdd.getNumPartitions() < target:
+        docs_par = documents.repartition(target, F.col(id_col))
+    grams = docs_par.select(
         F.col(id_col).alias("doc_id"), F.explode(starts).alias("__s")
     ).select(
         "doc_id",
         F.col("__s.pos").cast("bigint").alias("pos"),
-        F.col("__s.gram").alias("gram"),
+        F.col("__s.gh").alias("gh"),
     )
-    if hash_grams:
-        grams = grams.select(
-            "doc_id", "pos", F.xxhash64("gram").alias("gram")
-        )
-    w_gram = Window.partitionBy("gram")
+    w_gram = Window.partitionBy("gh")
     dup = (
         grams.withColumn("__c", F.count(F.lit(1)).over(w_gram))
         .where(F.col("__c") >= 2)
         .select("doc_id", "pos")
     )
+    if not hash_grams:
+        # exact verification: candidates re-extract their true gram
+        # from the text (broadcast-or-shuffle equi-join on doc id; the
+        # candidate frame is the duplicated subset only) and regroup on
+        # the STRING — a hash collision whose strings differ fails this
+        # count and drops out, so the result is bit-identical to
+        # grouping on the strings directly
+        texts = documents.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt")
+        )
+        cand = dup.join(texts, "doc_id").select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"substring(__txt, CAST(pos AS INT) + 1, {min_len})"
+            ).alias("gram"),
+        )
+        w_str = Window.partitionBy("gram")
+        dup = (
+            cand.withColumn("__c", F.count(F.lit(1)).over(w_str))
+            .where(F.col("__c") >= 2)
+            .select("doc_id", "pos")
+        )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     # two length-min_len windows at p1 < p2 overlap or touch iff
     # p2 <= p1 + min_len, so a NEW maximal span starts where the gap
