@@ -724,3 +724,64 @@ def split_leakage(
         F.coalesce("n_eval_dups", F.lit(0)).alias("n_eval_dups"),
         F.col("leaks_to").isNotNull().alias("leaky"),
     )
+
+
+def epoch_shards(
+    documents: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic multi-epoch dataloader plan: for every (epoch,
+    doc), the shard a reader worker should fetch it from and its read
+    position WITHIN that shard — i.e. the resumable global-shuffle
+    schedule an LLM training run consumes (each of ``n_shards`` workers
+    streams its shard sequentially; different epochs see independent
+    permutations). Output: ``doc_id, epoch (0-based), shard, pos
+    (0-based within (epoch, shard))``.
+
+    Determinism: order and shard both derive from the exact 64-bit
+    multiplicative hash of (id ⊕-mixed epoch) — no rand(), identical
+    in any engine, so a crashed run re-derives byte-identical epoch
+    plans from nothing but the seed-free id set.
+
+    Plan shape: positions are per-(epoch, shard) ``row_number`` — a
+    GLOBAL sequence number would funnel the corpus through one
+    partition (the classic window anti-pattern), while shard-local
+    positions are exactly what dataloaders need AND bound every window
+    partition at |corpus|/n_shards. One explode (n_epochs×, model-grain
+    constant), one hash-keyed exchange; at 100 TB this plan IS the
+    shard-writing job's sort key (epoch, shard, pos).
+    """
+    from pyspark.sql import Window
+
+    if n_epochs < 1 or n_shards < 1:
+        raise ValueError("n_epochs and n_shards must be >= 1")
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(*[F.lit(e) for e in range(n_epochs)])
+        ).alias("epoch"),
+    )
+    # epoch-mixed multiplicative hash: the +1 keeps epoch 0 from
+    # degenerating to the raw id order. Mod BEFORE the second multiply
+    # so every intermediate stays under 2^63 (ANSI overflow-safe, and
+    # the identical BIGINT sequence in the DuckDB oracle)
+    h = (
+        (
+            (F.col("doc_id") + (F.col("epoch") + 1) * F.lit(KNUTH))
+            % F.lit(1_000_000_007)
+        )
+        * F.lit(KNUTH)
+    ) % F.lit(1_000_000_007)
+    keyed = base.select(
+        "doc_id", "epoch", h.alias("__h"),
+        (h % F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("__h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
