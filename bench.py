@@ -81,13 +81,42 @@ def release_caches(spark) -> None:
     calls, which the ContextCleaner only frees after Python GC drops
     the last reference. Safe because no query retains live DataFrame
     references across registry entries (the ANN fit cache stores
-    driver-local rows, not checkpointed frames)."""
+    driver-local rows or write-once parquet, never checkpointed
+    frames)."""
     import gc
 
     gc.collect()  # drop dead DataFrame refs so ContextCleaner can run
     spark.catalog.clearCache()
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         jrdd.unpersist()
+
+
+def calibration_probe(spark) -> float:
+    """Fixed synthetic workload (generated rows — zero I/O, zero repo
+    code) timed best-of-2: a pure yardstick for AMBIENT machine/JVM
+    conditions. Two rounds running, apparent per-query regressions on
+    untouched code tracked documented ~30% ambient noise (SCALE.md);
+    sampling this probe at suite start/middle/end lets the trajectory
+    table normalize suite totals by measured machine speed instead of
+    guessing after the fact (round-7 advice item 4)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, 30_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("v").alias("a"))
+            .agg(F.sum("s"), F.sum("a"))
+            .collect()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def next_round() -> int:
@@ -179,11 +208,22 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # every benched suite pays each ANN fit exactly once: stale on-disk
+    # artifacts would otherwise make the first post-change round look
+    # slow and every later round silently warm
+    contract.clear_large_fit_cache()
+
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     failures: dict[str, str] = {}
+    calibration: dict[str, float] = {"start": calibration_probe(spark)}
     extra = [q for q in contract.QUERIES if q not in HEADLINE]
-    for name in HEADLINE + extra:
+    order = HEADLINE + extra
+    midpoint = len(order) // 2
+    for i, name in enumerate(order):
+        if i == midpoint:
+            release_caches(spark)
+            calibration["middle"] = calibration_probe(spark)
         fn = contract.QUERIES[name]
         # streaming builders run their drain eagerly; timing a repeat
         # would re-execute the same stateful pass for no extra signal
@@ -200,6 +240,9 @@ def main() -> None:
             medians[name] = round(sorted(samples)[len(samples) // 2], 3)
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
+
+    release_caches(spark)
+    calibration["end"] = calibration_probe(spark)
 
     try:
         maint = maintenance_times(spark)
@@ -218,6 +261,12 @@ def main() -> None:
         "queries_median": medians,
         "failures": failures,
         "maintenance": maint,
+        # ambient-speed yardstick (round-7 advice item 4): the same
+        # synthetic generated-data probe timed at suite start/middle/
+        # end. Cross-round comparisons should scale suite totals by the
+        # ratio of calibration medians before calling anything a
+        # regression.
+        "calibration": calibration,
         # fit/search split for the ANN family (round-6 advice item 4):
         # per-query min times above are SEARCH-only (the deterministic
         # fits cache across runs); this records what each fit kind cost

@@ -7209,11 +7209,11 @@ def _ivfpq(spark: SparkSession, sf_dir: str):
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
-    codes = _cached_fit(
+    codes = _cached_fit_large(
         spark, sf_dir, "pq32_codes",
         lambda: pq_encode(corpus, codebooks),
     )
-    cells = _cached_fit(
+    cells = _cached_fit_large(
         spark, sf_dir, "ivfpq_cells",
         lambda: ivf_index(
             unit, cents, id_col="vec_id", vec_col="vec"
@@ -7287,13 +7287,13 @@ def _ivfpq_res(spark: SparkSession, sf_dir: str):
             corpus, m=32, k=16, pq_iterations=2, centroids=cents
         )[2],
     )
-    cells = _cached_fit(
+    cells = _cached_fit_large(
         spark, sf_dir, "ivfpq_cells",
         lambda: ivf_index(
             unit, cents, id_col="vec_id", vec_col="vec"
         ).select("vec_id", "cell"),
     )
-    codes = _cached_fit(
+    codes = _cached_fit_large(
         spark, sf_dir, "ivfpq_res_codes",
         lambda: ivfpq_residual_build(
             corpus, m=32, k=16, centroids=cents, codebooks=codebooks
@@ -7498,6 +7498,76 @@ def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
     return spark.createDataFrame(rows, schema)
 
 
+def _fit_code_salt() -> str:
+    """md5 of the ANN operator sources: corpus-sized fit artifacts are
+    valid exactly as long as the code that computes them, so the salt
+    invalidates the on-disk cache the moment pq.py/ivf.py change — no
+    manual version bump to forget."""
+    import hashlib
+
+    from uk_housing_dashboard_etl_spark.operators import ivf, pq
+
+    h = hashlib.md5()
+    for mod in (pq, ivf):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:8]
+
+
+def _cached_fit_large(spark: SparkSession, sf_dir: str, kind: str, builder):
+    """CORPUS-SIZED deterministic fit artifacts (PQ code frames, IVF
+    cell assignments — one row per corpus vector) cached as LOCAL
+    PARQUET, not driver rows. ``_cached_fit``'s collect-and-reship is
+    right for m·k-row codebooks but wrong here (round-7 advice): a
+    corpus-scale collect holds the whole artifact in driver memory for
+    the process lifetime and pays a driver→executor serialization on
+    every reuse — at a 100 TB corpus that is a driver OOM. Write-once
+    parquet keeps the artifact executor-side, costs one scan to reuse,
+    survives the bench harness's between-query cache release, and is
+    the same artifact-reuse pattern a production index build ships
+    (encode once, every probe job reads the codes table). The path is
+    salted with the md5 of the fitting code so stale artifacts can
+    never outlive an operator change; the write is tmp+rename so a
+    crashed fit never leaves a readable half-artifact."""
+    import hashlib
+
+    key = (sf_dir, kind)
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "_fit_cache",
+    )
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode() + _fit_code_salt().encode()
+    ).hexdigest()[:12]
+    path = os.path.join(root, f"{digest}_{kind}")
+    if not os.path.isdir(path):
+        t0 = time.time()
+        tmp = f"{path}.tmp{os.getpid()}"
+        builder().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.isdir(path):  # lost race: another writer won
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+        FIT_TIMES[key] = round(time.time() - t0, 3)
+    return spark.read.parquet(path)
+
+
+def clear_large_fit_cache() -> None:
+    """Drop the on-disk fit artifacts. bench.py calls this at suite
+    start so every benched run pays each fit exactly once (the same
+    fit-once-per-suite semantics the in-process cache gives), keeping
+    round-over-round ANN timings comparable instead of silently warm."""
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "_fit_cache",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011), the
     compressed-domain scale path IVF doesn't cover: 32 subspace
@@ -7517,7 +7587,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
-    codes = _cached_fit(
+    codes = _cached_fit_large(
         spark, sf_dir, "pq32_codes",
         lambda: pq_encode(corpus, codebooks),
     )
@@ -7547,7 +7617,7 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
     )
-    codes = _cached_fit(
+    codes = _cached_fit_large(
         spark, sf_dir, "pq32_codes",
         lambda: pq_encode(corpus, codebooks),
     )
