@@ -9594,6 +9594,43 @@ QUERIES["dedup_exact_substr_spans"] = q_dedup_exact_substr_spans
 QUERIES["dedup_exact_substr_agree"] = q_dedup_exact_substr_agree
 
 
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch dataloader plan over the documents
+    corpus (2 epochs × 8 shards): for every (epoch, doc), the shard a
+    reader worker streams it from and its position within that shard.
+    Order and shard both derive from an epoch-mixed multiplicative hash
+    (no rand()), so a crashed training run re-derives byte-identical
+    epoch schedules from nothing but the id set — and the DuckDB oracle
+    computes the exact same BIGINT sequence, which is the point of
+    keeping every intermediate under 2^63."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        epoch_shards,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return epoch_shards(docs, n_epochs=2, n_shards=8)
+
+
+QUERIES["epoch_shards"] = q_epoch_shards
+ORACLES["epoch_shards"] = """
+    WITH keyed AS (
+        SELECT d.doc_id,
+               CAST(e.epoch AS INT) AS epoch,
+               ((d.doc_id + (e.epoch + 1) * 2654435761)
+                   % 1000000007) * 2654435761 % 1000000007 AS h
+        FROM documents d
+        CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+    )
+    SELECT doc_id,
+           epoch,
+           CAST(h % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, h % 8 ORDER BY h, doc_id
+           ) - 1 AS BIGINT) AS pos
+    FROM keyed
+"""
+
+
 # Round-7 window rotation (README "r7 (planned)" row, VERDICT r6 item
 # 1): the three round-7 additions first, then EVERY query whose last
 # driver check is round 2 (the r4 "tail sample" the README planned
