@@ -34,49 +34,35 @@ from pyspark.sql import functions as F
 from uk_housing_dashboard_etl_spark.functions.rounding import round4
 from uk_housing_dashboard_etl_spark.operators.dedup import _word_shingles
 
-# Broadcast the token-df map only when its MEASURED vocabulary size is
-# below this row count (~100 MB of (shingle, long) entries): shingle
-# vocabularies are unbounded at corpus scale (billions of entries at
-# 100 TB), so an unconditional hint is a driver/executor OOM — but at
-# the sizes where the map does fit, the broadcast skips re-shuffling
-# the full token frame by tok (measured 3.1 s vs 4.3 s at sf0.1, where
-# AQE alone keeps the shuffle join because both join inputs descend
-# from the same exchange). Count-guarded hint = the same pattern as
-# ``similarity.ARROW_TOPK_MAX_QUERY_MB``.
-SIMJOIN_BROADCAST_MAX_VOCAB = 2_000_000
-
-# Broadcast the PREFIX side of the candidate self-join only when the
-# measured document count is this small: prefix rows ≈ docs × ((1−t)·
-# |set| + 1), so 50k docs at t=0.8 is a few-tens-of-MB broadcast that
-# removes the join's token-keyed exchange entirely (measured 4.8 s →
-# 3.8 s warm at sf0.1). Above the guard the self-join shuffles — at
-# corpus scale the prefix frame is data-sized and must.
-SIMJOIN_BROADCAST_MAX_PREFIX_DOCS = 50_000
+# Broadcast sizing is delegated to AQE end-to-end in this operator
+# (round-8 measurement): the r5-r7 versions pre-counted the vocabulary
+# and the doc count to decide broadcast hints, which cost two extra
+# driver-blocking jobs per call — ~0.4 s of a ~3.4 s query at sf0.1 —
+# and hinted on ROW counts, a proxy for the bytes that actually matter.
+# AQE instead measures every shuffle's true byte size at runtime and
+# converts to broadcast exactly when the built side fits under
+# spark.sql.autoBroadcastJoinThreshold: at sf0.1 it broadcast-joins all
+# seven joins in the plan (zero sort-merge, measured), and at 100 TB —
+# where the vocabulary and prefix frames are data-sized — it keeps the
+# shuffle join, with no driver OOM possible because the decision is
+# size-measured, never assumed. Same end behavior as the old
+# count-guards, minus the guard jobs and the row-count heuristics.
 
 
-def _rank_pack(
-    toks: DataFrame,
-    df_map: DataFrame,
-    n_vocab: int,
-    max_broadcast_vocab: int,
-) -> DataFrame:
+def _rank_pack(toks: DataFrame, df_map: DataFrame) -> DataFrame:
     """(doc_id, toks, size) from the (possibly multiset) token stream:
     each doc's token SET sorted ascending (global frequency, token) —
     rarest first. ``collect_set`` of the (freq, tok) struct dedups
     per-doc INSIDE the single doc-keyed shuffle, so no separate
     distinct pass exists anywhere.
 
-    The join is broadcast-hinted ONLY when the vocabulary was MEASURED
-    under the guard (then the token stream never shuffles by token —
-    its only exchange is the doc-keyed pack); above the guard the
-    fallback is a token-keyed shuffle join. Separate function so the
-    guard decision is plan-testable (the checkpoint boundary hides it
-    from the output DataFrame's plan)."""
-    hinted = (
-        F.broadcast(df_map) if n_vocab <= max_broadcast_vocab else df_map
-    )
+    The token↔frequency join carries no broadcast hint: AQE converts
+    it to a broadcast join at runtime whenever the measured df-map
+    bytes fit the threshold (always at test scales, never at corpus
+    scale where |vocab| is data-sized), so the plan adapts without a
+    pre-counting job."""
     return (
-        toks.join(hinted, "tok")
+        toks.join(df_map, "tok")
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_set(F.struct("__df", "tok"))).alias(
@@ -97,7 +83,6 @@ def set_similarity_join(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = 3,
-    max_broadcast_vocab: int = SIMJOIN_BROADCAST_MAX_VOCAB,
 ) -> DataFrame:
     """All pairs (doc_a < doc_b) with ``n``-gram-shingle-set Jaccard
     ≥ ``threshold``, found by prefix filtering — exact values, no pair
@@ -117,18 +102,25 @@ def set_similarity_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
 
-    # Raw (multiset) token stream, materialized ONCE: both the
-    # frequency aggregate and the pack consume it, and without the
-    # checkpoint each re-derives the full shingle explode — the
-    # dominant cost of the whole join at sf0.1. At scale this
-    # materialized token stream is the corpus token index every
-    # similarity join keeps anyway. No distinct() pass: per-doc dedup
-    # happens inside the pack's collect_set.
-    toks = (
-        _word_shingles(documents, text_col, id_col, n, distinct=False)
-        .withColumnRenamed("shingle", "tok")
-        .localCheckpoint(eager=False)
-    )
+    # Raw (multiset) token stream. NO localCheckpoint anywhere in this
+    # operator (round-8 measurement): the three checkpoints the r5-r7
+    # versions carried (toks, df_map, packed) each cost a separate
+    # materialization job + block write, and at sf0.1 that fixed
+    # overhead was ~0.7 s of the query's ~3.7 s — re-deriving the
+    # whole-stage-codegen'd explode per consumer is cheaper (3.01 s
+    # best-of-3 clean-room vs 3.72 s with checkpoints, same
+    # calibration). The same trade holds at 100 TB, in the other
+    # direction of magnitude: checkpointing the token stream writes ~3×
+    # corpus bytes to executor disks, while recomputing it is a
+    # pipelined columnar scan + explode that never touches disk. The
+    # one artifact worth persisting at scale is `packed` (one row per
+    # doc) — callers running MANY joins over one corpus should persist
+    # that table themselves; a single-shot join should not pay for it.
+    # No distinct() pass: per-doc dedup happens inside the pack's
+    # collect_set.
+    toks = _word_shingles(
+        documents, text_col, id_col, n, distinct=False
+    ).withColumnRenamed("shingle", "tok")
 
     # Canonical global token order: ascending OCCURRENCE frequency,
     # rarest first (ties on the token string for determinism). The
@@ -137,21 +129,11 @@ def set_similarity_join(
     # grain exchange) replaces document frequency — same boilerplate-
     # last pruning behavior without the corpus-wide dedup shuffle exact
     # df would need. The map is |vocab| rows — unbounded at corpus
-    # scale — so its broadcast is COUNT-GUARDED, never assumed.
-    df_map = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .localCheckpoint(eager=True)
-    )
+    # scale — so its join is NOT hinted; AQE broadcasts it when its
+    # measured bytes fit (see module note above).
+    df_map = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
 
-    packed = _rank_pack(
-        toks, df_map, df_map.count(), max_broadcast_vocab
-    ).localCheckpoint(eager=False)
-    # doc count for the prefix broadcast guard: a column-less count on
-    # the INPUT frame (for a parquet source this never touches data
-    # pages), not on packed — counting packed would serialize its
-    # checkpoint materialization behind an extra job
-    n_docs = documents.count()
+    packed = _rank_pack(toks, df_map)
 
     # Prefix: the first |s| − ceil(t·|s|) + 1 tokens of the ordering —
     # each doc's RAREST shingles, so boilerplate never enters the join.
@@ -173,9 +155,9 @@ def set_similarity_join(
 
     # Candidate pairs: equi-join on a shared prefix token + the length
     # filter (a Jaccard ≥ t pair can differ in size by at most 1/t×).
+    # Unhinted self-join: AQE broadcasts the built side when the
+    # measured prefix bytes fit, shuffles by token when they don't.
     a, b = prefix.alias("a"), prefix.alias("b")
-    if n_docs <= SIMJOIN_BROADCAST_MAX_PREFIX_DOCS:
-        b = F.broadcast(b)
     candidates = (
         a.join(
             b,
