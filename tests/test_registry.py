@@ -39,31 +39,53 @@ def test_oracle_keys_subset_of_queries():
     assert not extra, f"oracles without a registered query: {sorted(extra)}"
 
 
-def test_registry_front_window_is_unverified_families():
-    """Round-7 rotation (README r7 row): round-7 additions first, then
-    every query whose last driver check was round 2 (the 37-name true
-    debt — the planned r4 tail sample never ran), then the oldest
-    r3-era block — and the declared front ordering must be applied
-    verbatim."""
+def test_rotation_window_covers_new_and_stale():
+    """Round-8 rule (VERDICT r7 item 3), enforced MECHANICALLY: any
+    query whose implementing code (static call-graph closure), oracle
+    SQL, or registered binding changed since the round-close commit of
+    its last green CORRECTNESS row MUST sit inside the ~50-slot driver
+    window — a green row against old code is not a green row. Never-
+    verified queries likewise. tools/rotation.py computes the required
+    set from git + the committed per-round oracle snapshots, so ANY
+    code change that stales a verified query breaks this test until the
+    query re-enters the window (or the window overflows, in which case
+    the window must be spent entirely on required + oldest names)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import rotation
+
     order = list(contract.QUERIES)
-    n_new = len(contract._R7_NEW)
-    assert order[:n_new] == contract._R7_NEW
-    # the ~50-query driver window must be filled by the oldest-verified
-    # families: every r2-era name sits inside the first 50 slots
-    r2_era = {
-        "sessionize", "range_join", "similarity_topk",
-        "embedding_near_dup_lsh", "text_stats", "quality_score",
-        "doc_fingerprint", "filter_funnel", "embedding_quantize",
-        "token_histogram", "robust_anomalies", "price_deciles",
-        "lapsed_parts", "source_cap", "weekly_unpivot",
-        "repeat_customers", "supplier_percentile", "gap_interpolation",
-        "top_parts_per_nation", "modal_type", "curate_corpus",
-        "knn_classify", "embedding_centroids", "conversion_funnel",
-        "weekly_retention", "multimodal_meta", "multimodal_frames",
-        "cumulative_users", "event_transitions", "first_last_touch",
-        "corr_stats", "price_histogram", "grouping_sets",
-        "range_rolling", "active_suppliers", "similarity_lsh_recall",
-        "similarity_ivf_recall",
-    }
-    assert r2_era <= set(order[:50])
-    assert order[: len(contract._R7_FRONT)] == contract._R7_FRONT
+    window = set(order[:50])
+    required = rotation.required_in_window()
+    missing = set(required) - window
+    assert not missing, (
+        f"queries with changed code/oracle (or never verified) outside "
+        f"the driver window: "
+        f"{sorted((n, required[n]) for n in missing)} — re-run the "
+        f"rotation (tools/rotation.py) and update _R8_FRONT"
+    )
+    # the declared front/queue ordering must be applied verbatim
+    assert order[: len(contract._R8_FRONT)] == contract._R8_FRONT
+    n_front = len(contract._R8_FRONT)
+    assert (
+        order[n_front : n_front + len(contract._R8_QUEUE)]
+        == contract._R8_QUEUE
+    )
+    # non-required window slots must go to the OLDEST-verified queries:
+    # nothing outside the window+queue may be older than a fill slot
+    verified = rotation.last_verified()
+    fill_rounds = [
+        verified[n] for n in order[:50] if n not in required
+    ]
+    outside = [
+        verified[n]
+        for n in order[50 + len(contract._R8_QUEUE) :]
+        if n not in required
+    ]
+    if fill_rounds and outside:
+        assert max(fill_rounds) <= min(outside), (
+            "window fill is not the oldest-verified set: "
+            f"fill max r{max(fill_rounds)} > outside min r{min(outside)}"
+        )
