@@ -58,3 +58,33 @@ def test_epoch_shards_rejects_degenerate_args(spark):
         epoch_shards(_docs(spark), n_epochs=0)
     with pytest.raises(ValueError):
         epoch_shards(_docs(spark), n_shards=0)
+
+
+def test_cached_fit_large_builds_once_and_salts_on_code_change(
+    spark, monkeypatch, tmp_path
+):
+    """Corpus-sized fit artifacts go to write-once parquet: the builder
+    runs exactly once per (sf_dir, kind, code-salt); changing the
+    fitting code (different salt) must invalidate the path."""
+    from uk_housing_dashboard_etl_spark import contract
+
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id", "id * 2 AS v")
+
+    monkeypatch.setattr(contract, "_fit_code_salt", lambda: "saltAAAA")
+    sf = str(tmp_path)  # unique sf_dir so no collision with real caches
+    a = contract._cached_fit_large(spark, sf, "t8kind", builder)
+    assert sorted(r["v"] for r in a.collect()) == [0, 2, 4, 6, 8]
+    b = contract._cached_fit_large(spark, sf, "t8kind", builder)
+    assert calls["n"] == 1  # reused from parquet, builder not re-run
+    assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
+    # a code change (new salt) must rebuild rather than serve stale data
+    monkeypatch.setattr(contract, "_fit_code_salt", lambda: "saltBBBB")
+    contract._cached_fit_large(spark, sf, "t8kind", builder)
+    assert calls["n"] == 2
+    # no clear_large_fit_cache() here: a concurrent bench owns the
+    # cache dir; the two 5-row test artifacts are swept at the next
+    # bench suite start
