@@ -999,6 +999,22 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _semdedup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared deterministic k-means fit for the SemDeDup query/gate twins
+    (round-8: the gate re-ran the identical 4-iteration fit the query
+    had just paid for — same dedup as the r7 PQ-family fit sharing).
+    8 centroid rows → the driver-rows cache, not parquet."""
+    from uk_housing_dashboard_etl_spark.operators.ivf import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _cached_fit(
+        spark, sf_dir, "semdedup8",
+        lambda: kmeans_fit(
+            emb, k=8, iterations=4, id_col="vec_id", vec_col="embedding"
+        ),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup pairs: k-means cells (multi-probe ×2) then exact-cosine
     ≥ 0.4 within shared cells. Iterative k-means ⇒ not SQL-expressible;
@@ -1007,7 +1023,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_near_dup(
-        emb, threshold=0.4, k=8, iterations=4, n_probes=2
+        emb, threshold=0.4, k=8, iterations=4, n_probes=2,
+        centroids=_semdedup_centroids(spark, sf_dir),
     ).select("id_a", "id_b", "cell", "cosine")
 
 
@@ -1030,7 +1047,10 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__e", F.lit(1))
     )
     found = (
-        semantic_near_dup(emb, threshold=0.4, k=8, iterations=4, n_probes=2)
+        semantic_near_dup(
+            emb, threshold=0.4, k=8, iterations=4, n_probes=2,
+            centroids=_semdedup_centroids(spark, sf_dir),
+        )
         .select("id_a", "id_b")
         .distinct()
         .withColumn("__f", F.lit(1))
