@@ -35,3 +35,11 @@ def test_headline_queries_exist_in_registry():
 
     for q in bench.HEADLINE:
         assert q in contract.QUERIES and q in contract.ORACLES
+
+
+def test_calibration_probe_returns_positive_seconds(spark):
+    """Round-8: the ambient-speed probe must be cheap, deterministic in
+    shape (pure generated data), and return a plausible wall-time."""
+    bench = _bench()
+    t = bench.calibration_probe(spark)
+    assert 0.0 < t < 60.0
