@@ -74,7 +74,7 @@ def test_cached_fit_large_builds_once_and_salts_on_code_change(
         calls["n"] += 1
         return spark.range(5).selectExpr("id", "id * 2 AS v")
 
-    monkeypatch.setattr(contract, "_fit_code_salt", lambda: "saltAAAA")
+    monkeypatch.setattr(contract, "_fit_code_salt", lambda mods=(): "saltAAAA")
     sf = str(tmp_path)  # unique sf_dir so no collision with real caches
     a = contract._cached_fit_large(spark, sf, "t8kind", builder)
     assert sorted(r["v"] for r in a.collect()) == [0, 2, 4, 6, 8]
@@ -82,7 +82,7 @@ def test_cached_fit_large_builds_once_and_salts_on_code_change(
     assert calls["n"] == 1  # reused from parquet, builder not re-run
     assert sorted(map(tuple, b.collect())) == sorted(map(tuple, a.collect()))
     # a code change (new salt) must rebuild rather than serve stale data
-    monkeypatch.setattr(contract, "_fit_code_salt", lambda: "saltBBBB")
+    monkeypatch.setattr(contract, "_fit_code_salt", lambda mods=(): "saltBBBB")
     contract._cached_fit_large(spark, sf, "t8kind", builder)
     assert calls["n"] == 2
     # no clear_large_fit_cache() here: a concurrent bench owns the

