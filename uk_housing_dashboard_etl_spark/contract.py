@@ -974,13 +974,32 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embexact04_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact cosine ≥ 0.4 all-pairs embedding truth set, shared by
+    the two gates that measure against it (embedding_near_dup_lsh_recall
+    and semantic_dedup_check) — same artifact-cache pattern as
+    ``_jaccard02_truth``, salted on similarity.py."""
+    from uk_housing_dashboard_etl_spark.operators import (
+        similarity as _sim_mod,
+    )
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return _cached_fit_large(
+        spark, sf_dir, "embexact04_pairs",
+        lambda: embedding_near_dup(emb, threshold=0.4),
+        salt_mods=(_sim_mod,),
+    )
+
+
 def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the bucketed embedding near-dup path: recall vs
     the all-pairs exact ≥ 0.5 (measured 0.71), and the subset property —
     every emitted pair must exist in the exact result (the LSH path only
     prunes, its exact-cosine filter can never invent pairs)."""
     from uk_housing_dashboard_etl_spark.operators.similarity import (
-        embedding_near_dup,
         embedding_near_dup_lsh,
     )
 
@@ -988,7 +1007,7 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
     # single full-outer pass instead of three aggregates that would each
     # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
     exact = (
-        embedding_near_dup(emb, threshold=0.4)
+        _embexact04_truth(spark, sf_dir)
         .select("id_a", "id_b")
         .withColumn("__e", F.lit(1))
     )
@@ -1052,15 +1071,12 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset property — intra-cell scoring uses the same bit-exact cosine,
     so it can only prune pairs, never invent them."""
     from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
-    from uk_housing_dashboard_etl_spark.operators.similarity import (
-        embedding_near_dup,
-    )
 
     emb = read_table(spark, sf_dir, "embeddings")
     # single full-outer pass instead of three aggregates that would each
     # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
     exact = (
-        embedding_near_dup(emb, threshold=0.4)
+        _embexact04_truth(spark, sf_dir)
         .select("id_a", "id_b")
         .withColumn("__e", F.lit(1))
     )
