@@ -300,6 +300,12 @@ def main() -> None:
         "headline_sec": round(
             sum(times[q] for q in HEADLINE if q in times), 3
         ),
+        # ambient-machine-speed yardstick (median of the start/middle/
+        # end probes): divide suite totals by the ratio of these before
+        # comparing across rounds
+        "calibration_sec": sorted(calibration.values())[
+            len(calibration) // 2
+        ],
         "detail_file": detail_name,
     }
     if failures:

@@ -359,7 +359,46 @@ def required_in_window() -> dict[str, str]:
     return out
 
 
+def emit_front(window: int = 50) -> None:
+    """Print a paste-ready front/queue pair for contract.py: new first,
+    then stale (oldest-verified first), then the oldest-round fill to
+    the window edge; displaced oldest names become the queue. Run at
+    each round start AFTER adding the new ROUND_CLOSE entry and
+    snapshot."""
+    from uk_housing_dashboard_etl_spark import contract
+
+    req = required_in_window()
+    verified = last_verified()
+    order = list(contract.QUERIES)
+    pos = {n: i for i, n in enumerate(order)}
+    new = [n for n, why in req.items() if why == "new"]
+    stale = sorted(
+        (n for n in req if n not in new),
+        key=lambda n: (verified[n], pos[n]),
+    )
+    oldest_round = min(
+        (verified[n] for n in order if n not in req), default=0
+    )
+    fill_pool = [
+        n for n in order if verified[n] == oldest_round and n not in req
+    ]
+    n_fill = max(0, window - len(new) - len(stale))
+    fill, queue = fill_pool[:n_fill], fill_pool[n_fill:]
+    print(f"# required={len(req)} (new={len(new)}), "
+          f"fill r{oldest_round}-era={len(fill)}, queue={len(queue)}")
+    print("_R_FRONT = [")
+    for n in new + stale + fill:
+        print(f'    "{n}",')
+    print("]\n_R_QUEUE = [")
+    for n in queue:
+        print(f'    "{n}",')
+    print("]")
+
+
 def main() -> None:
+    if len(__import__("sys").argv) > 1 and __import__("sys").argv[1] == "--plan":
+        emit_front()
+        return
     verified = last_verified()
     req = required_in_window()
     print(f"{len(req)} queries required in window:")
