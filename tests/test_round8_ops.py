@@ -60,6 +60,48 @@ def test_epoch_shards_rejects_degenerate_args(spark):
         epoch_shards(_docs(spark), n_shards=0)
 
 
+def test_epoch_shards_engine_identical_at_bigint_extremes(spark):
+    """Round-7 advice: nothing enforced the under-2^63 overflow
+    argument. The hash now reduces the id mod p FIRST, so ids at the
+    top of the bigint range must produce the EXACT schedule DuckDB
+    derives (pre-fix, Spark wrapped while DuckDB promoted to HUGEINT
+    and the engines silently diverged)."""
+    import duckdb
+
+    ids = [2**63 - 1, 2**63 - 2, 2**62 + 12345, 10**18 + 7, 0, 1, 977]
+    docs = spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id long, text string"
+    )
+    got = sorted(
+        map(tuple, epoch_shards(docs, n_epochs=2, n_shards=8).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                """
+        WITH ids(doc_id) AS (
+            SELECT unnest([9223372036854775807, 9223372036854775806,
+                           4611686018427400249, 1000000000000000007,
+                           0, 1, 977]::BIGINT[])
+        ), keyed AS (
+            SELECT doc_id, CAST(e.epoch AS INT) AS epoch,
+                   ((doc_id % 1000000007) + (e.epoch + 1) * 2654435761)
+                       % 1000000007 * 2654435761 % 1000000007 AS h
+            FROM ids CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+        )
+        SELECT doc_id, epoch, CAST(h % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch, h % 8 ORDER BY h, doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM keyed
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
 def test_cached_fit_large_builds_once_and_salts_on_code_change(
     spark, monkeypatch, tmp_path
 ):

@@ -9673,8 +9673,8 @@ ORACLES["epoch_shards"] = """
     WITH keyed AS (
         SELECT d.doc_id,
                CAST(e.epoch AS INT) AS epoch,
-               ((d.doc_id + (e.epoch + 1) * 2654435761)
-                   % 1000000007) * 2654435761 % 1000000007 AS h
+               ((d.doc_id % 1000000007) + (e.epoch + 1) * 2654435761)
+                   % 1000000007 * 2654435761 % 1000000007 AS h
         FROM documents d
         CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
     )

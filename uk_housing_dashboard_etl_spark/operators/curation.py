@@ -764,14 +764,20 @@ def epoch_shards(
         ).alias("epoch"),
     )
     # epoch-mixed multiplicative hash: the +1 keeps epoch 0 from
-    # degenerating to the raw id order. Mod BEFORE the second multiply
-    # so every intermediate stays under 2^63 (ANSI overflow-safe, and
-    # the identical BIGINT sequence in the DuckDB oracle)
+    # degenerating to the raw id order. The id is reduced mod p FIRST,
+    # so every intermediate is overflow-safe for the ENTIRE bigint id
+    # domain (worst case: (p−1) + n_epochs·KNUTH ≈ 1e9 + n·2.65e9, then
+    # ·KNUTH < 2.65e18 < 2^63) — without the leading mod, an id near
+    # 2^63 would wrap in Spark but promote to HUGEINT in DuckDB, and
+    # the two engines would silently derive different schedules. The
+    # mod sign convention (sign of the dividend) matches between Spark
+    # and DuckDB, so even negative ids stay engine-identical.
     h = (
         (
-            (F.col("doc_id") + (F.col("epoch") + 1) * F.lit(KNUTH))
-            % F.lit(1_000_000_007)
+            (F.col("doc_id") % F.lit(1_000_000_007))
+            + (F.col("epoch") + 1) * F.lit(KNUTH)
         )
+        % F.lit(1_000_000_007)
         * F.lit(KNUTH)
     ) % F.lit(1_000_000_007)
     keyed = base.select(
