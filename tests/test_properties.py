@@ -448,3 +448,43 @@ def test_benford_on_log_uniform_data(spark, seed):
     for r in out:
         expect = 4000 * (r["share"] - r["benford"]) ** 2 / r["benford"]
         assert r["chi2_term"] == pytest.approx(expect, abs=0.51)
+
+
+@SLOW
+@given(docs=word_corpora())
+def test_simjoin_prefix_exact_and_complete_on_random_corpora(spark, docs):
+    """Round-8 rewrite guard for set_similarity_join (checkpoints and
+    count-guards removed, AQE-sized joins): on arbitrary corpora the
+    prefix-filtered join must equal a brute-force token-set Jaccard —
+    same pairs (completeness: prefix filtering may prune candidates,
+    never results), same counts, same 4dp half-up values."""
+    import math
+
+    from uk_housing_dashboard_etl_spark.operators.simjoin import (
+        set_similarity_join,
+    )
+
+    t = 0.5
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.size_a, r.size_b, r.jaccard)
+        for r in set_similarity_join(df, threshold=t, n=1).collect()
+    }
+    sets = {
+        i: set(" ".join(text.split()).lower().split())
+        for i, text in docs
+    }
+    want = {}
+    ids = sorted(sets)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            jac = math.floor(
+                inter / (len(sa) + len(sb) - inter) * 10000.0 + 0.5
+            ) / 10000.0
+            if jac >= t:
+                want[(a, b)] = (inter, len(sa), len(sb), jac)
+    assert got == want
