@@ -488,3 +488,55 @@ def test_simjoin_prefix_exact_and_complete_on_random_corpora(spark, docs):
             if jac >= t:
                 want[(a, b)] = (inter, len(sa), len(sb), jac)
     assert got == want
+
+
+@SLOW
+@given(docs=word_corpora())
+def test_dsir_scores_match_independent_reference(spark, docs):
+    """Round-8 rewrite guard for dsir_scores (term windows + corpus
+    re-scan replaced by one vocab-grain aggregate): scores on arbitrary
+    corpora must match an independent Python computation of the DSIR
+    log-likelihood-ratio formula to the 4dp quantization."""
+    import math
+    from collections import Counter
+
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        dsir_scores,
+    )
+
+    # even ids are the "target domain"; drop empty docs (no terms)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.is_target, r.dsir_score)
+        for r in dsir_scores(df, F.col("doc_id") % 2 == 0).collect()
+    }
+    tf = {
+        i: Counter(" ".join(text.split()).lower().split())
+        for i, text in docs
+    }
+    tf = {i: c for i, c in tf.items() if c}
+    assert set(got) == set(tf)
+    ctf: Counter = Counter()
+    ttf: Counter = Counter()
+    for i, c in tf.items():
+        ctf.update(c)
+        if i % 2 == 0:
+            ttf.update(c)
+    total = sum(ctf.values())
+    tgt_total = sum(ttf.values())
+    vocab = len(ctf)
+    for i, c in tf.items():
+        n_tokens = sum(c.values())
+        llr = sum(
+            n
+            * (
+                math.log((ttf.get(term, 0) + 1) / (tgt_total + vocab))
+                - math.log(ctf[term] / total)
+            )
+            for term, n in c.items()
+        )
+        n_got, is_tgt, score = got[i]
+        assert n_got == n_tokens and is_tgt == (i % 2 == 0)
+        # dsum quantizes each row to 1e-4 before summing; allow that
+        # plus the final rounding as tolerance
+        assert abs(score - llr / n_tokens) < 5e-4 + len(c) * 1e-4 / n_tokens
