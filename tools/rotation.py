@@ -65,6 +65,7 @@ ROUND_CLOSE: dict[int, str] = {
     5: "ef6ed0e",
     6: "de6e7ea",
     7: "0ec7ab2",
+    8: "6d01be5",
 }
 
 # ---------------------------------------------------------------- git
