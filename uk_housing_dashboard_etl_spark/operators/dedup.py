@@ -72,7 +72,10 @@ def _word_shingles(
     equals min() over its set — identical signatures without the
     full-corpus dedup shuffle.
     """
-    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    # split("") yields [""], not [] — strip empty tokens so an empty or
+    # whitespace-only document has an EMPTY shingle set at every n
+    # (otherwise two empty docs would join with Jaccard 1.0 at n=1).
+    toks = F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
     shingle_expr = F.expr(
         f"""CASE WHEN size(__toks) < {n} THEN array()
              ELSE transform(
@@ -390,10 +393,15 @@ def simhash_signatures(
     combinable); the signature assembles JVM-side from bit tests — no
     Python, no second shuffle. 63 bits keeps the value a positive long.
     """
+    # empty/whitespace-only docs have no tokens (split("") yields [""]
+    # which must NOT hash) — they emit no signature row, consistent with
+    # MinHash over an empty shingle set.
     toks = (
         documents.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(_norm_text(F.col(text_col)), r"\s+")).alias("tok"),
+            F.explode(
+                F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
+            ).alias("tok"),
         )
         .withColumn("h", F.xxhash64("tok"))
     )
@@ -576,7 +584,8 @@ def dup_span_stats(
     contributing ``k``. Short docs (< k tokens) emit no k-grams and
     report zero coverage via the left join back to the length frame.
     """
-    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    # array_remove: an empty doc is [] (0 tokens, no grams), not [""]
+    toks = F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
     base = documents.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     )
@@ -881,7 +890,10 @@ def cdc_chunk_pairs(
         else f"element_at(__th, j)"
         for k, c in enumerate(coefs)
     )
-    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    # array_remove: an empty doc has zero tokens and therefore zero
+    # chunks — without it split("") yields [""] and every empty doc
+    # would share one md5("") chunk, pairing all empties spuriously.
+    toks = F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
     th = F.expr(
         "transform(__toks, tok -> aggregate("
         "  transform(sequence(1, length(tok)),"
@@ -901,10 +913,14 @@ def cdc_chunk_pairs(
         "             p -> p > 0) END,"
         "  array(size(__toks)))))"
     )
+    # size(__bpos) == 1 happens only for token-less docs (bpos [0]);
+    # sequence(1, 0) DESCENDS in Spark, so short-circuit to no chunks.
     chunks_arr = F.expr(
-        "transform(sequence(1, size(__bpos) - 1),"
+        "CASE WHEN size(__bpos) < 2 THEN CAST(array() AS ARRAY<STRING>)"
+        " ELSE transform(sequence(1, size(__bpos) - 1),"
         " i -> array_join(slice(__toks, element_at(__bpos, i) + 1,"
         "        element_at(__bpos, i + 1) - element_at(__bpos, i)), ' '))"
+        " END"
     )
     ch = (
         documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
@@ -971,6 +987,7 @@ def exact_substr_spans(
     id_col: str = "doc_id",
     min_len: int = 30,
     hash_grams: bool = True,
+    spread_input: bool | None = None,
 ) -> DataFrame:
     """EXACT maximal duplicated character spans (the cut list of Lee et
     al. 2022's ExactSubstr dedup): every maximal interval of a document
@@ -1023,12 +1040,28 @@ def exact_substr_spans(
     # the hash+explode stage on one core (measured 2.9 s → 0.5 s at
     # sf0.1, a single-split scan), while a corpus that already fans out
     # across the cluster must NOT pay a full raw-text shuffle for
-    # nothing (measured +35% on the 500k-doc stress when forced)
+    # nothing (measured +35% on the 500k-doc stress when forced).
+    # ``spread_input=None`` decides from scan METADATA only
+    # (``inputFiles()`` — analyzed-plan file listing, no physical
+    # planning, unlike the former ``rdd.getNumPartitions()`` probe
+    # which converted the whole plan to an RDD on the driver): fewer
+    # input files than cores means the map stage cannot fill the
+    # cluster (testdata-sized single-file scans), while a 100 TB corpus
+    # has >> cores files and skips the shuffle. Multi-split large files
+    # under-count (they parallelize fine without help) and non-file
+    # frames probe as [] (their parallelism was set by the upstream
+    # shuffle) — both sides err toward NOT shuffling. Callers that know
+    # better pass the bool explicitly.
     spark = documents.sparkSession
     target = spark.sparkContext.defaultParallelism
-    docs_par = documents
-    if documents.rdd.getNumPartitions() < target:
-        docs_par = documents.repartition(target, F.col(id_col))
+    if spread_input is None:
+        n_files = len(documents.inputFiles())
+        spread_input = 0 < n_files < target
+    docs_par = (
+        documents.repartition(target, F.col(id_col))
+        if spread_input
+        else documents
+    )
     grams = docs_par.select(
         F.col(id_col).alias("doc_id"), F.explode(starts).alias("__s")
     ).select(
