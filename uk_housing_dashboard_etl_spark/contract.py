@@ -2477,7 +2477,10 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-length histogram (width-10 bins): the dataset-card
     length distribution."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # array_remove mirrors the oracle's list_filter: empty doc = 0 tokens
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), ""
+    )
     binned = docs.select(
         (F.floor(F.size(toks) / 10) * 10).alias("bin_start"),
         F.size(toks).alias("__n"),
@@ -3335,7 +3338,10 @@ ORACLES.update(_RELATIONAL_ORACLES)
 # sequential double folds → bit-identical, rounded 4dp anyway.
 
 _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKS = f"string_split_regex({_NORM_TEXT}, '\\s+')"
+# list_filter: string_split_regex('') yields [''] in DuckDB exactly as
+# split("") does in Spark — both engines must count an empty doc as 0
+# tokens (mirrors _tokens/_word_shingles array_remove on the Spark side)
+_TOKS = f"list_filter(string_split_regex({_NORM_TEXT}, '\\s+'), x -> x <> '')"
 
 _DOT_SQL = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
@@ -4238,7 +4244,8 @@ _EXTENSION_ORACLES["temperature_mix"] = """
 _EXTENSION_ORACLES["pack_sequences"] = f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(string_split({_NORM_TEXT}, ' ')) AS INTEGER)
+               CAST(len(list_filter(string_split({_NORM_TEXT}, ' '),
+                                    x -> x <> '')) AS INTEGER)
                    AS n_tokens,
                CAST(((doc_id * 2654435761) % 1000000007) % 8 AS INTEGER)
                    AS shard,

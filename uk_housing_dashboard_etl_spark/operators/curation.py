@@ -308,8 +308,13 @@ def decontaminate_bloom(
 def _doc_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(doc_id, ngram) pairs, distinct per doc — whitespace word grams."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    """(doc_id, ngram) pairs, distinct per doc — whitespace word grams.
+
+    array_remove: split("") yields [""] — an empty doc must have an
+    EMPTY gram set at every n, or all empties share the "" unigram."""
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
     grams = F.expr(
         f"""CASE WHEN size(__toks) < {n} THEN array()
              ELSE array_distinct(transform(sequence(0, size(__toks) - {n}),
@@ -531,8 +536,16 @@ def pack_sequences(
     Output: (doc_id, shard, bin_idx, n_tokens) — a (shard, bin_idx)
     group is one packed training sequence.
     """
+    # array_remove: an empty doc packs with n_tokens 0 (it consumes no
+    # budget), not a phantom 1 from split("") == [""]
     toks = F.size(
-        F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))), " ")
+        F.array_remove(
+            F.split(
+                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                " ",
+            ),
+            "",
+        )
     )
     hashed = documents.select(
         F.col(id_col).alias("doc_id"),

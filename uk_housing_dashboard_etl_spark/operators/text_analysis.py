@@ -37,7 +37,12 @@ _BPE_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def _tokens(text_col: str) -> F.Column:
-    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # array_remove: split("") yields [""] — an empty or whitespace-only
+    # document must count 0 tokens (ratios over n_tokens go null, the
+    # correct "no content" answer), not 1 empty token.
+    return F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+    )
 
 
 def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -758,9 +763,15 @@ def chunk_documents(
             f"overlap ({overlap}) must be smaller than chunk_tokens "
             f"({chunk_tokens})"
         )
-    toks = F.split(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
-        r"\s+",
+    # array_remove: an empty doc is [] — it still yields exactly one
+    # chunk (the documented short-doc rule) but with chunk_len 0 and
+    # empty chunk_text, not a phantom 1-token "" chunk.
+    toks = F.array_remove(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+            r"\s+",
+        ),
+        "",
     )
     base = documents.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
@@ -1142,16 +1153,24 @@ def strip_boilerplate_chunks(
     """
     from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
 
-    toks = F.split(_norm_text(F.col(text_col)), r"\s+")
+    # array_remove: a token-less doc has ZERO chunks (n_chunks 0,
+    # clean_text '' via the left join below) — without it every empty
+    # doc carried one "" chunk whose shared hash made all empties
+    # mutual boilerplate. sequence(0, -1) DESCENDS, hence the guard.
+    toks = F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
     n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_tokens))).cast(
         "int"
     )
-    chunk_at = F.transform(
-        F.sequence(F.lit(0), n_chunks - F.lit(1)),
-        lambda c: F.array_join(
-            F.slice(F.col("__toks"), c * chunk_tokens + 1, chunk_tokens), " "
+    chunk_at = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda c: F.array_join(
+                F.slice(F.col("__toks"), c * chunk_tokens + 1, chunk_tokens),
+                " ",
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
     chunks = (
         documents.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .select("doc_id", F.posexplode(chunk_at).alias("pos", "chunk"))
