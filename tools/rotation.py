@@ -290,7 +290,14 @@ def changed_units(rev: str) -> frozenset[tuple[str, str]]:
 
 
 def last_verified() -> dict[str, int]:
-    """query -> latest round with a CORRECTNESS row (0 = never)."""
+    """query -> latest round with a GREEN CORRECTNESS row (0 = never).
+
+    Green means the driver actually vouched for the result: err is null
+    with rows/schema/hash all matching, or the documented by-design
+    ``no_oracle`` rows-only case. A row with a hard driver error (e.g.
+    sessionize in r01) or ``hash_match: false`` (ks_values in r04) is
+    NOT a verification — counting it would let a query that FAILED the
+    driver check drop out of the window forever (round-8 advice)."""
     from uk_housing_dashboard_etl_spark import contract
 
     out = {name: 0 for name in contract.QUERIES}
@@ -298,8 +305,16 @@ def last_verified() -> dict[str, int]:
         f = REPO / f"CORRECTNESS_r{r:02d}.json"
         if not f.exists():
             continue
-        for name in json.loads(f.read_text()):
-            if name in out:
+        for name, row in json.loads(f.read_text()).items():
+            if name not in out:
+                continue
+            green = row.get("err") == "no_oracle" or (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+            )
+            if green:
                 out[name] = r
     return out
 
@@ -377,16 +392,20 @@ def emit_front(window: int = 50) -> None:
         (n for n in req if n not in new),
         key=lambda n: (verified[n], pos[n]),
     )
-    oldest_round = min(
-        (verified[n] for n in order if n not in req), default=0
+    # fill from the FULL oldest-first ordering, not a single era — an
+    # era smaller than the remaining slots must not under-fill the
+    # window (round-8 advice); the queue is the rest of whichever era
+    # the fill cut mid-way (the names displaced past the window edge).
+    fill_pool = sorted(
+        (n for n in order if n not in req),
+        key=lambda n: (verified[n], pos[n]),
     )
-    fill_pool = [
-        n for n in order if verified[n] == oldest_round and n not in req
-    ]
     n_fill = max(0, window - len(new) - len(stale))
-    fill, queue = fill_pool[:n_fill], fill_pool[n_fill:]
+    fill = fill_pool[:n_fill]
+    edge = verified[fill[-1]] if fill else 0
+    queue = [n for n in fill_pool[n_fill:] if verified[n] <= edge]
     print(f"# required={len(req)} (new={len(new)}), "
-          f"fill r{oldest_round}-era={len(fill)}, queue={len(queue)}")
+          f"fill={len(fill)} (through r{edge}-era), queue={len(queue)}")
     print("_R_FRONT = [")
     for n in new + stale + fill:
         print(f'    "{n}",')

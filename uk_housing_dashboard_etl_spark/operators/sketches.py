@@ -96,6 +96,16 @@ def quantile_sketch_summary(
     The sketch path is one map-side-combinable aggregate — no per-group
     sort — which is exactly what replaces exact percentiles (A3/A4) when
     a 100 TB group no longer fits a sort.
+
+    Two exact flavors ride along for the accuracy gates: the
+    INTERPOLATED percentile (the classical report number) and the
+    DISCRETE one (``percentile_disc`` — smallest element with
+    cume_dist >= q). Accuracy flags must compare the sketch against the
+    DISCRETE exact: KLL answers with an actual data element under the
+    same inclusive-rank rule, so at groups small enough for the sketch
+    to be exact the two are EQUAL, whereas the interpolated value can
+    legitimately sit >5% away on a ~50-row heavy-tailed group (the
+    round-8 sf0.001 artifact, SCALE.md).
     """
     return (
         events.groupBy(group_col)
@@ -106,10 +116,16 @@ def quantile_sketch_summary(
             ).alias("approx_median"),
             F.percentile(value_col, 0.5).alias("exact_median"),
             F.expr(
+                f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("exact_median_disc"),
+            F.expr(
                 f"kll_sketch_get_quantile_double("
                 f"kll_sketch_agg_double({value_col}, {k}), 0.9)"
             ).alias("approx_p90"),
             F.percentile(value_col, 0.9).alias("exact_p90"),
+            F.expr(
+                f"percentile_disc(0.9) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("exact_p90_disc"),
         )
         .withColumn(
             "median_rel_error",
