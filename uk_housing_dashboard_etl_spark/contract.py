@@ -9870,3 +9870,110 @@ QUERIES = {
     + _R8_QUEUE
     + [q for q in QUERIES if q not in _R8_FRONT and q not in _R8_QUEUE]
 }
+
+# Round-9 window rotation (tools/rotation.py --plan at r9 HEAD). 41
+# required: the empty-document tokenization fixes (split("") == [""])
+# ripple through the shared Spark tokenizers (_word_shingles, _tokens,
+# _doc_ngrams, simhash/exact_substr/cdc) AND the shared DuckDB oracle
+# macro _TOKS, staling the whole shingle/text-quality family; plus the
+# sketch_quantiles discrete-exact gate fix. Then the 7 remaining r3-era
+# names (the r8 queue — their last driver check is 5 rounds old), then
+# the r4-era fill to the 50-slot edge; the rest of the r4 era is the
+# queue and leads the r10 rotation. last_verified() now counts only
+# GREEN rows, and emit_front fills from the full oldest-first ordering
+# (round-8 advice) — both behavior-neutral on today's files.
+_R9_FRONT: list[str] = [
+    # stale: implementation and/or oracle changed since last green row
+    "incremental_dedup",
+    "doc_chunks",
+    "pmi_pairs",
+    "bpe_merges",
+    "split_leakage",
+    "quality_calibrate",
+    "vocab_growth",
+    "dedup_containment",
+    "strip_boilerplate",
+    "cdc_chunk_dedup",
+    "cluster_split",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "top_ngrams",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sketch_quantiles",
+    "lang_id",
+    "decontaminate",
+    "repetition_stats",
+    "dedup_exact_substr",
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_trim",
+    "dedup_exact_substr_agree",
+    "text_stats",
+    "quality_score",
+    "filter_funnel",
+    "token_histogram",
+    "source_cap",
+    "curate_corpus",
+    "dedup_minhash_recall",
+    "dedup_simhash_complete",
+    "simjoin_prefix",
+    "incremental_near_gate",
+    "dedup_keep_best",
+    "ngram_novelty",
+    "pack_sequences",
+    "decontaminate_bloom_check",
+    "dedup_ngram_capped",
+    "source_overlap",
+    "dup_span_stats",
+    # r3-era (last driver check 5 rounds old — the r8 queue)
+    "zorder_cells",
+    "scd2_history",
+    "debounce_events",
+    "cap_events",
+    "snapshot_diff",
+    "user_sequences",
+    "streaming_attribution",
+    # oldest-verified (r4-era) fill to the window edge
+    "clean_transactions",
+    "weekly_by_la",
+]
+# r4-era names past the window edge: they lead the r10 rotation.
+_R9_QUEUE: list[str] = [
+    "rolling_windows",
+    "anomalies",
+    "latest_snapshot",
+    "cohort_matrix",
+    "funnel_timing",
+    "value_trend",
+    "semantic_decontaminate",
+    "psi_drift",
+    "attribution_credit",
+    "embedding_health",
+    "table_profile",
+    "twap",
+    "join_cardinality",
+    "streaming_rate_cap",
+    "streaming_anomaly",
+    "rrf_fusion",
+    "trimmed_stats",
+    "fuzzy_matches",
+    "fuzzy_pair_stats",
+    "fuzzy_pair_stats_bucketed",
+    "interarrival_stats",
+    "benford_prices",
+    "rare_token_linkage",
+    "basket_lift",
+    "streaming_distinct_check",
+    "embedding_covariance",
+    "asof_forward",
+    "hard_negatives",
+    "top_paths",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
+]
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R9_FRONT
+    + _R9_QUEUE
+    + [q for q in QUERIES if q not in _R9_FRONT and q not in _R9_QUEUE]
+}
