@@ -540,3 +540,139 @@ def test_dsir_scores_match_independent_reference(spark, docs):
         # dsum quantizes each row to 1e-4 before summing; allow that
         # plus the final rounding as tolerance
         assert abs(score - llr / n_tokens) < 5e-4 + len(c) * 1e-4 / n_tokens
+
+
+# ---------------------------------------------------------------------------
+# Empty-input semantics (round-8 verdict item 5): split("") yields [""],
+# so every tokenizing operator must explicitly treat an empty or
+# whitespace-only document as having ZERO tokens. One property per
+# family, with empty/whitespace-only docs guaranteed in the generator.
+# The single documented exception: exact_dedup, where two empty docs
+# ARE mutual exact duplicates (equal normalized content) by design.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def corpora_with_empties(draw):
+    """word_corpora plus guaranteed empty and whitespace-only docs."""
+    docs = draw(word_corpora())
+    base = max(i for i, _ in docs) + 1
+    ws = draw(st.sampled_from(["", " ", "  \t ", "\n\n", " \t\n"]))
+    return docs + [(base, ""), (base + 1, ws), (base + 2, " ")]
+
+
+def _tokenless_ids(docs):
+    return {i for i, t in docs if not t.split()}
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_exact_dedup_groups_empties_by_design(spark, docs):
+    from uk_housing_dashboard_etl_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = exact_dedup(df).toPandas().set_index("doc_id")
+    empties = sorted(_tokenless_ids(docs))
+    # all token-less docs normalize to "" and share one canonical id
+    canon = {out.loc[i, "canonical_id"] for i in empties}
+    assert canon == {min(empties)}
+    assert all(out.loc[i, "dup_count"] >= len(empties) for i in empties)
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_shingle_family_never_pairs_tokenless_docs(spark, docs):
+    """minhash / simhash / n-gram Jaccard / CDC: a token-less doc has an
+    empty shingle/chunk set, emits no signature row, and never appears
+    in any near-dup pair — at every n including 1."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        cdc_chunk_pairs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    empty = _tokenless_ids(docs)
+
+    assert not empty & {
+        r.doc_id for r in minhash_signatures(df, shingle_n=1).collect()
+    }
+    assert not empty & {
+        r.doc_id for r in simhash_signatures(df).collect()
+    }
+    for pairs in (
+        minhash_lsh_pairs(df, shingle_n=1, threshold=0.01),
+        simhash_pairs(df),
+        ngram_jaccard_pairs(df, n=1, threshold=0.01),
+        cdc_chunk_pairs(df, threshold=0.01),
+    ):
+        hit = [
+            (r.doc_a, r.doc_b)
+            for r in pairs.collect()
+            if r.doc_a in empty or r.doc_b in empty
+        ]
+        assert not hit, hit
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_span_and_chunk_family_zero_for_tokenless_docs(spark, docs):
+    """dup_span_stats / chunk_documents / strip_boilerplate_chunks /
+    pack_sequences / text_stats: token-less docs report 0 tokens, 0
+    grams, 0 boilerplate chunks — never a phantom '' token."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        pack_sequences,
+    )
+    from uk_housing_dashboard_etl_spark.operators.dedup import dup_span_stats
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        chunk_documents,
+        strip_boilerplate_chunks,
+        text_stats,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    empty = _tokenless_ids(docs)
+
+    spans = dup_span_stats(df, k=1).toPandas().set_index("doc_id")
+    for i in empty:
+        assert spans.loc[i, "n_tokens"] == 0
+        assert spans.loc[i, "covered_tokens"] == 0
+
+    ch = chunk_documents(df).toPandas()
+    mine = ch[ch.doc_id.isin(empty)]
+    # documented short-doc rule: exactly one chunk, but a LENGTH-0 one
+    assert (mine.groupby("doc_id").size() == 1).all()
+    assert (mine.chunk_len == 0).all() and (mine.chunk_text == "").all()
+
+    sb = strip_boilerplate_chunks(df).toPandas().set_index("doc_id")
+    for i in empty:
+        assert sb.loc[i, "n_chunks"] == 0
+        assert sb.loc[i, "clean_text"] == ""
+
+    pk = pack_sequences(df).toPandas().set_index("doc_id")
+    for i in empty:
+        assert pk.loc[i, "n_tokens"] == 0
+
+    ts = text_stats(df).toPandas().set_index("doc_id")
+    for i in empty:
+        assert ts.loc[i, "n_tokens"] == 0
+        assert pd.isna(ts.loc[i, "avg_token_len"])
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_bpe_words_empty_for_tokenless_docs(spark, docs):
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        _bpe_words,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.w
+        for r in df.select("doc_id", _bpe_words("text").alias("w")).collect()
+    }
+    for i in _tokenless_ids(docs):
+        assert out[i] == []

@@ -3582,24 +3582,26 @@ _EXTENSION_ORACLES: dict[str, str] = {
            CAST(length(text) AS INTEGER) AS n_chars,
            CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
-           round(length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}), 4) AS avg_token_len,
-           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text), 4) AS punct_ratio,
-           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 4) AS digit_ratio,
-           round(len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}), 4) AS stopword_ratio
+           CASE WHEN len({_TOKS}) > 0 THEN round(length(regexp_replace(text, '\\s', '', 'g')) / len({_TOKS}), 4) END AS avg_token_len,
+           CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text), 4) END AS punct_ratio,
+           CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text), 4) END AS digit_ratio,
+           CASE WHEN len({_TOKS}) > 0 THEN round(len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}), 4) END AS stopword_ratio
     FROM documents
     """,
     "quality_score": f"""
     WITH s AS (
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}) AS stopword_ratio,
-               (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text) AS punct_ratio
+               CASE WHEN len({_TOKS}) > 0 THEN len(list_filter({_TOKS}, x -> x IN ({_STOP_EN}))) / len({_TOKS}) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text) ELSE 0.0 END AS punct_ratio
         FROM documents
     )
     SELECT doc_id, n_tokens,
-           round(0.4 * least(1.0, stopword_ratio * 5)
-               + 0.3 * least(1.0, n_tokens / 100.0)
-               + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+           CASE WHEN n_tokens > 0 THEN
+               round(0.4 * least(1.0, stopword_ratio * 5)
+                   + 0.3 * least(1.0, n_tokens / 100.0)
+                   + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4)
+           ELSE 0.0 END AS quality
     FROM s
     """,
     "doc_fingerprint": f"""
@@ -3785,9 +3787,11 @@ _FUNNEL_CTES = f"""s AS (
     ), m AS (
         SELECT doc_id,
                CAST(len(t) AS INTEGER) AS n_tokens,
-               round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
-                   + 0.3 * least(1.0, len(t) / 100.0)
-                   + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4) AS quality,
+               CASE WHEN len(t) > 0 THEN
+                   round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
+                       + 0.3 * least(1.0, len(t) / 100.0)
+                       + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4)
+               ELSE 0.0 END AS quality,
                round(CASE WHEN len(t) < 2 THEN 0.0
                           ELSE 1.0 - len(list_distinct(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]))) * 1.0
                                      / (len(t) - 1) END, 4) AS dup_ngram_ratio,
@@ -3883,9 +3887,11 @@ _EXTENSION_ORACLES["source_cap"] = f"""
         SELECT doc_id, source, text, {_TOKS} AS t FROM documents
     ), q AS (
         SELECT doc_id, source,
-               round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
-                   + 0.3 * least(1.0, len(t) / 100.0)
-                   + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4) AS quality
+               CASE WHEN len(t) > 0 THEN
+                   round(0.4 * least(1.0, (len(list_filter(t, x -> x IN ({_STOP_EN}))) / len(t)) * 5)
+                       + 0.3 * least(1.0, len(t) / 100.0)
+                       + 0.3 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g'))) / length(text)) * 10)), 4)
+               ELSE 0.0 END AS quality
         FROM s
     ), r AS (
         SELECT doc_id, source, quality,
@@ -4271,17 +4277,21 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
         SELECT doc_id,
                md5({_NORM_TEXT}) AS content_hash,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
-                   / len({_TOKS}) AS stopword_ratio,
-               (length(text) - length(regexp_replace(text,
-                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
-                   / length(text) AS punct_ratio
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
+                         / len({_TOKS}) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text,
+                        '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                        / length(text) ELSE 0.0 END AS punct_ratio
         FROM documents
     ), q AS (
         SELECT doc_id, content_hash,
-               round(0.4 * least(1.0, stopword_ratio * 5)
-                   + 0.3 * least(1.0, n_tokens / 100.0)
-                   + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+               CASE WHEN n_tokens > 0 THEN
+                   round(0.4 * least(1.0, stopword_ratio * 5)
+                       + 0.3 * least(1.0, n_tokens / 100.0)
+                       + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4)
+               ELSE 0.0 END AS quality
         FROM s
     )
     SELECT doc_id, content_hash, quality,
@@ -4423,8 +4433,10 @@ _EXTENSION_ORACLES["dup_span_stats"] = f"""
     SELECT l.doc_id, CAST(l.n_tokens AS INT) AS n_tokens,
            coalesce(c.dup_starts, 0) AS dup_starts,
            CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
-           floor(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / l.n_tokens
-                 * 10000.0 + 0.5) / 10000.0 AS dup_ratio
+           CASE WHEN l.n_tokens > 0 THEN
+               floor(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE)
+                     / l.n_tokens * 10000.0 + 0.5) / 10000.0
+           ELSE 0.0 END AS dup_ratio
     FROM lens l LEFT JOIN cov c ON l.doc_id = c.doc_id
     """
 
@@ -5389,17 +5401,21 @@ _EXTENSION_ORACLES["quality_calibrate"] = f"""
     WITH s AS (
         SELECT doc_id, source,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-               len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
-                   / len({_TOKS}) AS stopword_ratio,
-               (length(text) - length(regexp_replace(text,
-                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
-                   / length(text) AS punct_ratio
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_filter({_TOKS}, x -> x IN ({_STOP_EN})))
+                         / len({_TOKS}) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN length(text) > 0
+                    THEN (length(text) - length(regexp_replace(text,
+                        '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+                        / length(text) ELSE 0.0 END AS punct_ratio
         FROM documents
     ), q AS (
         SELECT doc_id, source,
-               round(0.4 * least(1.0, stopword_ratio * 5)
-                   + 0.3 * least(1.0, n_tokens / 100.0)
-                   + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4) AS quality
+               CASE WHEN n_tokens > 0 THEN
+                   round(0.4 * least(1.0, stopword_ratio * 5)
+                       + 0.3 * least(1.0, n_tokens / 100.0)
+                       + 0.3 * (1.0 - least(1.0, punct_ratio * 10)), 4)
+               ELSE 0.0 END AS quality
         FROM s
     ), p AS (
         SELECT doc_id, source, quality,

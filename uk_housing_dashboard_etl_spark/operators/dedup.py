@@ -627,8 +627,12 @@ def dup_span_stats(
         F.coalesce("dup_starts", F.lit(0)).alias("dup_starts"),
         F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
         round4(
-            F.coalesce("covered_tokens", F.lit(0)).cast("double")
-            / F.col("n_tokens")
+            # a token-less doc has nothing duplicated: ratio 0, not 0/0
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0))
         ).alias("dup_ratio"),
     )
 

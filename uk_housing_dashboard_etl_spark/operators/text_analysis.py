@@ -59,6 +59,9 @@ def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
     digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    # explicit 0-denominator guards: ANSI mode (Spark 4 default) makes
+    # 0/0 an ERROR, not null — a token-less or empty doc reports null
+    # ratios (undefined), found by the empty-input property tests
     return documents.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars"),
@@ -66,10 +69,14 @@ def text_stats(documents: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.size(F.expr(f"regexp_extract_all({text_col}, '{_BPE_TOKEN}', 0)")).alias(
             "n_bpe_tokens"
         ),
-        round4(nonspace / n_tokens).alias("avg_token_len"),
-        round4(punct / n_chars).alias("punct_ratio"),
-        round4(digits / n_chars).alias("digit_ratio"),
-        round4(stop_hits / n_tokens).alias("stopword_ratio"),
+        round4(F.when(n_tokens > 0, nonspace / n_tokens)).alias(
+            "avg_token_len"
+        ),
+        round4(F.when(n_chars > 0, punct / n_chars)).alias("punct_ratio"),
+        round4(F.when(n_chars > 0, digits / n_chars)).alias("digit_ratio"),
+        round4(F.when(n_tokens > 0, stop_hits / n_tokens)).alias(
+            "stopword_ratio"
+        ),
     )
 
 
@@ -93,11 +100,14 @@ def quality_score(
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
     stopword_ratio = stop_hits / n_tokens
     punct_ratio = punct / n_chars
-    score = (
+    # n_tokens > 0 implies n_chars > 0, so one guard covers both ANSI
+    # 0/0 traps; a token-less doc has ZERO quality by definition
+    score = F.when(
+        n_tokens > 0,
         F.lit(0.4) * F.least(F.lit(1.0), stopword_ratio * 5)
         + F.lit(0.3) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10))
-    )
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * 10)),
+    ).otherwise(F.lit(0.0))
     return documents.select(
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),
@@ -260,10 +270,17 @@ def filter_funnel(
     n_chars = F.length(F.col(text_col))
     punct = n_chars - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, ""))
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    # same n_tokens > 0 guard as quality_score: CASE laziness protects
+    # the too_short branch, but the funnel must stay total on empty
+    # docs even if a caller sets min_tokens = 0
     quality = round4(
-        F.lit(0.4) * F.least(F.lit(1.0), (stop_hits / n_tokens) * 5)
-        + F.lit(0.3) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
-        + F.lit(0.3) * (F.lit(1.0) - F.least(F.lit(1.0), (punct / n_chars) * 10))
+        F.when(
+            n_tokens > 0,
+            F.lit(0.4) * F.least(F.lit(1.0), (stop_hits / n_tokens) * 5)
+            + F.lit(0.3) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+            + F.lit(0.3)
+            * (F.lit(1.0) - F.least(F.lit(1.0), (punct / n_chars) * 10)),
+        ).otherwise(F.lit(0.0))
     )
     grams = F.expr(
         """CASE WHEN size(__toks) < 2 THEN array()
