@@ -102,43 +102,64 @@ def test_simjoin_sizing_is_adaptive_not_hinted(spark):
         set_similarity_join,
     )
 
-    docs = spark.createDataFrame(
-        [
-            (1, "the quick brown fox jumps over the lazy dog"),
-            (2, "the quick brown fox jumps over the lazy cat"),
-            (3, "completely different text with no overlap at all here"),
-        ],
-        "doc_id long, text string",
-    )
-    toks = spark.createDataFrame(
-        [(1, "a"), (1, "b"), (1, "a"), (2, "a")],
-        "doc_id long, tok string",
-    )
-    df_map = spark.createDataFrame(
-        [("a", 3), ("b", 1)], "tok string, __df long"
-    )
-    packed = _rank_pack(toks, df_map)
-    # no manual hint anywhere: sizing is AQE's call
-    assert "hint" not in (
-        packed._jdf.queryExecution().analyzed().toString().lower()
-    )
-    # rarity-ordered DEDUPED pack semantics are unchanged
-    got = sorted(map(tuple, packed.collect()))
-    assert got == [(1, ["b", "a"], 2), (2, ["a"], 1)]
-    result = set_similarity_join(docs, threshold=0.5, n=1)
-    rows = sorted(map(tuple, result.collect()))
-    assert rows  # docs 1-2 share 8 of 10 word tokens
-    assert "hint" not in (
-        result._jdf.queryExecution().analyzed().toString().lower()
-    )
-    # after execution AQE must have broadcast every join at this size
-    # (toString prints the pre-AQE sketch under "== Initial Plan ==" —
-    # only the final section reflects runtime decisions)
-    executed = result._jdf.queryExecution().executedPlan().toString()
-    final_plan = executed.split("== Initial Plan ==")[0]
-    assert "isFinalPlan=true" in final_plan
-    assert "BroadcastHashJoin" in final_plan
-    assert "SortMergeJoin" not in final_plan
+    # pin the confs the assertion depends on: the test verifies the
+    # OPERATOR emits a hint-free plan that AQE can size, not whatever
+    # broadcast threshold the ambient session happens to carry
+    # (round-8 advice — a conftest/Spark-default change must not flip
+    # this test without a product change)
+    pinned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
+
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different text with no overlap at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        toks = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (1, "a"), (2, "a")],
+            "doc_id long, tok string",
+        )
+        df_map = spark.createDataFrame(
+            [("a", 3), ("b", 1)], "tok string, __df long"
+        )
+        packed = _rank_pack(toks, df_map)
+        # no manual hint anywhere: sizing is AQE's call
+        assert "hint" not in (
+            packed._jdf.queryExecution().analyzed().toString().lower()
+        )
+        # rarity-ordered DEDUPED pack semantics are unchanged
+        got = sorted(map(tuple, packed.collect()))
+        assert got == [(1, ["b", "a"], 2), (2, ["a"], 1)]
+        result = set_similarity_join(docs, threshold=0.5, n=1)
+        rows = sorted(map(tuple, result.collect()))
+        assert rows  # docs 1-2 share 8 of 10 word tokens
+        assert "hint" not in (
+            result._jdf.queryExecution().analyzed().toString().lower()
+        )
+        # after execution AQE must have broadcast every join at this size
+        # (toString prints the pre-AQE sketch under "== Initial Plan ==" —
+        # only the final section reflects runtime decisions)
+        executed = result._jdf.queryExecution().executedPlan().toString()
+        final_plan = executed.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final_plan
+        assert "BroadcastHashJoin" in final_plan
+        assert "SortMergeJoin" not in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_cms_zero_frequency_probe_gets_row(spark):
