@@ -189,7 +189,10 @@ def test_chunker_reconstructs_and_covers(spark, docs):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     out = chunk_documents(df, chunk_tokens=8, overlap=2).toPandas()
     for doc_id, text in docs:
-        toks = text.lower().split() if text.strip() else [""]
+        # zero-token semantics (round 9): an empty/whitespace-only doc
+        # has NO tokens — it still yields its one documented short-doc
+        # chunk, but with chunk_len 0 and empty chunk_text
+        toks = text.lower().split()
         chunks = out[out.doc_id == doc_id].sort_values("chunk_idx")
         assert len(chunks) >= 1
         # chunks tile the doc: stride 6, every token covered, last chunk
@@ -197,7 +200,7 @@ def test_chunker_reconstructs_and_covers(spark, docs):
         last = chunks.iloc[-1]
         assert last.start_token + last.chunk_len == len(toks)
         for _, c in chunks.iterrows():
-            got = c.chunk_text.split() if c.chunk_text else [""]
+            got = c.chunk_text.split()
             assert got == toks[c.start_token : c.start_token + 8]
 
 
