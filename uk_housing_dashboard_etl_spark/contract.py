@@ -754,13 +754,15 @@ def q_sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile estimates checked against exact percentiles via
-    within-bound flags; exact percentiles are driver-compared 4dp.
+    """KLL quantile estimates checked against exact percentiles; exact
+    percentiles are driver-compared 4dp.
 
-    The flags compare the sketch against the DISCRETE exact quantile
-    (same inclusive-rank element rule as KLL), not the interpolated
-    one — on a ~50-row group the sketch is exact and EQUALS it, so the
-    gate is scale-robust down to sf0.001 (round-8 SCALE.md artifact)."""
+    The flags check KLL's ACTUAL guarantee — rank-band containment
+    (estimate between the exact discrete quantiles at q ± 3%), not a
+    value tolerance: the sketch's compaction is internally randomized,
+    so on heavy-tailed groups beyond sketch capacity any fixed VALUE
+    band flips run-to-run (the round-8/9 sf0.001 artifact), while the
+    rank band is what the sketch promises at every scale."""
     from uk_housing_dashboard_etl_spark.operators.sketches import (
         quantile_sketch_summary,
     )
@@ -771,13 +773,13 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.col("exact_median")).alias("exact_median"),
         round4(F.col("exact_p90")).alias("exact_p90"),
         (
-            F.abs(F.col("approx_median") - F.col("exact_median_disc"))
-            <= 0.05 * F.abs(F.col("exact_median_disc")) + 1e-9
-        ).alias("median_within_5pct"),
+            (F.col("approx_median") >= F.col("median_band_lo"))
+            & (F.col("approx_median") <= F.col("median_band_hi"))
+        ).alias("median_in_rank_band"),
         (
-            F.abs(F.col("approx_p90") - F.col("exact_p90_disc"))
-            <= 0.05 * F.abs(F.col("exact_p90_disc")) + 1e-9
-        ).alias("p90_within_5pct"),
+            (F.col("approx_p90") >= F.col("p90_band_lo"))
+            & (F.col("approx_p90") <= F.col("p90_band_hi"))
+        ).alias("p90_in_rank_band"),
     )
 
 
@@ -5320,8 +5322,8 @@ _EXTENSION_ORACLES["sketch_quantiles"] = """
                AS exact_median,
            round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4)
                AS exact_p90,
-           TRUE AS median_within_5pct,
-           TRUE AS p90_within_5pct
+           TRUE AS median_in_rank_band,
+           TRUE AS p90_in_rank_band
     FROM events
     GROUP BY event_type
     """

@@ -85,6 +85,13 @@ def mergeable_daily_distinct(
     return weekly_sketch.join(weekly_exact, "week")
 
 
+# normalized rank-error band for the KLL accuracy gate: k=200 bounds the
+# rank error at ~1.65% with 99% confidence (Karnin-Lang-Liberty 2016),
+# so a 3% band makes the per-run flag deterministic in practice while
+# still failing on any real sketch regression
+RANK_EPS = 0.03
+
+
 def quantile_sketch_summary(
     events: DataFrame,
     group_col: str = "event_type",
@@ -97,16 +104,22 @@ def quantile_sketch_summary(
     sort — which is exactly what replaces exact percentiles (A3/A4) when
     a 100 TB group no longer fits a sort.
 
-    Two exact flavors ride along for the accuracy gates: the
-    INTERPOLATED percentile (the classical report number) and the
-    DISCRETE one (``percentile_disc`` — smallest element with
-    cume_dist >= q). Accuracy flags must compare the sketch against the
-    DISCRETE exact: KLL answers with an actual data element under the
-    same inclusive-rank rule, so at groups small enough for the sketch
-    to be exact the two are EQUAL, whereas the interpolated value can
-    legitimately sit >5% away on a ~50-row heavy-tailed group (the
-    round-8 sf0.001 artifact, SCALE.md).
+    Accuracy gating checks KLL's ACTUAL guarantee — a RANK band, not a
+    value band: the estimate must lie between the exact discrete
+    quantiles at rank q ± rank_eps. KLL's compaction is internally
+    RANDOMIZED (no seed exposed through Spark SQL), so once a group
+    exceeds the sketch capacity any fixed value tolerance flips
+    run-to-run on heavy-tailed data (the round-8/9 sf0.001 artifact:
+    a ~1000-row group's p90 estimate legitimately lands on a neighbor
+    element >5% away in VALUE while being <1% off in RANK). The rank
+    band is scale-free: at groups the sketch holds exactly, estimate ==
+    disc(q) and the band is trivially satisfied; at any larger n,
+    rank_eps = 0.03 sits far above k=200's ~1.65% 99%-confidence
+    normalized rank error. The interpolated percentile rides along as
+    the classical hash-checked report number.
     """
+    lo_m, hi_m = 0.5 - RANK_EPS, 0.5 + RANK_EPS
+    lo_p, hi_p = 0.9 - RANK_EPS, min(1.0, 0.9 + RANK_EPS)
     return (
         events.groupBy(group_col)
         .agg(
@@ -116,16 +129,22 @@ def quantile_sketch_summary(
             ).alias("approx_median"),
             F.percentile(value_col, 0.5).alias("exact_median"),
             F.expr(
-                f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
-            ).alias("exact_median_disc"),
+                f"percentile_disc({lo_m}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("median_band_lo"),
+            F.expr(
+                f"percentile_disc({hi_m}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("median_band_hi"),
             F.expr(
                 f"kll_sketch_get_quantile_double("
                 f"kll_sketch_agg_double({value_col}, {k}), 0.9)"
             ).alias("approx_p90"),
             F.percentile(value_col, 0.9).alias("exact_p90"),
             F.expr(
-                f"percentile_disc(0.9) WITHIN GROUP (ORDER BY {value_col})"
-            ).alias("exact_p90_disc"),
+                f"percentile_disc({lo_p}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("p90_band_lo"),
+            F.expr(
+                f"percentile_disc({hi_p}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias("p90_band_hi"),
         )
         .withColumn(
             "median_rel_error",
