@@ -679,3 +679,30 @@ def test_bpe_words_empty_for_tokenless_docs(spark, docs):
     }
     for i in _tokenless_ids(docs):
         assert out[i] == []
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_tf_family_omits_tokenless_docs(spark, docs):
+    """lm_scores / tfidf / repetition+quality marts: token-less docs
+    either drop out of tf-grain outputs (no content, no score) or
+    report zeros/0.0-quality — and nothing divides by zero on them."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        lm_scores,
+        quality_score,
+        repetition_stats,
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    empty = _tokenless_ids(docs)
+
+    assert not empty & {r.doc_id for r in lm_scores(df).collect()}
+    assert not empty & {r.doc_id for r in tfidf_top_terms(df).collect()}
+    rep = {r.doc_id: r for r in repetition_stats(df).collect()}
+    for i in empty:
+        assert rep[i].total_ngrams == 0
+        assert rep[i].dup_token_ratio == 0.0
+    q = {r.doc_id: r for r in quality_score(df).collect()}
+    for i in empty:
+        assert q[i].n_tokens == 0 and q[i].quality == 0.0
