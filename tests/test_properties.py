@@ -557,15 +557,19 @@ def test_dsir_scores_match_independent_reference(spark, docs):
 
 @st.composite
 def corpora_with_empties(draw):
-    """word_corpora plus guaranteed empty and whitespace-only docs."""
+    """word_corpora plus guaranteed empty, whitespace-only and NULL
+    docs (a 100 TB web corpus contains all three)."""
     docs = draw(word_corpora())
     base = max(i for i, _ in docs) + 1
     ws = draw(st.sampled_from(["", " ", "  \t ", "\n\n", " \t\n"]))
-    return docs + [(base, ""), (base + 1, ws), (base + 2, " ")]
+    return docs + [
+        (base, ""), (base + 1, ws), (base + 2, " "),
+        (base + 3, None), (base + 4, None),
+    ]
 
 
 def _tokenless_ids(docs):
-    return {i for i, t in docs if not t.split()}
+    return {i for i, t in docs if not (t or "").split()}
 
 
 @SLOW
@@ -575,11 +579,16 @@ def test_exact_dedup_groups_empties_by_design(spark, docs):
 
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     out = exact_dedup(df).toPandas().set_index("doc_id")
-    empties = sorted(_tokenless_ids(docs))
-    # all token-less docs normalize to "" and share one canonical id
+    nulls = sorted(i for i, t in docs if t is None)
+    empties = sorted(i for i in _tokenless_ids(docs) if i not in nulls)
+    # all empty/whitespace docs normalize to "" and share one canonical
     canon = {out.loc[i, "canonical_id"] for i in empties}
     assert canon == {min(empties)}
     assert all(out.loc[i, "dup_count"] >= len(empties) for i in empties)
+    # null-text docs hash to NULL — their own group, NOT merged with ""
+    canon_null = {out.loc[i, "canonical_id"] for i in nulls}
+    assert canon_null == {min(nulls)}
+    assert all(out.loc[i, "dup_count"] == len(nulls) for i in nulls)
 
 
 @SLOW

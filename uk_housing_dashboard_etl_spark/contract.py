@@ -3349,6 +3349,18 @@ _NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 # split("") does in Spark — both engines must count an empty doc as 0
 # tokens (mirrors _tokens/_word_shingles array_remove on the Spark side)
 _TOKS = f"list_filter(string_split_regex({_NORM_TEXT}, '\\s+'), x -> x <> '')"
+# null-coalescing variant for operators whose Spark side counts NULL
+# text as zero tokens (dup_span_stats, repetition_stats, pack, chunks).
+# PARITY BOUNDARY: empty/whitespace-only docs agree between Spark and
+# every oracle (both filter '' tokens); NULL-text parity is guaranteed
+# only for the oracles using this variant — the remaining _TOKS oracles
+# return null counts where Spark now returns 0, a divergence that is
+# unreachable on the driver's testdata (no NULL text) and documented
+# rather than papered over.
+_TOKS_NN = (
+    "list_filter(string_split_regex(lower(trim(regexp_replace("
+    "coalesce(text, ''), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')"
+)
 
 _DOT_SQL = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
@@ -3711,7 +3723,7 @@ _EXTENSION_ORACLES: dict[str, str] = {
     """,
     "repetition_stats": f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS t FROM documents
+        SELECT doc_id, {_TOKS_NN} AS t FROM documents
     ), ex AS (
         SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram
         FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
@@ -4257,7 +4269,8 @@ _EXTENSION_ORACLES["temperature_mix"] = """
 _EXTENSION_ORACLES["pack_sequences"] = f"""
     WITH t AS (
         SELECT doc_id,
-               CAST(len(list_filter(string_split({_NORM_TEXT}, ' '),
+               CAST(len(list_filter(string_split(
+                        coalesce({_NORM_TEXT}, ''), ' '),
                                     x -> x <> '')) AS INTEGER)
                    AS n_tokens,
                CAST(((doc_id * 2654435761) % 1000000007) % 8 AS INTEGER)
@@ -4409,7 +4422,7 @@ _EXTENSION_ORACLES["simjoin_prefix"] = f"""
 
 _EXTENSION_ORACLES["dup_span_stats"] = f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS t FROM documents
+        SELECT doc_id, {_TOKS_NN} AS t FROM documents
     ), lens AS (
         SELECT doc_id, len(t) AS n_tokens FROM toks
     ), grams AS (
@@ -5127,8 +5140,15 @@ _EXTENSION_ORACLES["user_sequences"] = """
     """
 
 _EXTENSION_ORACLES["doc_chunks"] = f"""
+    -- coalesce mirrors the Spark-side null-text rule: NULL text is no
+    -- content, so len(t) is 0 (not null) and chunk_len stays honest
     WITH toks AS (
-        SELECT doc_id, {_TOKS} AS t FROM documents
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(trim(regexp_replace(coalesce(text, ''),
+                                             '\\s+', ' ', 'g'))), '\\s+'),
+                   x -> x <> '') AS t
+        FROM documents
     ), base AS (
         SELECT doc_id, t, len(t) AS n,
                CAST(1 + greatest(0, ceil((len(t) - 64) / 48.0)) AS INT)
@@ -9889,16 +9909,16 @@ QUERIES = {
     + [q for q in QUERIES if q not in _R8_FRONT and q not in _R8_QUEUE]
 }
 
-# Round-9 window rotation (tools/rotation.py --plan at r9 HEAD). 41
-# required: the empty-document tokenization fixes (split("") == [""])
-# ripple through the shared Spark tokenizers (_word_shingles, _tokens,
-# _doc_ngrams, simhash/exact_substr/cdc) AND the shared DuckDB oracle
+# Round-9 window rotation (tools/rotation.py --plan at r9 HEAD). 43
+# required: the empty/NULL-document tokenization fixes (split("") ==
+# [""]; size(null) is null) ripple through the shared Spark tokenizers
+# (_word_shingles, _tokens, _bpe_words, _doc_ngrams,
+# simhash/exact_substr/cdc/pack/chunks) AND the shared DuckDB oracle
 # macro _TOKS, staling the whole shingle/text-quality family; plus the
-# sketch_quantiles discrete-exact gate fix. Then the 7 remaining r3-era
-# names (the r8 queue — their last driver check is 5 rounds old), then
-# the r4-era fill to the 50-slot edge; the rest of the r4 era is the
-# queue and leads the r10 rotation. last_verified() now counts only
-# GREEN rows, and emit_front fills from the full oldest-first ordering
+# sketch_quantiles rank-band gate fix. Then the 7 remaining r3-era
+# names (the r8 queue — their last driver check is 5 rounds old) fill
+# to exactly the 50-slot edge. last_verified() now counts only GREEN
+# rows, and emit_front fills from the full oldest-first ordering
 # (round-8 advice) — both behavior-neutral on today's files.
 _R9_FRONT: list[str] = [
     # stale: implementation and/or oracle changed since last green row
@@ -9943,6 +9963,8 @@ _R9_FRONT: list[str] = [
     "dedup_ngram_capped",
     "source_overlap",
     "dup_span_stats",
+    "bpe_encode",
+    "bpe_encode_check",
     # r3-era (last driver check 5 rounds old — the r8 queue)
     "zorder_cells",
     "scd2_history",
@@ -9951,44 +9973,11 @@ _R9_FRONT: list[str] = [
     "snapshot_diff",
     "user_sequences",
     "streaming_attribution",
-    # oldest-verified (r4-era) fill to the window edge
-    "clean_transactions",
-    "weekly_by_la",
 ]
-# r4-era names past the window edge: they lead the r10 rotation.
-_R9_QUEUE: list[str] = [
-    "rolling_windows",
-    "anomalies",
-    "latest_snapshot",
-    "cohort_matrix",
-    "funnel_timing",
-    "value_trend",
-    "semantic_decontaminate",
-    "psi_drift",
-    "attribution_credit",
-    "embedding_health",
-    "table_profile",
-    "twap",
-    "join_cardinality",
-    "streaming_rate_cap",
-    "streaming_anomaly",
-    "rrf_fusion",
-    "trimmed_stats",
-    "fuzzy_matches",
-    "fuzzy_pair_stats",
-    "fuzzy_pair_stats_bucketed",
-    "interarrival_stats",
-    "benford_prices",
-    "rare_token_linkage",
-    "basket_lift",
-    "streaming_distinct_check",
-    "embedding_covariance",
-    "asof_forward",
-    "hard_negatives",
-    "top_paths",
-    "multimodal_phash",
-    "multimodal_phash_pairs",
-]
+# 43 required + the seven 5-round-old r3-era names = exactly 50: the
+# null-text round of fixes pulled the bpe_encode twins in and pushed
+# the two r4-era fill slots out. The r4 era (31 names) leads r10.
+_R9_QUEUE: list[str] = []
 QUERIES = {
     name: QUERIES[name]
     for name in _R9_FRONT

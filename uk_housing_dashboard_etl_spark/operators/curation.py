@@ -537,11 +537,21 @@ def pack_sequences(
     group is one packed training sequence.
     """
     # array_remove: an empty doc packs with n_tokens 0 (it consumes no
-    # budget), not a phantom 1 from split("") == [""]
+    # budget), not a phantom 1 from split("") == [""]. coalesce: a NULL
+    # text is no content too — size(null) is null, which would leave
+    # the doc with a NULL bin_idx (unassigned by the packing plan).
     toks = F.size(
         F.array_remove(
             F.split(
-                F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+                F.lower(
+                    F.trim(
+                        F.regexp_replace(
+                            F.coalesce(F.col(text_col), F.lit("")),
+                            r"\s+",
+                            " ",
+                        )
+                    )
+                ),
                 " ",
             ),
             "",

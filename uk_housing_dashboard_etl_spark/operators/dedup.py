@@ -584,8 +584,14 @@ def dup_span_stats(
     contributing ``k``. Short docs (< k tokens) emit no k-grams and
     report zero coverage via the left join back to the length frame.
     """
-    # array_remove: an empty doc is [] (0 tokens, no grams), not [""]
-    toks = F.array_remove(F.split(_norm_text(F.col(text_col)), r"\s+"), "")
+    # array_remove: an empty doc is [] (0 tokens, no grams), not [""];
+    # coalesce: NULL text is no content too (n_tokens 0, not null)
+    toks = F.array_remove(
+        F.split(
+            _norm_text(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ),
+        "",
+    )
     base = documents.select(
         F.col(id_col).alias("doc_id"), toks.alias("__toks")
     )

@@ -39,9 +39,15 @@ _BPE_TOKEN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 def _tokens(text_col: str) -> F.Column:
     # array_remove: split("") yields [""] — an empty or whitespace-only
     # document must count 0 tokens (ratios over n_tokens go null, the
-    # correct "no content" answer), not 1 empty token.
+    # correct "no content" answer), not 1 empty token. coalesce: NULL
+    # text likewise has 0 tokens — token COUNTS are counts and never
+    # null; char-level stats (n_chars etc.) stay null-faithful since
+    # they derive from the raw text column.
     return F.array_remove(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), ""
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        "",
     )
 
 
@@ -197,7 +203,14 @@ def repetition_stats(
     row-local array expressions — one scan, zero shuffles, exact integer
     ratios so the oracle comparison is bit-exact.
     """
-    toks = _tokens(text_col)
+    # coalesce: NULL text is no content — size(null) is null and the
+    # repeated-gram TOTALS would go null instead of 0
+    toks = F.array_remove(
+        F.split(
+            F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ),
+        "",
+    )
     grams = F.expr(
         f"""CASE WHEN size(__toks) < {n} THEN array()
              ELSE transform(sequence(0, size(__toks) - {n}),
@@ -782,10 +795,19 @@ def chunk_documents(
         )
     # array_remove: an empty doc is [] — it still yields exactly one
     # chunk (the documented short-doc rule) but with chunk_len 0 and
-    # empty chunk_text, not a phantom 1-token "" chunk.
+    # empty chunk_text, not a phantom 1-token "" chunk. coalesce: NULL
+    # text means no content too — without it size(__toks) is null and
+    # least(chunk_tokens, null - start) silently reports a full-length
+    # chunk (least IGNORES nulls), found by the null-text fuzz probe.
     toks = F.array_remove(
         F.split(
-            F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))),
+            F.lower(
+                F.trim(
+                    F.regexp_replace(
+                        F.coalesce(F.col(text_col), F.lit("")), r"\s+", " "
+                    )
+                )
+            ),
             r"\s+",
         ),
         "",
@@ -1242,9 +1264,11 @@ _BPE_WS = r"[ \t\n\r\f\x0B]+"
 
 def _bpe_words(text_col: str) -> F.Column:
     """Non-empty lowercased words of ``text_col`` under the shared
-    ASCII-whitespace segmentation — array<string>, Spark-side."""
+    ASCII-whitespace segmentation — array<string>, Spark-side. NULL
+    text is no content: [] (not null), so downstream encode/train
+    arithmetic never sees a null word array."""
     return F.filter(
-        F.split(F.lower(F.col(text_col)), _BPE_WS),
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _BPE_WS),
         lambda w: F.length(w) >= 1,
     )
 
