@@ -715,3 +715,25 @@ def test_tf_family_omits_tokenless_docs(spark, docs):
     q = {r.doc_id: r for r in quality_score(df).collect()}
     for i in empty:
         assert q[i].n_tokens == 0 and q[i].quality == 0.0
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN r10 item: sample_frames on a NULL payload yields "
+    "max_frames phantom null frames (least() ignores the null "
+    "octet_length — same class as the r9 chunk_documents fix). The fix "
+    "stales multimodal_frames out of the full r9 window; when r10 "
+    "lands it, this xfail XPASSES and must be inverted into the "
+    "regression test.",
+)
+def test_sample_frames_null_payload_yields_no_frames(spark):
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, None), (2, bytearray(b"0123456789"))],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(media, every_n_bytes=4).toPandas()
+    assert (out.doc_id == 2).all(), "null payload must yield zero frames"
