@@ -737,3 +737,29 @@ def test_sample_frames_null_payload_yields_no_frames(spark):
     )
     out = sample_frames(media, every_n_bytes=4).toPandas()
     assert (out.doc_id == 2).all(), "null payload must yield zero frames"
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN r10 item: winsorized_stats clips a NULL value to the "
+    "upper fence (least(null, p_hi) = p_hi — null-ignoring least, same "
+    "class as the r9 chunk_documents fix), so nulls inflate the "
+    "winsorized mean while the raw mean skips them. The fix (null "
+    "stays null, dmean skips) stales winsorized_prices out of the full "
+    "r9 window; lands in r10 with the matching oracle edit, at which "
+    "point this XPASSES and must be inverted into the regression test.",
+)
+def test_winsorized_stats_skips_null_values(spark):
+    from uk_housing_dashboard_etl_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4, 100]] + [("g", None)],
+        "grp string, value double",
+    )
+    with_null = winsorized_stats(df, "grp", "value").collect()[0]
+    without = winsorized_stats(
+        df.where(F.col("value").isNotNull()), "grp", "value"
+    ).collect()[0]
+    assert with_null["winsorized_mean"] == without["winsorized_mean"]
