@@ -63,7 +63,6 @@ from uk_housing_dashboard_etl_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_pairs,
 )
 from uk_housing_dashboard_etl_spark.operators.multimodal import (
     attach_binary_payload,
@@ -807,9 +806,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 63-bit SimHash signature frame, shared by ``dedup_simhash``
+    and its completeness gate (each previously re-ran the shingle
+    explode + 63-sum aggregate). Deterministic (xxhash64 token hashes,
+    fixed bit order) and corpus-grain -> the salted parquet artifact
+    cache; the gate's former localCheckpoint becomes a plain artifact
+    scan that is ALSO warm for the pair query."""
+    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        simhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _cached_fit_large(
+        spark, sf_dir, "simhash_sigs",
+        lambda: simhash_signatures(docs),
+        salt_mods=(_dedup_mod,),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded Hamming near-dup pairs (hash-family op, no oracle)."""
-    return simhash_pairs(read_table(spark, sf_dir, "documents"))
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+    )
+
+    return simhash_pairs_from_signatures(_simhash_sigs(spark, sf_dir))
 
 
 def _clusters02_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1681,15 +1704,13 @@ def q_dedup_simhash_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash-based and not SQL-expressible, hence a flag, not values.)"""
     from uk_housing_dashboard_etl_spark.operators.dedup import (
         simhash_pairs_from_signatures,
-        simhash_signatures,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
     # the signature frame feeds three subplans (banded, exact a-side,
-    # exact b-side): localCheckpoint materializes the shingle+agg scan
-    # once; the pair comparison is then one full-outer pass instead of
-    # three aggregates re-executing both pair subplans
-    sig = simhash_signatures(docs).localCheckpoint()
+    # exact b-side): the shared parquet artifact materializes the
+    # shingle+agg scan once PER SUITE (it also feeds dedup_simhash),
+    # replacing the former per-query localCheckpoint
+    sig = _simhash_sigs(spark, sf_dir)
     banded = (
         simhash_pairs_from_signatures(sig, max_hamming=3)
         .select("doc_a", "doc_b")
