@@ -9505,6 +9505,26 @@ QUERIES = {
 # ------------------------------------------------- round-7 additions
 
 
+def _exsub_spans30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr cut list (min_len=30, string-exact), shared by
+    all four exact_substr queries — each previously re-ran the
+    corpus-sized gram exchange. Deterministic and corpus-grain, so it
+    lives in the salted parquet artifact cache: derive the cut list
+    once, roll up stats/trim/audits from the same table (the
+    production shape)."""
+    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return _cached_fit_large(
+        spark, sf_dir, "exsub_spans30",
+        lambda: exact_substr_spans(docs, min_len=30, hash_grams=False),
+        salt_mods=(_dedup_mod,),
+    )
+
+
 def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr dedup stats (Lee et al. 2022), EXACT character
     grain: per doc, the characters covered by maximal duplicated spans
@@ -9519,7 +9539,7 @@ def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return exact_substr_stats(
         read_table(spark, sf_dir, "documents"), min_len=30,
-        hash_grams=False,
+        hash_grams=False, spans=_exsub_spans30(spark, sf_dir),
     )
 
 
@@ -9532,10 +9552,7 @@ def q_dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substr_spans,
     )
 
-    return exact_substr_spans(
-        read_table(spark, sf_dir, "documents"), min_len=30,
-        hash_grams=False,
-    )
+    return _exsub_spans30(spark, sf_dir)
 
 
 def q_dedup_exact_substr_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9551,7 +9568,10 @@ def q_dedup_exact_substr_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    cs = exact_substr_stats(docs, min_len=30, hash_grams=False).select(
+    cs = exact_substr_stats(
+        docs, min_len=30, hash_grams=False,
+        spans=_exsub_spans30(spark, sf_dir),
+    ).select(
         "doc_id", (F.col("dup_frac") >= 0.3).alias("__cf")
     )
     ws = dup_span_stats(docs, k=5, hash_shingles=False).select(
@@ -9704,7 +9724,7 @@ def q_dedup_exact_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return exact_substr_trim(
         read_table(spark, sf_dir, "documents"), min_len=30,
-        hash_grams=False,
+        hash_grams=False, spans=_exsub_spans30(spark, sf_dir),
     )
 
 

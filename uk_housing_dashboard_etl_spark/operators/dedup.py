@@ -1148,16 +1148,23 @@ def exact_substr_stats(
     id_col: str = "doc_id",
     min_len: int = 30,
     hash_grams: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document roll-up of :func:`exact_substr_spans`: ``doc_id,
     n_chars, n_spans, dup_chars, dup_frac`` for EVERY input doc (docs
     with no duplicated span report zeros). ``dup_frac`` is the exact
     character-grain analogue of ``dup_span_stats.dup_ratio`` — the
     fraction of the document's characters inside some maximal
-    duplicated span; Lee et al. cut documents above ~0.5-0.8."""
-    spans = exact_substr_spans(
-        documents, text_col, id_col, min_len, hash_grams
-    )
+    duplicated span; Lee et al. cut documents above ~0.5-0.8.
+
+    ``spans`` accepts a precomputed :func:`exact_substr_spans` frame —
+    the production shape: derive the cut list ONCE, then roll up stats,
+    trim, and audits from the same table instead of re-running the
+    corpus-sized gram exchange per consumer."""
+    if spans is None:
+        spans = exact_substr_spans(
+            documents, text_col, id_col, min_len, hash_grams
+        )
     lens = documents.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("bigint").alias("n_chars"),
@@ -1184,6 +1191,7 @@ def exact_substr_trim(
     id_col: str = "doc_id",
     min_len: int = 30,
     hash_grams: bool = True,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Apply the ExactSubstr cut list: remove every maximal duplicated
     span (:func:`exact_substr_spans`) from each document — the
@@ -1199,10 +1207,13 @@ def exact_substr_trim(
     array inside codegen — concatenating the inter-span segments in
     order. No shuffle beyond what the span derivation already does; at
     100 TB the rebuild is a map-only pass over (text, spans).
+    ``spans`` accepts a precomputed cut list (see
+    :func:`exact_substr_stats`).
     """
-    spans = exact_substr_spans(
-        documents, text_col, id_col, min_len, hash_grams
-    )
+    if spans is None:
+        spans = exact_substr_spans(
+            documents, text_col, id_col, min_len, hash_grams
+        )
     sp = spans.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
