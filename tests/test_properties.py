@@ -717,16 +717,11 @@ def test_tf_family_omits_tokenless_docs(spark, docs):
         assert q[i].n_tokens == 0 and q[i].quality == 0.0
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN r10 item: sample_frames on a NULL payload yields "
-    "max_frames phantom null frames (least() ignores the null "
-    "octet_length — same class as the r9 chunk_documents fix). The fix "
-    "stales multimodal_frames out of the full r9 window; when r10 "
-    "lands it, this xfail XPASSES and must be inverted into the "
-    "regression test.",
-)
 def test_sample_frames_null_payload_yields_no_frames(spark):
+    """r9 tripwire inverted (fixed in r10): a NULL payload (failed
+    fetch) must yield ZERO frames, not max_frames phantom null frames —
+    octet_length(NULL) is null and Spark's least() ignores nulls, so
+    the frame count is guarded with coalesce(octet_length, 0)."""
     from uk_housing_dashboard_etl_spark.operators.multimodal import (
         sample_frames,
     )
@@ -739,17 +734,12 @@ def test_sample_frames_null_payload_yields_no_frames(spark):
     assert (out.doc_id == 2).all(), "null payload must yield zero frames"
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN r10 item: winsorized_stats clips a NULL value to the "
-    "upper fence (least(null, p_hi) = p_hi — null-ignoring least, same "
-    "class as the r9 chunk_documents fix), so nulls inflate the "
-    "winsorized mean while the raw mean skips them. The fix (null "
-    "stays null, dmean skips) stales winsorized_prices out of the full "
-    "r9 window; lands in r10 with the matching oracle edit, at which "
-    "point this XPASSES and must be inverted into the regression test.",
-)
 def test_winsorized_stats_skips_null_values(spark):
+    """r9 tripwire inverted (fixed in r10, oracle edited in the same
+    commit): a NULL value stays NULL through the clip (guarded CASE)
+    so dmean skips it — without the guard, null-ignoring least()
+    clipped nulls to the upper fence and inflated the winsorized mean
+    while raw_mean skipped them."""
     from uk_housing_dashboard_etl_spark.operators.stats import (
         winsorized_stats,
     )

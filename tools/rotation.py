@@ -66,6 +66,7 @@ ROUND_CLOSE: dict[int, str] = {
     6: "de6e7ea",
     7: "0ec7ab2",
     8: "6d01be5",
+    9: "566d239",
 }
 
 # ---------------------------------------------------------------- git

@@ -4556,7 +4556,10 @@ _EXTENSION_ORACLES["multimodal_frames"] = r"""
            CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS INT) AS frame_len,
            md5(substr(text, (i - 1) * 64 + 1, 64)) AS frame_md5
     FROM m, unnest(generate_series(1,
-             least(8, CAST(ceil(n_bytes / 64.0) AS BIGINT)))) AS u(i)
+             -- coalesce mirrors the operator's null-payload guard:
+             -- DuckDB's least is null-ignoring too, so a NULL text
+             -- would otherwise fan out into 8 phantom frames
+             least(8, CAST(ceil(coalesce(n_bytes, 0) / 64.0) AS BIGINT)))) AS u(i)
     """
 
 _EXTENSION_ORACLES["multimodal_audio_check"] = r"""
@@ -9313,11 +9316,17 @@ ORACLES["winsorized_prices"] = """
         FROM orders GROUP BY 1
     )
     SELECT f.grp AS o_orderpriority, f.n, f.p_lo, f.p_hi, f.raw_mean,
+           -- NULL values stay NULL so the dsum/count mean skips them
+           -- exactly like raw_mean does: DuckDB's least/greatest are
+           -- null-ignoring, so a bare least(NULL, p_hi) would clip a
+           -- null row to the upper fence (r9 verdict items 2/8 — this
+           -- oracle moves in the same commit as the operator fix).
            floor((CAST(sum(CAST(round(
-                      greatest(least(o.o_totalprice, f.p_hi), f.p_lo)
-                      * 10000.0) AS BIGINT)) AS DOUBLE)
-                  / 10000.0 / count(*)) * 10000.0 + 0.5) / 10000.0
-               AS winsorized_mean
+                      CASE WHEN o.o_totalprice IS NOT NULL THEN
+                          greatest(least(o.o_totalprice, f.p_hi), f.p_lo)
+                      END * 10000.0) AS BIGINT)) AS DOUBLE)
+                  / 10000.0 / count(o.o_totalprice)) * 10000.0 + 0.5)
+               / 10000.0 AS winsorized_mean
     FROM orders o JOIN fences f ON o.o_orderpriority = f.grp
     GROUP BY 1, 2, 3, 4, 5
 """
@@ -10044,4 +10053,109 @@ QUERIES = {
     for name in _R9_FRONT
     + _R9_QUEUE
     + [q for q in QUERIES if q not in _R9_FRONT and q not in _R9_QUEUE]
+}
+
+# ---------------------------------------------------------------------------
+# Round-10 driver window (tools/rotation.py --plan at the r9 close).
+# Required set at round start: the two tripwired null-edge fixes
+# (multimodal.sample_frames null-payload phantom frames and
+# stats.winsorized_stats NULL clipping — operator + oracle moved in one
+# commit, VERDICT r9 items 1/8) stale their consumer queries back into
+# the window; everything else is fill — the 33 r4-era names (whose last
+# driver check is 5 rounds old) lead, then the r5 era to the 50-slot
+# edge. The displaced remainder of the r5 era is the committed r11
+# queue.
+_R10_FRONT: list[str] = [
+    # stale: oracle + operator moved in one commit (the two r9
+    # tripwired null-edge fixes — sample_frames null payload,
+    # winsorized_stats NULL clipping)
+    "winsorized_prices",
+    "multimodal_frames",
+    # r4-era fill (oldest-verified; the committed r10 front, VERDICT #2)
+    "clean_transactions",
+    "weekly_by_la",
+    "rolling_windows",
+    "anomalies",
+    "latest_snapshot",
+    "cohort_matrix",
+    "funnel_timing",
+    "value_trend",
+    "semantic_decontaminate",
+    "psi_drift",
+    "attribution_credit",
+    "embedding_health",
+    "table_profile",
+    "twap",
+    "join_cardinality",
+    "streaming_rate_cap",
+    "streaming_anomaly",
+    "rrf_fusion",
+    "trimmed_stats",
+    "fuzzy_matches",
+    "fuzzy_pair_stats",
+    "fuzzy_pair_stats_bucketed",
+    "interarrival_stats",
+    "benford_prices",
+    "rare_token_linkage",
+    "basket_lift",
+    "streaming_distinct_check",
+    "embedding_covariance",
+    "asof_forward",
+    "hard_negatives",
+    "top_paths",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
+    # r5-era fill to the window edge
+    "copurchase_triangles",
+    "pagerank_trade",
+    "degree_profile",
+    "communities",
+    "weighted_sample",
+    "streaming_enriched",
+    "sql_weekly_by_la",
+    "ks_values",
+    "ab_ztest",
+    "streaming_cdc",
+    "streaming_joined_agg",
+    "seasonality_profile",
+    "weekly_churn",
+    "streaming_joined_outer",
+    "streaming_joined",
+]
+# Remainder of the r5 era displaced past the window edge: the r11 queue
+# (the two required stale names pushed mannwhitney/chi2 out of the 50).
+_R10_QUEUE: list[str] = [
+    "mannwhitney_values",
+    "chi2_type_split",
+    "pareto_parts",
+    "cdc_replay",
+    "rollup_lineitem",
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority",
+    "customers_without_orders",
+    "brand_revenue",
+    "promo_revenue",
+    "large_orders",
+    "idle_capital",
+    "top_supplier",
+    "nation_pair_trade",
+    "market_share",
+    "product_profit",
+    "late_shipments",
+    "order_count_distribution",
+    "supplier_variety",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "slow_suppliers",
+    "important_parts",
+    "min_cost_supplier",
+]
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R10_FRONT
+    + _R10_QUEUE
+    + [q for q in QUERIES if q not in _R10_FRONT and q not in _R10_QUEUE]
 }

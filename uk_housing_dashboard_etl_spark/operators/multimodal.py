@@ -180,10 +180,19 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 
     Pure JVM fan-out: sequence + transform + explode — the payload is
     never copied to Python. One input row → ≤ ``max_frames`` rows.
+
+    NULL payloads (failed fetches — common in a web-scale media corpus)
+    yield ZERO frames: ``octet_length(NULL)`` is null and Spark's
+    ``least`` IGNORES nulls rather than propagating them, so without the
+    ``coalesce`` a null payload would explode into ``max_frames``
+    phantom rows of null ``frame_payload`` (r9 verdict item 1).
     """
     n_frames = F.least(
         F.lit(max_frames),
-        F.ceil(F.octet_length("payload") / F.lit(every_n_bytes)).cast("int"),
+        F.ceil(
+            F.coalesce(F.octet_length("payload"), F.lit(0))
+            / F.lit(every_n_bytes)
+        ).cast("int"),
     )
     frames = F.expr(
         f"transform(sequence(0, {max_frames} - 1),"

@@ -874,13 +874,17 @@ def winsorized_stats(
     clipped = df.select(
         F.col(group_col).alias("grp"), F.col(value_col).alias("__v")
     ).join(F.broadcast(fences), "grp")
+    # NULL values stay NULL so dmean skips them, matching the raw
+    # mean's null semantics: Spark's least/greatest IGNORE nulls, so a
+    # bare least(NULL, p_hi) would clip a null row to the upper fence
+    # and inflate the winsorized mean (r9 verdict item 2).
+    clip = F.when(
+        F.col("__v").isNotNull(),
+        F.greatest(F.least(F.col("__v"), F.col("p_hi")), F.col("p_lo")),
+    )
     wmean = clipped.groupBy(
         "grp", "n", "p_lo", "p_hi", "raw_mean"
-    ).agg(
-        round4(
-            dmean(F.greatest(F.least(F.col("__v"), F.col("p_hi")), F.col("p_lo")))
-        ).alias("winsorized_mean")
-    )
+    ).agg(round4(dmean(clip)).alias("winsorized_mean"))
     return wmean.select(
         F.col("grp").alias(group_col),
         "n",
