@@ -91,68 +91,8 @@ def test_rotation_window_covers_new_and_stale():
         )
 
 
-def test_fit_salt_covers_or_pins_every_traced_dependency():
-    """Round-8 advice (medium): _fit_code_salt hashes only the directly
-    named modules, so an edit to a TRANSITIVE dependency (e.g.
-    similarity.norm_expr under pq_encode, functions/rounding under
-    ngram_jaccard_pairs) changes on-disk artifact contents WITHOUT
-    changing the salt — the parquet fit cache would then serve stale
-    truth sets/codes, and the rotation's re-verification would run
-    against the stale artifact and green-light old code.
-
-    The in-package fix (derive the salt from the traced closure) stales
-    the whole PQ/IVF family and cannot fit the already-full r9 window;
-    it is queued for r10. MEANWHILE this tripwire makes the risk loud
-    instead of silent: the traced closure of every fit builder must be
-    covered by its salt modules, and any module the salt does NOT cover
-    must be byte-identical to the r9-close state pinned here. Editing
-    an unsalted dependency turns this red, forcing either the salt fix
-    or a cache clear in the same change.
-    """
-    import hashlib
-    import sys
-    from pathlib import Path
-
-    repo = Path(__file__).resolve().parent.parent
-    sys.path.insert(0, str(repo))
-    from tools import rotation
-
-    PKG = "uk_housing_dashboard_etl_spark"
-    DEFAULT_SALT = {f"{PKG}.operators.pq", f"{PKG}.operators.ivf"}
-    # builder root -> salt modules actually passed at the call site
-    builders = {
-        (f"{PKG}.operators.pq", "pq_encode"): DEFAULT_SALT,
-        (f"{PKG}.operators.ivf", "ivf_index"): DEFAULT_SALT,
-        (f"{PKG}.operators.pq", "ivfpq_residual_build"): DEFAULT_SALT,
-        (f"{PKG}.operators.dedup", "ngram_jaccard_pairs"): {
-            f"{PKG}.operators.dedup"
-        },
-        (f"{PKG}.operators.similarity", "embedding_near_dup"): {
-            f"{PKG}.operators.similarity"
-        },
-    }
-    # unsalted dependencies as of the r9 close — md5 of the exact bytes
-    # the current on-disk artifacts were built from
-    pinned = {
-        f"{PKG}.operators.similarity": "657c8798045ce36b00863392fb1e76b6",
-        f"{PKG}.functions.topk": "77cbd9010b693a25312c3009c8a1a3e7",
-        f"{PKG}.functions.rounding": "e30f63ad2c86b8296c8d0689a8361976",
-    }
-    for (mod, unit), salt in builders.items():
-        closure_mods = {m for m, _ in rotation._closure(mod, unit)}
-        for dep in sorted(closure_mods - salt):
-            assert dep in pinned, (
-                f"{mod}.{unit} gained an UNSALTED dependency {dep}: add it "
-                "to the call site's salt_mods (or land the r10 traced-salt "
-                "fix) before relying on cached fit artifacts"
-            )
-            path = repo / (dep.replace(".", "/") + ".py")
-            got = hashlib.md5(path.read_bytes()).hexdigest()
-            assert got == pinned[dep], (
-                f"{dep} changed but is NOT covered by the fit-cache salt "
-                f"of {mod}.{unit}: cached PQ/IVF/truth-set artifacts would "
-                "be served stale. Either add the module to salt_mods at "
-                "the _cached_fit_large call sites (stales the ANN family "
-                "into the next rotation window) or implement the traced-"
-                "closure salt (r10 plan), then refresh this pin."
-            )
+# The r9 byte-pinning fit-salt tripwire that lived here is gone: the
+# salt is now DERIVED from the rotation tracer's AST closure
+# (contract._FIT_SALT_ROOTS + contract._fit_code_salt), which makes the
+# pin redundant — see tests/test_fit_salt.py for the structural and
+# behavioral pins on the new derivation.

@@ -813,7 +813,6 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed bit order) and corpus-grain -> the salted parquet artifact
     cache; the gate's former localCheckpoint becomes a plain artifact
     scan that is ALSO warm for the pair query."""
-    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
     from uk_housing_dashboard_etl_spark.operators.dedup import (
         simhash_signatures,
     )
@@ -822,7 +821,6 @@ def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_fit_large(
         spark, sf_dir, "simhash_sigs",
         lambda: simhash_signatures(docs),
-        salt_mods=(_dedup_mod,),
     )
 
 
@@ -844,7 +842,6 @@ def _clusters02_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the salted parquet artifact cache — the same build-once-probe-many
     shape a production dedup index ships. Salted on dedup.py, the
     module defining both the pair semantics and the contraction."""
-    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
     from uk_housing_dashboard_etl_spark.operators.dedup import (
         duplicate_clusters,
     )
@@ -856,7 +853,6 @@ def _clusters02_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.select("doc_id"),
             _jaccard02_truth(spark, sf_dir).select("doc_a", "doc_b"),
         ),
-        salt_mods=(_dedup_mod,),
     )
 
 
@@ -988,13 +984,11 @@ def _jaccard02_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     production dedup-index build that is computed once and probed by
     every downstream job. Salted on dedup.py, the module whose code
     defines these values."""
-    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
 
     docs = read_table(spark, sf_dir, "documents")
     return _cached_fit_large(
         spark, sf_dir, "jaccard02_pairs",
         lambda: ngram_jaccard_pairs(docs, threshold=0.2),
-        salt_mods=(_dedup_mod,),
     )
 
 
@@ -1035,9 +1029,6 @@ def _embexact04_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two gates that measure against it (embedding_near_dup_lsh_recall
     and semantic_dedup_check) — same artifact-cache pattern as
     ``_jaccard02_truth``, salted on similarity.py."""
-    from uk_housing_dashboard_etl_spark.operators import (
-        similarity as _sim_mod,
-    )
     from uk_housing_dashboard_etl_spark.operators.similarity import (
         embedding_near_dup,
     )
@@ -1046,7 +1037,6 @@ def _embexact04_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_fit_large(
         spark, sf_dir, "embexact04_pairs",
         lambda: embedding_near_dup(emb, threshold=0.4),
-        salt_mods=(_sim_mod,),
     )
 
 
@@ -7645,27 +7635,110 @@ def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
     return spark.createDataFrame(rows, schema)
 
 
-def _fit_code_salt(mods: tuple = ()) -> str:
-    """md5 of the producing operator sources: corpus-sized artifacts
-    are valid exactly as long as the code that computes them, so the
-    salt invalidates the on-disk cache the moment those modules change
-    — no manual version bump to forget. Default: the ANN operators."""
+# On-disk artifact kind -> the root units (module suffix, function)
+# whose TRACED static call closure defines the artifact's validity.
+# tools/rotation.py's AST engine — the same tracer that stales queries
+# — closes over everything a root calls transitively, so cross-module
+# helpers (pq_encode → similarity's norm expr, kmeans_fit →
+# functions.topk, ngram_jaccard_pairs → functions.rounding) are covered
+# automatically: the r8/r9 module-bytes salt's blind spot, which needed
+# a byte-pinning tripwire meanwhile. Roots must also list VALUE
+# dependencies the builder lambda doesn't name: pq32_codes depends on
+# pq_fit through the codebooks frame, clusters02 on ngram_jaccard_pairs
+# through the jaccard02 artifact, the ivfpq kinds on kmeans_fit through
+# the centroids frame. read_table is appended to every kind (the scan
+# path — nanos handling — shapes artifact bytes too).
+# tests/test_registry.py asserts every call-site kind is declared and
+# that the closures still span the formerly-pinned modules.
+_FIT_SALT_ROOTS: dict[str, tuple[tuple[str, str], ...]] = {
+    "simhash_sigs": (("operators.dedup", "simhash_signatures"),),
+    "jaccard02_pairs": (("operators.dedup", "ngram_jaccard_pairs"),),
+    "clusters02": (
+        ("operators.dedup", "duplicate_clusters"),
+        ("operators.dedup", "ngram_jaccard_pairs"),
+    ),
+    "embexact04_pairs": (("operators.similarity", "embedding_near_dup"),),
+    "exsub_spans30": (("operators.dedup", "exact_substr_spans"),),
+    "pq32_codes": (
+        ("operators.pq", "pq_encode"),
+        ("operators.pq", "pq_fit"),
+    ),
+    "ivfpq_cells": (
+        ("operators.ivf", "ivf_index"),
+        ("operators.ivf", "kmeans_fit"),
+        ("operators.pq", "_norm_vectors"),
+    ),
+    "ivfpq_res_codes": (
+        ("operators.pq", "ivfpq_residual_build"),
+        ("operators.ivf", "kmeans_fit"),
+        ("operators.pq", "_norm_vectors"),
+    ),
+}
+
+
+def _salt_from_units(units: dict[tuple[str, str], str]) -> str:
+    """Pure hashing step of the fit salt: md5 over the sorted
+    (module, unit) names and their normalized sources. Split out so a
+    unit test can prove sensitivity — any one source change must change
+    the digest — without touching the filesystem."""
     import hashlib
 
-    if not mods:
-        from uk_housing_dashboard_etl_spark.operators import ivf, pq
-
-        mods = (pq, ivf)
     h = hashlib.md5()
-    for mod in mods:
-        with open(mod.__file__, "rb") as fh:
-            h.update(fh.read())
+    for (m, u), src in sorted(units.items()):
+        h.update(f"{m}.{u}\n".encode())
+        h.update(src.encode())
+        h.update(b"\x00")
     return h.hexdigest()[:8]
 
 
-def _cached_fit_large(
-    spark: SparkSession, sf_dir: str, kind: str, builder, salt_mods: tuple = ()
-):
+_FIT_SALT_MEMO: dict[str, str] = {}  # per-process; code is fixed per run
+
+
+def _fit_code_salt(kind: str) -> str:
+    """Salt for one artifact kind = hash of every repo unit in the
+    traced closure of its declared roots (``_FIT_SALT_ROOTS``), so the
+    on-disk cache invalidates the moment ANY code the fit transitively
+    executes changes — no manual version bump, no hand-listed module
+    set to forget. An undeclared kind raises (a new artifact must
+    declare its roots); a missing root raises (a renamed operator must
+    update the registry). If the repo tooling isn't importable (package
+    used outside the repo checkout), fall back to hashing every package
+    module — over-invalidates, never serves stale."""
+    if kind in _FIT_SALT_MEMO:
+        return _FIT_SALT_MEMO[kind]
+    pkg = __name__.rsplit(".", 1)[0]
+    roots = _FIT_SALT_ROOTS[kind] + (("sources.readers", "read_table"),)
+    try:
+        from tools import rotation  # repo-root tooling (driver cwd)
+    except ImportError:
+        import glob
+        import hashlib
+
+        h = hashlib.md5()
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        for p in sorted(
+            glob.glob(os.path.join(pkg_dir, "**", "*.py"), recursive=True)
+        ):
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()[:8]
+    mods = rotation._modules(None)
+    closure: set[tuple[str, str]] = set()
+    for mod_suffix, unit in roots:
+        full = f"{pkg}.{mod_suffix}"
+        if full not in mods or unit not in mods[full].units:
+            raise KeyError(
+                f"fit-salt root {full}.{unit} (kind {kind!r}) does not "
+                "resolve — update _FIT_SALT_ROOTS to the renamed unit"
+            )
+        closure |= rotation._closure(full, unit)
+    _FIT_SALT_MEMO[kind] = _salt_from_units(
+        {(m, u): mods[m].units[u] for m, u in closure if m in mods}
+    )
+    return _FIT_SALT_MEMO[kind]
+
+
+def _cached_fit_large(spark: SparkSession, sf_dir: str, kind: str, builder):
     """CORPUS-SIZED deterministic fit artifacts (PQ code frames, IVF
     cell assignments — one row per corpus vector) cached as LOCAL
     PARQUET, not driver rows. ``_cached_fit``'s collect-and-reship is
@@ -7677,9 +7750,14 @@ def _cached_fit_large(
     survives the bench harness's between-query cache release, and is
     the same artifact-reuse pattern a production index build ships
     (encode once, every probe job reads the codes table). The path is
-    salted with the md5 of the fitting code so stale artifacts can
-    never outlive an operator change; the write is tmp+rename so a
-    crashed fit never leaves a readable half-artifact."""
+    salted with the traced-closure hash of the fitting code
+    (``_fit_code_salt``) so stale artifacts can never outlive a change
+    to ANY code the fit executes; the write is tmp+rename so a crashed
+    fit never leaves a readable half-artifact, and the tmp dir is
+    cleaned in a ``finally`` so a failed builder can't leak it. A lost
+    rename race (another process published the same artifact first)
+    still records this process's FIT_TIMES — the fit time WAS paid here
+    and bench attributes per-process cost, not per-artifact cost."""
     import hashlib
 
     key = (sf_dir, kind)
@@ -7689,18 +7767,20 @@ def _cached_fit_large(
         "_fit_cache",
     )
     digest = hashlib.md5(
-        os.path.abspath(sf_dir).encode() + _fit_code_salt(salt_mods).encode()
+        os.path.abspath(sf_dir).encode() + _fit_code_salt(kind).encode()
     ).hexdigest()[:12]
     path = os.path.join(root, f"{digest}_{kind}")
     if not os.path.isdir(path):
         t0 = time.time()
         tmp = f"{path}.tmp{os.getpid()}"
-        builder().write.mode("overwrite").parquet(tmp)
         try:
-            os.rename(tmp, path)
-        except OSError:
-            if not os.path.isdir(path):  # lost race: another writer won
-                raise
+            builder().write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.isdir(path):  # lost race: other writer won
+                    raise
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
         FIT_TIMES[key] = round(time.time() - t0, 3)
     return spark.read.parquet(path)
@@ -9521,7 +9601,6 @@ def _exsub_spans30(spark: SparkSession, sf_dir: str) -> DataFrame:
     lives in the salted parquet artifact cache: derive the cut list
     once, roll up stats/trim/audits from the same table (the
     production shape)."""
-    from uk_housing_dashboard_etl_spark.operators import dedup as _dedup_mod
     from uk_housing_dashboard_etl_spark.operators.dedup import (
         exact_substr_spans,
     )
@@ -9530,7 +9609,6 @@ def _exsub_spans30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_fit_large(
         spark, sf_dir, "exsub_spans30",
         lambda: exact_substr_spans(docs, min_len=30, hash_grams=False),
-        salt_mods=(_dedup_mod,),
     )
 
 
@@ -10056,22 +10134,40 @@ QUERIES = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-10 driver window (tools/rotation.py --plan at the r9 close).
-# Required set at round start: the two tripwired null-edge fixes
-# (multimodal.sample_frames null-payload phantom frames and
-# stats.winsorized_stats NULL clipping — operator + oracle moved in one
-# commit, VERDICT r9 items 1/8) stale their consumer queries back into
-# the window; everything else is fill — the 33 r4-era names (whose last
-# driver check is 5 rounds old) lead, then the r5 era to the 50-slot
-# edge. The displaced remainder of the r5 era is the committed r11
-# queue.
+# Round-10 driver window (tools/rotation.py --plan after the round's
+# code landed). Required set: the two tripwired null-edge fixes
+# (sample_frames null payload, winsorized_stats NULL clipping — operator
+# + oracle in one commit), plus the 19 artifact-consumer queries staled
+# by the traced-closure fit-salt rewrite (_fit_code_salt /
+# _cached_fit_large changed, so every query probing a salted parquet
+# artifact re-enters — which also re-drives the similarity/IVF family
+# the r9 verdict flagged for a drift confirm). Fill: the 29 oldest
+# r4-era names. The 4 displaced r4-era names lead the r11 queue.
 _R10_FRONT: list[str] = [
-    # stale: oracle + operator moved in one commit (the two r9
-    # tripwired null-edge fixes — sample_frames null payload,
-    # winsorized_stats NULL clipping)
+    # stale: oracle + operator moved in one commit (r9 tripwires)
     "winsorized_prices",
     "multimodal_frames",
-    # r4-era fill (oldest-verified; the committed r10 front, VERDICT #2)
+    # stale: traced-closure fit salt (contract._cached_fit_large family)
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivfpq_res",
+    "similarity_ivfpq_res_recall",
+    "embedding_near_dup_lsh_recall",
+    "semantic_dedup_check",
+    "cluster_split",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_exact_substr",
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_trim",
+    "dedup_exact_substr_agree",
+    "dedup_minhash_recall",
+    "dedup_simhash_complete",
+    "incremental_near_gate",
+    # r4-era fill (oldest-verified, VERDICT r9 item 2)
     "clean_transactions",
     "weekly_by_la",
     "rolling_windows",
@@ -10101,57 +10197,14 @@ _R10_FRONT: list[str] = [
     "streaming_distinct_check",
     "embedding_covariance",
     "asof_forward",
+]
+# r4-era names the salt-staled set displaced past the window edge: they
+# lead the r11 window.
+_R10_QUEUE: list[str] = [
     "hard_negatives",
     "top_paths",
     "multimodal_phash",
     "multimodal_phash_pairs",
-    # r5-era fill to the window edge
-    "copurchase_triangles",
-    "pagerank_trade",
-    "degree_profile",
-    "communities",
-    "weighted_sample",
-    "streaming_enriched",
-    "sql_weekly_by_la",
-    "ks_values",
-    "ab_ztest",
-    "streaming_cdc",
-    "streaming_joined_agg",
-    "seasonality_profile",
-    "weekly_churn",
-    "streaming_joined_outer",
-    "streaming_joined",
-]
-# Remainder of the r5 era displaced past the window edge: the r11 queue
-# (the two required stale names pushed mannwhitney/chi2 out of the 50).
-_R10_QUEUE: list[str] = [
-    "mannwhitney_values",
-    "chi2_type_split",
-    "pareto_parts",
-    "cdc_replay",
-    "rollup_lineitem",
-    "pricing_summary",
-    "shipping_priority",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority",
-    "customers_without_orders",
-    "brand_revenue",
-    "promo_revenue",
-    "large_orders",
-    "idle_capital",
-    "top_supplier",
-    "nation_pair_trade",
-    "market_share",
-    "product_profit",
-    "late_shipments",
-    "order_count_distribution",
-    "supplier_variety",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "slow_suppliers",
-    "important_parts",
-    "min_cost_supplier",
 ]
 QUERIES = {
     name: QUERIES[name]
