@@ -186,6 +186,67 @@ def maintenance_times(spark) -> dict[str, float]:
     return out
 
 
+def fit_family_totals(
+    times: dict[str, float], fit_times: dict[str, float]
+) -> dict[str, dict]:
+    """Fit-attributed totals per artifact-consumer family (VERDICT r9
+    item 7): queries probing a shared fit artifact (e.g.
+    ``dedup_clusters`` at 0.2 s) are only meaningful together with the
+    one-time fit cost in ``ann_fit_seconds`` — without this section, a
+    round that moves work from queries into a shared fit reads as a
+    plan win and a round that does the reverse reads as a regression.
+
+    Mechanically derived, no hand-list to rot: AST-scan contract.py for
+    the top-level function enclosing each ``_cached_fit``/
+    ``_cached_fit_large`` call (the artifact's builder helper), then a
+    query consumes that kind iff the rotation tracer's closure of its
+    registered function reaches the helper."""
+    import ast
+
+    from tools import rotation
+
+    pkg = "uk_housing_dashboard_etl_spark"
+    tree = ast.parse(
+        open(os.path.join(REPO, pkg, "contract.py")).read()
+    )
+    kind_helpers: dict[str, set[str]] = {}
+    for node in tree.body:
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Call)
+                and isinstance(sub.func, ast.Name)
+                and sub.func.id in ("_cached_fit", "_cached_fit_large")
+                and len(sub.args) > 2
+                and isinstance(sub.args[2], ast.Constant)
+            ):
+                kind_helpers.setdefault(sub.args[2].value, set()).add(
+                    node.name
+                )
+    mod = f"{pkg}.contract"
+    closure_units: dict[str, set[str]] = {}
+    for qname, fn in contract.QUERIES.items():
+        root = fn.__qualname__.split(".")[0]
+        closure_units[qname] = {
+            u for m, u in rotation._closure(mod, root) if m == mod
+        }
+    out: dict[str, dict] = {}
+    for kind, helpers in sorted(kind_helpers.items()):
+        consumers = {
+            q: times[q]
+            for q, units in closure_units.items()
+            if q in times and (helpers & units)
+        }
+        fit_sec = fit_times.get(kind, 0.0)
+        out[kind] = {
+            "fit_sec": fit_sec,
+            "consumers": consumers,
+            "family_total_sec": round(fit_sec + sum(consumers.values()), 3),
+        }
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -279,6 +340,15 @@ def main() -> None:
             if fit_sf == SF_DIR
         },
     }
+    # fit-attributed totals per consumer family (VERDICT r9 item 7):
+    # round-over-round comparisons of artifact-probing queries must add
+    # the amortized fit back in, or amortization reads as a plan win
+    try:
+        detail["family_totals"] = fit_family_totals(
+            times, detail["ann_fit_seconds"]
+        )
+    except Exception as e:  # noqa: BLE001 — reporting must not kill bench
+        detail["family_totals_error"] = f"{type(e).__name__}: {e}"[:300]
     if maint_err:
         detail["maintenance_error"] = maint_err
     with open(os.path.join(REPO, detail_name), "w") as f:

@@ -3391,9 +3391,13 @@ _TOKS = f"list_filter(string_split_regex({_NORM_TEXT}, '\\s+'), x -> x <> '')"
 # PARITY BOUNDARY: empty/whitespace-only docs agree between Spark and
 # every oracle (both filter '' tokens); NULL-text parity is guaranteed
 # only for the oracles using this variant — the remaining _TOKS oracles
-# return null counts where Spark now returns 0, a divergence that is
-# unreachable on the driver's testdata (no NULL text) and documented
-# rather than papered over.
+# return null counts where Spark now returns 0. That divergence is
+# unreachable while documents.text is never NULL, and since r10 the
+# boundary is ENFORCED, not just documented:
+# tests/test_fixture_invariants.py::test_documents_text_never_null
+# re-reads the driver's actual parquet at every scale factor each round
+# and goes red the moment a corpus gains NULL text — at which point the
+# _TOKS oracles must migrate to _TOKS_NN in the same change.
 _TOKS_NN = (
     "list_filter(string_split_regex(lower(trim(regexp_replace("
     "coalesce(text, ''), '\\s+', ' ', 'g'))), '\\s+'), x -> x <> '')"

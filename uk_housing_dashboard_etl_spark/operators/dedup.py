@@ -1034,6 +1034,16 @@ def exact_substr_spans(
     corpus characters; Lee et al.'s in-memory suffix array is replaced
     by Spark's distributed sort, which is the honest cluster
     equivalent.
+
+    ``spread_input`` caller guidance (r9 advice): the ``None`` default
+    decides from ``inputFiles()`` scan metadata, which probes as ``[]``
+    for NON-FILE frames (``createDataFrame``, post-shuffle/post-join
+    inputs) and therefore never repartitions them — correct for
+    shuffle outputs (their parallelism was already set upstream) but a
+    silent single-core explode for a few-partition in-memory frame.
+    Callers feeding small ``createDataFrame`` corpora (tests, notebook
+    experiments) should pass ``spread_input=True`` explicitly; file
+    readers at any scale can rely on the default.
     """
     starts = F.expr(
         f"""CASE WHEN length({text_col}) < {min_len} THEN array()

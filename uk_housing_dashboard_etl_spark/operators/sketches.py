@@ -88,7 +88,19 @@ def mergeable_daily_distinct(
 # normalized rank-error band for the KLL accuracy gate: k=200 bounds the
 # rank error at ~1.65% with 99% confidence (Karnin-Lang-Liberty 2016),
 # so a 3% band makes the per-run flag deterministic in practice while
-# still failing on any real sketch regression
+# still failing on any real sketch regression.
+#
+# Expected flake rate (r9 advice — the gate stays PROBABILISTIC because
+# Spark SQL exposes no seed for KLL's compaction): 99% @ 1.65% implies
+# a per-quantile normalized rank-error sigma of ~0.65%, so the ±3%
+# band sits at ~4.6 sigma — P(miss) ≈ 2e-5 per flag. The driver checks
+# 2 quantiles × |event_type| groups (≤ ~10 flags/run): ≈ 2e-4 chance of
+# a spurious red per round, ~0.4% across a 20-round project. Accepted:
+# tightening it further would need either a seeded sketch (a UDF
+# reimplementation — slower and no longer the JVM datasketches path) or
+# a second independent in-plan sketch OR'd into the flag (stales the
+# query for a ~2e-4 risk). If a round DOES flake here, rerunning the
+# driver window reproduces green with near-certainty.
 RANK_EPS = 0.03
 
 
