@@ -753,3 +753,176 @@ def test_winsorized_stats_skips_null_values(spark):
         df.where(F.col("value").isNotNull()), "grp", "value"
     ).collect()[0]
     assert with_null["winsorized_mean"] == without["winsorized_mean"]
+
+
+# --------------------------------------------------------------------
+# r10 empty/NULL-input sweep for the families the r9 round didn't reach
+# (VERDICT r9 item 6): linkage normalizers, lang_id, redact_pii, and a
+# streaming drain fed empty-text docs. Same discipline as the r9
+# shingle sweep — one property block per family, the semantics stated
+# in the assertion, corpora always containing '', whitespace-only and
+# NULL entries.
+
+
+@st.composite
+def name_tables_with_empties(draw):
+    """(key, name) records with guaranteed empty/whitespace/NULL names
+    plus a planted near-pair so the linkage machinery has signal."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=2, max_value=20))
+    first = ["alpha", "beta", "gamma"]
+    rows = [
+        (
+            i,
+            f"{rng.choice(first)} part {int(rng.integers(0, 5))}",
+        )
+        for i in range(n)
+    ]
+    rows[1] = (1, rows[0][1])  # planted exact pair
+    base = n
+    ws = draw(st.sampled_from([" ", "  \t ", "\n"]))
+    return rows + [
+        (base, ""), (base + 1, ""), (base + 2, ws),
+        (base + 3, None), (base + 4, None),
+    ]
+
+
+@SLOW
+@given(recs=name_tables_with_empties())
+def test_fuzzy_family_null_and_empty_name_semantics(spark, recs):
+    """Linkage family: NULL names NEVER pair (SQL null-safe: NULL block
+    joins nothing, matching DuckDB's oracle join), while ''/whitespace
+    names pair among themselves at distance <= their length difference
+    — the same 'empties group, nulls stay apart' rule exact_dedup pins.
+    The compressed (name-grain) histogram must agree with the pair-
+    grain histogram on exactly these corpora too."""
+    from uk_housing_dashboard_etl_spark.operators.linkage import (
+        fuzzy_pair_histogram,
+        fuzzy_pairs,
+        rare_token_pairs,
+    )
+
+    df = spark.createDataFrame(recs, "p_partkey long, p_name string")
+    null_keys = {k for k, nm in recs if nm is None}
+
+    pairs = fuzzy_pairs(df, max_dist=3).toPandas()
+    touched = set(pairs.key_a) | set(pairs.key_b)
+    assert not (touched & null_keys), "NULL names must never pair"
+    # planted exact pair survives blocking
+    assert ((pairs.key_a == 0) & (pairs.key_b == 1)).any()
+    # the two '' names pair at distance 0
+    empty_keys = sorted(k for k, nm in recs if nm == "")
+    ek_a, ek_b = empty_keys[0], empty_keys[1]
+    hit = pairs[(pairs.key_a == ek_a) & (pairs.key_b == ek_b)]
+    assert len(hit) == 1 and hit.distance.iloc[0] == 0
+
+    # compressed histogram == pair-grain histogram on the same corpus
+    hist_pairs = (
+        fuzzy_pairs(df, max_dist=3)
+        .groupBy("distance")
+        .count()
+        .toPandas()
+        .set_index("distance")["count"]
+        .sort_index()
+    )
+    hist_comp = (
+        fuzzy_pair_histogram(df, max_dist=3)
+        .toPandas()
+        .set_index("distance")["n_pairs"]
+        .sort_index()
+    )
+    assert hist_pairs.to_dict() == hist_comp.to_dict()
+
+    # rare-token blocking: NULL names contribute no tokens, never pair
+    rt = rare_token_pairs(df, max_dist=3).toPandas()
+    assert not ((set(rt.key_a) | set(rt.key_b)) & null_keys)
+
+
+@SLOW
+@given(docs=corpora_with_empties())
+def test_lang_id_tokenless_docs_deterministic(spark, docs):
+    """lang_id: a token-less doc (empty/whitespace/NULL text) scores 0
+    on every language and predicts LANG_ORDER[0] via the fixed argmax
+    tie-break — deterministic, never NULL, and identical to the oracle
+    CASE chain for non-null text (NULL-text parity is enforced
+    upstream by test_fixture_invariants)."""
+    from uk_housing_dashboard_etl_spark.operators.text_analysis import (
+        LANG_ORDER,
+        lang_id,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in lang_id(df).collect()}
+    for i in _tokenless_ids(docs):
+        row = out[i]
+        assert all(row[f"score_{lang}"] == 0 for lang in LANG_ORDER)
+        assert row.predicted_lang == LANG_ORDER[0]
+
+
+def test_redact_pii_null_text_is_pii_free(spark):
+    """r10 regression (same null-edge class as sample_frames): NULL
+    text carries ZERO PII — counts 0 and has_pii false, so the doc
+    keeps deterministic behavior under where(has_pii) AND
+    where(~has_pii); redacted_text stays NULL (a failed fetch must not
+    alias a genuinely empty doc)."""
+    from uk_housing_dashboard_etl_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a@b.com calls +1 (555) 123-4567")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted_text is None
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (0, 0, 0)
+    assert out[1].has_pii is False
+    assert out[2].has_pii is False and out[2].n_emails == 0
+    assert out[3].has_pii is True and out[3].n_emails == 1
+    kept = redact_pii(df).where(F.col("has_pii")).count()
+    dropped = redact_pii(df).where(~F.col("has_pii")).count()
+    assert kept + dropped == 3, "every doc must land in exactly one filter"
+
+
+def test_streaming_dedup_groups_empty_and_null_text(spark, tmp_path):
+    """Streaming drain fed empty-text docs (VERDICT r9 item 6): the
+    content-hash identity must group ''/whitespace docs together and
+    NULL-text docs together-but-separately, exactly like batch
+    exact_dedup — one survivor per group, so the batch/stream identity
+    rule survives the zero-token semantics."""
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.streaming.dedup_stream import (
+        dedup_documents_stream,
+    )
+
+    d = str(tmp_path / "landing")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, None, t0),
+        (2, "", t0),
+        (3, None, t0),
+        (4, "  \t ", t0),
+        (5, "real doc", t0),
+        (6, "real  DOC", t0),  # normalizes to doc 5's content
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ingest_ts timestamp"
+    ).parquet(d)
+    q = (
+        dedup_documents_stream(stream, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    survivors = set(out.doc_id)
+    assert len(survivors & {1, 3}) == 1, "one survivor for the NULL group"
+    assert len(survivors & {2, 4}) == 1, "one survivor for the '' group"
+    assert len(survivors & {5, 6}) == 1, "one survivor per content group"
+    assert len(survivors) == 3

@@ -3676,12 +3676,14 @@ _EXTENSION_ORACLES: dict[str, str] = {
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
              '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS redacted_text,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS INTEGER) AS n_phones,
-           CAST(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INTEGER) AS n_ips,
-           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-            + len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]'))
-            + len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))) > 0 AS has_pii
+           -- coalesce mirrors the operator's NULL-text guard: a failed
+           -- fetch carries zero PII, not NULL counts / NULL has_pii
+           CAST(coalesce(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0) AS INTEGER) AS n_emails,
+           CAST(coalesce(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')), 0) AS INTEGER) AS n_phones,
+           CAST(coalesce(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')), 0) AS INTEGER) AS n_ips,
+           (coalesce(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0)
+            + coalesce(len(regexp_extract_all(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]')), 0)
+            + coalesce(len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')), 0)) > 0 AS has_pii
     FROM documents
     """,
     "hash_sample": """
@@ -10139,19 +10141,23 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-10 driver window (tools/rotation.py --plan after the round's
-# code landed). Required set: the two tripwired null-edge fixes
-# (sample_frames null payload, winsorized_stats NULL clipping — operator
-# + oracle in one commit), plus the 19 artifact-consumer queries staled
-# by the traced-closure fit-salt rewrite (_fit_code_salt /
-# _cached_fit_large changed, so every query probing a salted parquet
-# artifact re-enters — which also re-drives the similarity/IVF family
-# the r9 verdict flagged for a drift confirm). Fill: the 29 oldest
-# r4-era names. The 4 displaced r4-era names lead the r11 queue.
+# code landed). Required set (26): the tripwired null-edge fixes
+# (sample_frames null payload, winsorized_stats NULL clipping) plus two
+# more of the same class the r10 empty/NULL sweep found and fixed
+# (redact_pii NULL-text PII counts; fuzzy_pair_histogram's compressed
+# path counting the NULL-name group as distance-0 pairs — stales the
+# linkage family), plus the 19 artifact-consumer queries staled by the
+# traced-closure fit-salt rewrite (which also re-drives the
+# similarity/IVF family the r9 verdict flagged for a drift confirm).
+# Fill: the 24 oldest r4-era names; the 6 displaced r4-era names lead
+# the r11 queue.
 _R10_FRONT: list[str] = [
-    # stale: oracle + operator moved in one commit (r9 tripwires)
+    "fuzzy_pair_stats",
+    "fuzzy_pair_stats_bucketed",
+    "rare_token_linkage",
     "winsorized_prices",
+    "redact_pii",
     "multimodal_frames",
-    # stale: traced-closure fit salt (contract._cached_fit_large family)
     "similarity_ivfpq",
     "similarity_ivfpq_recall",
     "similarity_pq",
@@ -10160,6 +10166,7 @@ _R10_FRONT: list[str] = [
     "similarity_ivfpq_res_recall",
     "embedding_near_dup_lsh_recall",
     "semantic_dedup_check",
+    "fuzzy_snm_recall",
     "cluster_split",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -10171,7 +10178,6 @@ _R10_FRONT: list[str] = [
     "dedup_minhash_recall",
     "dedup_simhash_complete",
     "incremental_near_gate",
-    # r4-era fill (oldest-verified, VERDICT r9 item 2)
     "clean_transactions",
     "weekly_by_la",
     "rolling_windows",
@@ -10192,19 +10198,15 @@ _R10_FRONT: list[str] = [
     "rrf_fusion",
     "trimmed_stats",
     "fuzzy_matches",
-    "fuzzy_pair_stats",
-    "fuzzy_pair_stats_bucketed",
     "interarrival_stats",
     "benford_prices",
-    "rare_token_linkage",
     "basket_lift",
     "streaming_distinct_check",
+]
+# r4-era names displaced past the window edge: they lead the r11 window.
+_R10_QUEUE: list[str] = [
     "embedding_covariance",
     "asof_forward",
-]
-# r4-era names the salt-staled set displaced past the window edge: they
-# lead the r11 window.
-_R10_QUEUE: list[str] = [
     "hard_negatives",
     "top_paths",
     "multimodal_phash",

@@ -28,13 +28,28 @@ def redact_pii(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Replace emails/phones/IPv4s with typed placeholder tags; report
-    per-doc match counts so downstream filters can drop PII-heavy docs."""
+    per-doc match counts so downstream filters can drop PII-heavy docs.
+
+    NULL text (failed fetches) carries zero PII: counts coalesce to 0
+    and ``has_pii`` is false, so the row keeps deterministic filter
+    behavior under both ``where(has_pii)`` and ``where(~has_pii)`` —
+    un-coalesced, the NULL propagated into ``has_pii`` and the doc
+    silently vanished from BOTH filters (same null-edge class as the
+    r10 sample_frames/winsorized fixes). ``redacted_text`` stays NULL:
+    there is nothing to redact, and inventing '' would alias a failed
+    fetch with a genuinely empty document downstream."""
     text = F.col(text_col)
     # F.regexp_extract_all with a lit pattern: avoids SQL-string escape
     # mangling of backslashes in the regex
-    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0)))
-    n_ip = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    n_email = F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))), F.lit(0)
+    )
+    n_phone = F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))), F.lit(0)
+    )
+    n_ip = F.coalesce(
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0))), F.lit(0)
+    )
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"

@@ -320,7 +320,14 @@ def _histogram_over_names(
             (F.col("a.cnt") * F.col("b.cnt")).alias("n_rec_pairs"),
         )
     )
-    same = names.where(F.col("cnt") >= 2).select(
+    # NULL names NEVER pair — levenshtein(NULL, NULL) is NULL, so the
+    # pair-grain path drops them at the join; without this filter the
+    # compressed path counted the NULL-name group as C(cnt,2)
+    # distance-0 record pairs and diverged from fuzzy_pairs on corpora
+    # with >= 2 NULL names (r10 empty/NULL sweep finding).
+    same = names.where(
+        F.col("cnt") >= 2
+    ).where(F.col("name").isNotNull()).select(
         F.lit(0).alias("distance"),
         (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n_rec_pairs"),
     )
