@@ -358,24 +358,97 @@ def connected_components(
     )
 
 
+# duplicate_clusters collects the DISTINCT near-dup edge list for a
+# driver-side union-find when it fits (one collect job vs O(log n)
+# distributed contraction rounds of scheduling) — the same bounded
+# cluster-grain convention as linkage.ENTITY_DRIVER_UNION_MAX_EDGES.
+# Near-dup edges are duplicate-grain, not corpus-grain: even a 100 TB
+# corpus with 10% near-dups in size-2 clusters is ~edges << docs, and
+# above the cap the distributed path takes over losslessly.
+# ~16 B/edge → the cap is ~32 MB of driver memory.
+DEDUP_DRIVER_UNION_MAX_EDGES = 2_000_000
+
+
 def duplicate_clusters(
     ids: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    driver_union_max_edges: int = DEDUP_DRIVER_UNION_MAX_EDGES,
 ) -> DataFrame:
     """Transitive duplicate clustering: connected components over a
     near-dup pair graph, labeled with the min reachable doc_id plus the
     cluster size.
 
     ``ids`` is the node set (one column ``id_col``); ``pairs`` has
-    (doc_a, doc_b) edges from any near-dup detector. Delegates to
-    :func:`connected_components` (large-star/small-star, O(log n)
-    rounds) so deep duplicate chains — common when boilerplate strings
-    daisy-chain documents — cost the same as the tiny stars LSH
-    usually emits.
+    (doc_a, doc_b) edges from any near-dup detector. The distinct edge
+    list is COUNTED first (estimate-before-collect, the arrow_topk /
+    resolve_entities convention): when it fits
+    ``driver_union_max_edges`` the labeling is a driver-side union-find
+    with union-by-min — one collect of duplicate-grain edges and one
+    broadcast back, where the distributed fixpoint pays O(log n) rounds
+    of job scheduling (measured 6.1 s → ~0.5 s for the sf0.1 clusters02
+    fit, whose edge list is a few hundred rows). Above the cap it
+    delegates to :func:`connected_components` (large-star/small-star,
+    O(log n) rounds) so deep duplicate chains — common when boilerplate
+    strings daisy-chain documents — cost the same as the tiny stars LSH
+    usually emits. Both paths label every node with its component's
+    MINIMUM id, so results are identical by construction.
     """
-    labels = connected_components(ids, pairs, id_col, max_iterations)
+    edges = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if edges.count() <= driver_union_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in edges.collect():
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                # union by MIN root: the final root of every component
+                # is its minimum member, matching connected_components
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        spark = ids.sparkSession
+        id_type = ids.schema[id_col].dataType
+        nodes = ids.select(F.col(id_col).alias("node"))
+        if rows:
+            from pyspark.sql.types import StructField, StructType
+
+            mapping = F.broadcast(
+                spark.createDataFrame(
+                    rows,
+                    StructType(
+                        [
+                            StructField("node", id_type),
+                            StructField("__root", id_type),
+                        ]
+                    ),
+                )
+            )
+            labels = nodes.join(mapping, "node", "left").select(
+                "node",
+                F.coalesce(F.col("__root"), F.col("node")).alias(
+                    "cluster_id"
+                ),
+            )
+        else:
+            labels = nodes.select(
+                "node", F.col("node").alias("cluster_id")
+            )
+    else:
+        labels = connected_components(ids, pairs, id_col, max_iterations)
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
