@@ -926,3 +926,60 @@ def test_streaming_dedup_groups_empty_and_null_text(spark, tmp_path):
     assert len(survivors & {2, 4}) == 1, "one survivor for the '' group"
     assert len(survivors & {5, 6}) == 1, "one survivor per content group"
     assert len(survivors) == 3
+
+
+def test_behavioral_family_null_event_discipline(spark):
+    """Proactive r10 sweep extension (the item-6 pattern applied to the
+    events family — a 100 TB event stream has NULL ts/user_id/type from
+    malformed ingests): every sequencing/windowing operator EXCLUDES
+    rows whose ordering key (ts) or partition key (user_id) is NULL —
+    pinned here because a NULL ts would otherwise sort first and
+    corrupt lag/rank/sequence semantics silently — and none of the
+    family crashes on NULL event_type or NULL value."""
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.behavior import (
+        cap_events_per_key,
+        debounce_events,
+        top_paths,
+        user_sequences,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def T(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 10, "click", T(0), 1.0),
+        (2, 10, "click", T(1), 2.0),
+        (3, 10, "click", None, 3.0),   # NULL ts: excluded from windows
+        (4, None, "view", T(2), 4.0),  # NULL user: excluded
+        (5, None, "view", T(3), 5.0),
+        (6, 11, None, T(4), 6.0),      # NULL type: kept, attr is null
+        (7, 11, None, T(5), 7.0),
+        (8, 12, "purchase", T(6), None),  # NULL value: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double"
+    )
+
+    deb = debounce_events(df).toPandas()
+    assert set(deb.event_id) == {1, 2, 6, 7, 8}  # 3 (null ts), 4-5 (null key) out
+    assert bool(deb.set_index("event_id").loc[2, "is_dup"]) is True
+
+    cap = cap_events_per_key(df, max_per_day=1).toPandas()
+    assert set(cap.event_id) == {1, 2, 6, 7, 8}
+    kept = cap[cap.kept]
+    assert set(kept.event_id) == {1, 6, 8}  # earliest per (user, day)
+
+    seq = user_sequences(df).toPandas().set_index("key")
+    assert set(seq.index) == {10, 11, 12}
+    assert seq.loc[10, "seq_len"] == 2  # the NULL-ts click is excluded
+    # NULL attrs are skipped by concat_ws but still counted: documented
+    assert seq.loc[11, "seq_len"] == 2 and seq.loc[11, "sequence"] == ""
+
+    tp = top_paths(df).toPandas()
+    assert not tp.empty  # and no NULL-keyed path rows
+    assert tp.path.notna().all()
