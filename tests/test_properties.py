@@ -983,3 +983,46 @@ def test_behavioral_family_null_event_discipline(spark):
     tp = top_paths(df).toPandas()
     assert not tp.empty  # and no NULL-keyed path rows
     assert tp.path.notna().all()
+
+
+def test_scd2_null_state_is_a_state(spark):
+    """r10 sweep fix: NULL is a legitimate SCD2 attribute state. The
+    plain != change test made a leading NULL state an interval but
+    silently swallowed a mid-stream one (and A,NULL,A produced two
+    adjacent same-attr intervals, violating the merge invariant). The
+    null-safe test (eqNullSafe / IS DISTINCT FROM, operator + oracle in
+    one commit) gives every unknown-state run its own interval."""
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        scd2_history,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def T(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, 10, "A", T(0)), (2, 10, None, T(1)), (3, 10, "B", T(2)),
+        (4, 11, None, T(0)), (5, 11, "C", T(1)),
+        (6, 12, "A", T(0)), (7, 12, None, T(1)), (8, 12, "A", T(2)),
+        (9, 13, "X", T(0)), (10, 13, "X", T(1)),  # repeat run merges
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = scd2_history(df).toPandas().sort_values(["key", "version"])
+    runs = {
+        k: list(g.attr) for k, g in out.groupby("key")
+    }
+    assert runs[10] == ["A", None, "B"]
+    assert runs[11] == [None, "C"]
+    assert runs[12] == ["A", None, "A"]
+    assert runs[13] == ["X"]
+    # intervals still partition each key's timeline: valid_to of interval
+    # i equals valid_from of interval i+1; last is open
+    for k, g in out.groupby("key"):
+        g = g.sort_values("version")
+        assert g.valid_to.iloc[:-1].tolist() == g.valid_from.iloc[1:].tolist()
+        assert pd.isna(g.valid_to.iloc[-1]) and bool(g.is_current.iloc[-1])

@@ -4815,11 +4815,16 @@ _EXTENSION_ORACLES["scd2_history"] = """
     ), marked AS (
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS prev
+                   ORDER BY ts, event_id) AS prev,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
         FROM base
     ), changed AS (
+        -- null-safe change test, mirroring the operator's eqNullSafe:
+        -- NULL is a legitimate state and rn=1 marks the first event
+        -- (prev IS NULL alone can't tell it from a prior NULL state)
         SELECT user_id, event_type, ts, event_id FROM marked
-        WHERE prev IS NULL OR event_type <> prev
+        WHERE rn = 1 OR event_type IS DISTINCT FROM prev
     )
     SELECT user_id AS key, event_type AS attr, ts AS valid_from,
            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -10141,15 +10146,16 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-10 driver window (tools/rotation.py --plan after the round's
-# code landed). Required set (26): the tripwired null-edge fixes
-# (sample_frames null payload, winsorized_stats NULL clipping) plus two
-# more of the same class the r10 empty/NULL sweep found and fixed
+# code landed). Required set (27): the tripwired null-edge fixes
+# (sample_frames null payload, winsorized_stats NULL clipping) plus
+# three more of the same class the r10 empty/NULL sweep found and fixed
 # (redact_pii NULL-text PII counts; fuzzy_pair_histogram's compressed
 # path counting the NULL-name group as distance-0 pairs — stales the
-# linkage family), plus the 19 artifact-consumer queries staled by the
-# traced-closure fit-salt rewrite (which also re-drives the
+# linkage family; scd2_history's non-null-safe change test swallowing
+# mid-stream NULL states), plus the 19 artifact-consumer queries staled
+# by the traced-closure fit-salt rewrite (which also re-drives the
 # similarity/IVF family the r9 verdict flagged for a drift confirm).
-# Fill: the 24 oldest r4-era names; the 6 displaced r4-era names lead
+# Fill: the 23 oldest r4-era names; the 7 displaced r4-era names lead
 # the r11 queue.
 _R10_FRONT: list[str] = [
     "fuzzy_pair_stats",
@@ -10178,6 +10184,7 @@ _R10_FRONT: list[str] = [
     "dedup_minhash_recall",
     "dedup_simhash_complete",
     "incremental_near_gate",
+    "scd2_history",
     "clean_transactions",
     "weekly_by_la",
     "rolling_windows",
@@ -10201,10 +10208,10 @@ _R10_FRONT: list[str] = [
     "interarrival_stats",
     "benford_prices",
     "basket_lift",
-    "streaming_distinct_check",
 ]
 # r4-era names displaced past the window edge: they lead the r11 window.
 _R10_QUEUE: list[str] = [
+    "streaming_distinct_check",
     "embedding_covariance",
     "asof_forward",
     "hard_negatives",

@@ -117,6 +117,15 @@ def scd2_history(
     interval has ``valid_to`` NULL and ``is_current`` true, and
     ``version`` numbers a key's intervals from 1.
 
+    NULL is a legitimate attribute STATE (an entity whose value is
+    temporarily unknown), detected with the null-safe comparison
+    (``<=>`` / IS DISTINCT FROM on the oracle side): ``A, NULL, B``
+    yields three intervals. The r10 empty/NULL sweep found the plain
+    ``!=`` version internally inconsistent — a LEADING NULL state got
+    an interval while a MID-STREAM one silently vanished into the
+    previous interval, and ``A, NULL, A`` emitted two adjacent
+    same-attr intervals, violating the merge invariant above.
+
     Plan: one key-keyed Exchange total — the lead/row_number window
     runs over the change-filtered output of the lag window, and both
     share the same partitioning, so Spark re-sorts the (much smaller)
@@ -125,12 +134,17 @@ def scd2_history(
     engine-independent run boundaries.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    # __first marks the key's first event unambiguously: a NULL __prev
+    # alone can't distinguish "first row" from "previous state was
+    # NULL", and the change test itself must be null-safe (<=>) so a
+    # NULL state opens and closes intervals like any other value.
     changed = (
         events.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
         .select(key_col, attr_col, ts_col, tie_col)
         .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__first", F.row_number().over(w) == 1)
         .where(
-            F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
+            F.col("__first") | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
         )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
