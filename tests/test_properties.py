@@ -1026,3 +1026,31 @@ def test_scd2_null_state_is_a_state(spark):
         g = g.sort_values("version")
         assert g.valid_to.iloc[:-1].tolist() == g.valid_from.iloc[1:].tolist()
         assert pd.isna(g.valid_to.iloc[-1]) and bool(g.is_current.iloc[-1])
+
+
+def test_snapshot_diff_null_text_is_content_not_absence(spark):
+    """r10 sweep fix: presence in a snapshot is decided by the doc's
+    ROW, not its hash — a NULL-text doc present in both snapshots must
+    report changed/unchanged by content (null-safe), never
+    added/removed; NULL -> 'x' is changed, NULL -> NULL unchanged."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, None), (4, "gone"), (6, "x")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "now real"), (2, "same"), (3, None), (5, "fresh"), (6, None)],
+        "doc_id long, text string",
+    )
+    out = (
+        snapshot_diff(old, new).toPandas().set_index("doc_id")["status"]
+    )
+    assert out[1] == "changed"    # NULL -> real text
+    assert out[2] == "unchanged"
+    assert out[3] == "unchanged"  # NULL -> NULL
+    assert out[4] == "removed"
+    assert out[5] == "added"
+    assert out[6] == "changed"    # real -> NULL

@@ -4848,9 +4848,12 @@ _EXTENSION_ORACLES["snapshot_diff"] = f"""
         FROM documents WHERE doc_id % 4 <> 0
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           -- IS DISTINCT FROM mirrors the operator's eqNullSafe: a
+           -- NULL-text doc present in both snapshots is changed/
+           -- unchanged by content, never added/removed (r10 fix)
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                WHEN o.old_hash IS DISTINCT FROM n.new_hash THEN 'changed'
                 ELSE 'unchanged' END AS status,
            o.old_hash, n.new_hash
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
@@ -10155,8 +10158,10 @@ QUERIES = {
 # mid-stream NULL states), plus the 19 artifact-consumer queries staled
 # by the traced-closure fit-salt rewrite (which also re-drives the
 # similarity/IVF family the r9 verdict flagged for a drift confirm).
-# Fill: the 23 oldest r4-era names; the 7 displaced r4-era names lead
-# the r11 queue.
+# (snapshot_diff joined the required set late in the round: the same
+# sweep found its presence test conflated NULL-text hashes with
+# absence.) Fill: the 22 oldest r4-era names; the 8 displaced r4-era
+# names lead the r11 queue.
 _R10_FRONT: list[str] = [
     "fuzzy_pair_stats",
     "fuzzy_pair_stats_bucketed",
@@ -10185,6 +10190,7 @@ _R10_FRONT: list[str] = [
     "dedup_simhash_complete",
     "incremental_near_gate",
     "scd2_history",
+    "snapshot_diff",
     "clean_transactions",
     "weekly_by_la",
     "rolling_windows",
@@ -10207,10 +10213,10 @@ _R10_FRONT: list[str] = [
     "fuzzy_matches",
     "interarrival_stats",
     "benford_prices",
-    "basket_lift",
 ]
 # r4-era names displaced past the window edge: they lead the r11 window.
 _R10_QUEUE: list[str] = [
+    "basket_lift",
     "streaming_distinct_check",
     "embedding_covariance",
     "asof_forward",

@@ -616,21 +616,37 @@ def snapshot_diff(
     document bodies; with both snapshots stored bucketed by id the
     exchange disappears entirely. Output: ``doc_id, status, old_hash,
     new_hash``.
+
+    Presence is tracked by explicit markers, NOT hash nullity, and the
+    content comparison is null-safe: a doc whose text is NULL (failed
+    fetch) hashes to a NULL ``md5``, so the pre-r10 hash-nullity test
+    misreported a present-in-both doc as ``added``/``removed`` the
+    moment one side's text was NULL, and ``NULL -> real`` content
+    transitions fell through a null-unsafe ``!=`` to ``unchanged``
+    (r10 empty/NULL sweep finding). Now: presence decides added/
+    removed; ``eqNullSafe`` decides changed/unchanged, so
+    ``NULL -> 'x'`` is ``changed`` and ``NULL -> NULL`` is
+    ``unchanged``.
     """
     from uk_housing_dashboard_etl_spark.operators.dedup import _norm_text
 
     o = old.select(
         F.col(id_col).alias("doc_id"),
         F.md5(_norm_text(F.col(text_col))).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         F.col(id_col).alias("doc_id"),
         F.md5(_norm_text(F.col(text_col))).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
     )
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, "doc_id", "full").select(
