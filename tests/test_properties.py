@@ -1054,3 +1054,65 @@ def test_snapshot_diff_null_text_is_content_not_absence(spark):
     assert out[4] == "removed"
     assert out[5] == "added"
     assert out[6] == "changed"    # real -> NULL
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN r11 item (r10 sweep finding, deferred because "
+    "cdc_replay is r5-era and rotates into the r11 window naturally): "
+    "apply_cdc drops a KEY entirely when its latest change has a NULL "
+    "op (NULL != 'D' is NULL, filtered) — a corrupt trailing record "
+    "silently deletes the entity instead of being ignored. Fix: filter "
+    "op IS NOT NULL before the rank window so replay uses the latest "
+    "VALID change; oracle unchanged (cdc_replay synthesizes ops via "
+    "CASE, never NULL). When fixed this XPASSES — invert it.",
+)
+def test_apply_cdc_ignores_corrupt_trailing_record(spark):
+    from uk_housing_dashboard_etl_spark.operators.incremental import (
+        apply_cdc,
+    )
+
+    ch = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, None, "b")],
+        "key long, lsn long, op string, val string",
+    )
+    out = apply_cdc(ch, ["key"], ["lsn"], "op").collect()
+    assert len(out) == 1 and out[0]["val"] == "a", (
+        "latest VALID change must survive a corrupt trailing record"
+    )
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="KNOWN r11 item (r10 sweep finding, deferred because "
+    "asof_join/asof_forward are r5-era/r11-queued and rotate into the "
+    "r11 window naturally): a RIGHT row with NULL ts participates in "
+    "the carry (NULL sorts first under the asc window order) and "
+    "matches a LEFT row with NULL ts — 'as of unknown time' is not a "
+    "match; pandas merge_asof rejects null keys outright. Fix: exclude "
+    "NULL-ts right rows from match candidacy and emit NULL-ts left "
+    "rows with null match values; move the oracles in the same commit. "
+    "When fixed this XPASSES — invert it.",
+)
+def test_asof_join_null_ts_never_matches(spark):
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.temporal_joins import (
+        asof_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), "L1"), (1, None, "L2")],
+        "key long, ts timestamp, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, t0 + dt.timedelta(minutes=1), 1.0)],
+        "key long, ts timestamp, px double",
+    )
+    out = {
+        r.lbl: r.asof_px
+        for r in asof_join(left, right, "key", right_value_cols=["px"]).collect()
+    }
+    assert out["L1"] == 1.0
+    assert out["L2"] is None, "a NULL-ts left row must carry no match"
