@@ -1056,18 +1056,12 @@ def test_snapshot_diff_null_text_is_content_not_absence(spark):
     assert out[6] == "changed"    # real -> NULL
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN r11 item (r10 sweep finding, deferred because "
-    "cdc_replay is r5-era and rotates into the r11 window naturally): "
-    "apply_cdc drops a KEY entirely when its latest change has a NULL "
-    "op (NULL != 'D' is NULL, filtered) — a corrupt trailing record "
-    "silently deletes the entity instead of being ignored. Fix: filter "
-    "op IS NOT NULL before the rank window so replay uses the latest "
-    "VALID change; oracle unchanged (cdc_replay synthesizes ops via "
-    "CASE, never NULL). When fixed this XPASSES — invert it.",
-)
 def test_apply_cdc_ignores_corrupt_trailing_record(spark):
+    """r10 sweep fix (same round, tripwire inverted): a corrupt
+    (NULL-op) record arriving LAST must not delete the entity — replay
+    filters op IS NOT NULL before the rank window so the latest VALID
+    change wins. cdc_replay's oracle is unchanged (it synthesizes ops
+    via CASE, never NULL)."""
     from uk_housing_dashboard_etl_spark.operators.incremental import (
         apply_cdc,
     )
@@ -1082,19 +1076,12 @@ def test_apply_cdc_ignores_corrupt_trailing_record(spark):
     )
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="KNOWN r11 item (r10 sweep finding, deferred because "
-    "asof_join/asof_forward are r5-era/r11-queued and rotate into the "
-    "r11 window naturally): a RIGHT row with NULL ts participates in "
-    "the carry (NULL sorts first under the asc window order) and "
-    "matches a LEFT row with NULL ts — 'as of unknown time' is not a "
-    "match; pandas merge_asof rejects null keys outright. Fix: exclude "
-    "NULL-ts right rows from match candidacy and emit NULL-ts left "
-    "rows with null match values; move the oracles in the same commit. "
-    "When fixed this XPASSES — invert it.",
-)
 def test_asof_join_null_ts_never_matches(spark):
+    """r10 sweep fix (same round, tripwire inverted): 'as of unknown
+    time' is not a match — NULL-ts right rows are excluded from
+    candidacy and NULL-ts left rows emit null match values, in BOTH
+    directions. DuckDB's native ASOF JOIN (the oracle) is already
+    null-rejecting, so Spark and oracle now agree on NULL input too."""
     import datetime as dt
 
     from uk_housing_dashboard_etl_spark.operators.temporal_joins import (

@@ -10149,25 +10149,29 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-10 driver window (tools/rotation.py --plan after the round's
-# code landed). Required set (27): the tripwired null-edge fixes
-# (sample_frames null payload, winsorized_stats NULL clipping) plus
-# three more of the same class the r10 empty/NULL sweep found and fixed
+# code landed). Required set (31): the two r9 tripwired null-edge fixes
+# (sample_frames null payload, winsorized_stats NULL clipping), the six
+# more of the same class the r10 empty/NULL sweep found and fixed
 # (redact_pii NULL-text PII counts; fuzzy_pair_histogram's compressed
 # path counting the NULL-name group as distance-0 pairs — stales the
 # linkage family; scd2_history's non-null-safe change test swallowing
-# mid-stream NULL states), plus the 19 artifact-consumer queries staled
-# by the traced-closure fit-salt rewrite (which also re-drives the
-# similarity/IVF family the r9 verdict flagged for a drift confirm).
-# (snapshot_diff joined the required set late in the round: the same
-# sweep found its presence test conflated NULL-text hashes with
-# absence.) Fill: the 22 oldest r4-era names; the 8 displaced r4-era
-# names lead the r11 queue.
+# mid-stream NULL states; snapshot_diff conflating NULL-text hashes
+# with absence; apply_cdc letting a corrupt trailing record delete the
+# entity; asof_join matching NULL timestamps), plus the 19
+# artifact-consumer queries staled by the traced-closure fit-salt
+# rewrite (which also re-drives the similarity/IVF family the r9
+# verdict flagged for a drift confirm). Fill: the 19 oldest r4-era
+# names. The 11 displaced r4-era names lead the r11 queue, followed by
+# the r5 era.
 _R10_FRONT: list[str] = [
     "fuzzy_pair_stats",
     "fuzzy_pair_stats_bucketed",
     "rare_token_linkage",
+    "asof_forward",
+    "cdc_replay",
     "winsorized_prices",
     "redact_pii",
+    "asof_join",
     "multimodal_frames",
     "similarity_ivfpq",
     "similarity_ivfpq_recall",
@@ -10210,16 +10214,15 @@ _R10_FRONT: list[str] = [
     "streaming_anomaly",
     "rrf_fusion",
     "trimmed_stats",
-    "fuzzy_matches",
-    "interarrival_stats",
-    "benford_prices",
 ]
 # r4-era names displaced past the window edge: they lead the r11 window.
 _R10_QUEUE: list[str] = [
+    "fuzzy_matches",
+    "interarrival_stats",
+    "benford_prices",
     "basket_lift",
     "streaming_distinct_check",
     "embedding_covariance",
-    "asof_forward",
     "hard_negatives",
     "top_paths",
     "multimodal_phash",

@@ -184,8 +184,14 @@ def apply_cdc(
     """
     order = [F.col(c).desc() for c in seq_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # corrupt (NULL-op) records are IGNORED before the rank, not let
+    # through to the filter: a NULL op that happened to arrive last
+    # would otherwise win rn=1 and then fail `op != delete_op`
+    # null-wise — silently deleting the entity when replay should use
+    # its latest VALID change (r10 empty/NULL sweep finding)
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
+        changes.where(F.col(op_col).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (F.col(op_col) != F.lit(delete_op)))
         .drop("__rn")
     )

@@ -58,6 +58,14 @@ def asof_join(
         raise ValueError(
             f"direction must be 'backward' or 'forward', got {direction!r}"
         )
+    # "as of unknown time" is not a match (r10 empty/NULL sweep):
+    # a NULL-ts RIGHT row sorts first under the asc window order and
+    # would carry into NULL-ts left rows (and, forward, a NULL-ts left
+    # row would match the earliest real right row) — pandas merge_asof
+    # rejects null keys outright. Right rows with NULL ts are excluded
+    # from candidacy; left rows with NULL ts pass through with null
+    # match values (masked below).
+    right = right.where(F.col(ts).isNotNull())
     rvals = right_value_cols or [
         c for c in right.columns if c not in (key, ts)
     ]
@@ -110,9 +118,10 @@ def asof_join(
         "*",
         *[picks[c].alias(f"__asof_{c}") for c in rvals_int],
     )
-    keep = F.lit(True)
+    # a NULL-ts left row carries no match (see the candidacy note above)
+    keep = F.col(ts).isNotNull()
     if tolerance_seconds is not None:
-        keep = (
+        keep = keep & (
             F.abs(F.col("__asof___match_ts") - F.unix_micros(F.col(ts)))
             <= F.lit(tolerance_seconds * 1_000_000)
         )
