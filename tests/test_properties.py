@@ -1103,3 +1103,29 @@ def test_asof_join_null_ts_never_matches(spark):
     }
     assert out["L1"] == 1.0
     assert out["L2"] is None, "a NULL-ts left row must carry no match"
+
+
+def test_media_kernels_null_payload_yields_null_rows(spark):
+    """r10 sweep fix: all three Arrow media kernels crashed the whole
+    batch on a NULL payload (bytes(None)); a failed fetch is a DATA
+    condition, not a decode error — it yields a null media row under
+    both on_error modes, and real rows in the same batch survive."""
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        audio_features,
+        decode_images,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, None, "png", None), (2, bytearray(b"0123456789abcdef"), "png", 16)],
+        "doc_id long, payload binary, format string, n_bytes long",
+    )
+    dec = {r.doc_id: r for r in decode_images(media, fake=True).collect()}
+    assert dec[1].width is None and dec[1].pixels is None
+    assert dec[2].width is not None
+    feat = {r.doc_id: r for r in extract_features(media, fake=True).collect()}
+    assert feat[1].feature is None and feat[1].feat_norm is None
+    assert feat[2].feature is not None
+    aud = {r.doc_id: r for r in audio_features(media, fake=True).collect()}
+    assert aud[1].n_samples is None and aud[1].rms is None
+    assert aud[2].n_samples == 16

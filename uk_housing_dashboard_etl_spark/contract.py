@@ -10149,7 +10149,7 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-10 driver window (tools/rotation.py --plan after the round's
-# code landed). Required set (31): the two r9 tripwired null-edge fixes
+# code landed). Required set (38): the two r9 tripwired null-edge fixes
 # (sample_frames null payload, winsorized_stats NULL clipping), the six
 # more of the same class the r10 empty/NULL sweep found and fixed
 # (redact_pii NULL-text PII counts; fuzzy_pair_histogram's compressed
@@ -10157,22 +10157,31 @@ QUERIES = {
 # linkage family; scd2_history's non-null-safe change test swallowing
 # mid-stream NULL states; snapshot_diff conflating NULL-text hashes
 # with absence; apply_cdc letting a corrupt trailing record delete the
-# entity; asof_join matching NULL timestamps), plus the 19
-# artifact-consumer queries staled by the traced-closure fit-salt
-# rewrite (which also re-drives the similarity/IVF family the r9
-# verdict flagged for a drift confirm). Fill: the 19 oldest r4-era
-# names. The 11 displaced r4-era names lead the r11 queue, followed by
-# the r5 era.
+# entity; asof_join matching NULL timestamps), the three LIVE CRASHES
+# the sweep found in the Arrow media kernels (bytes(None) in
+# decode_images / extract_features / audio_features killed the whole
+# batch on a NULL payload — now a null media row, staling the
+# multimodal family), plus the 19 artifact-consumer queries staled by
+# the traced-closure fit-salt rewrite (which also re-drives the
+# similarity/IVF family the r9 verdict flagged for a drift confirm).
+# Fill: the 12 oldest r4-era names. The displaced r4-era names lead the
+# r11 queue, followed by the r5 era.
 _R10_FRONT: list[str] = [
     "fuzzy_pair_stats",
     "fuzzy_pair_stats_bucketed",
     "rare_token_linkage",
     "asof_forward",
+    "multimodal_phash",
+    "multimodal_phash_pairs",
     "cdc_replay",
     "winsorized_prices",
     "redact_pii",
     "asof_join",
     "multimodal_frames",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_decode_check",
+    "multimodal_features_check",
     "similarity_ivfpq",
     "similarity_ivfpq_recall",
     "similarity_pq",
@@ -10182,6 +10191,7 @@ _R10_FRONT: list[str] = [
     "embedding_near_dup_lsh_recall",
     "semantic_dedup_check",
     "fuzzy_snm_recall",
+    "multimodal_audio",
     "cluster_split",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -10207,6 +10217,9 @@ _R10_FRONT: list[str] = [
     "psi_drift",
     "attribution_credit",
     "embedding_health",
+]
+# r4-era names displaced past the window edge: they lead the r11 window.
+_R10_QUEUE: list[str] = [
     "table_profile",
     "twap",
     "join_cardinality",
@@ -10214,9 +10227,6 @@ _R10_FRONT: list[str] = [
     "streaming_anomaly",
     "rrf_fusion",
     "trimmed_stats",
-]
-# r4-era names displaced past the window edge: they lead the r11 window.
-_R10_QUEUE: list[str] = [
     "fuzzy_matches",
     "interarrival_stats",
     "benford_prices",
@@ -10225,8 +10235,6 @@ _R10_QUEUE: list[str] = [
     "embedding_covariance",
     "hard_negatives",
     "top_paths",
-    "multimodal_phash",
-    "multimodal_phash_pairs",
 ]
 QUERIES = {
     name: QUERIES[name]

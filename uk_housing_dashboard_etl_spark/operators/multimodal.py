@@ -109,6 +109,15 @@ def decode_images(
             heights: list = []
             pixels: list = []
             for p in pdf["payload"]:
+                # a NULL payload (failed fetch) is a DATA condition, not
+                # a decode error: it yields a null media row under BOTH
+                # on_error modes (r10 sweep — bytes(None) crashed the
+                # whole Arrow batch before this guard)
+                if p is None:
+                    widths.append(None)
+                    heights.append(None)
+                    pixels.append(None)
+                    continue
                 raw = bytes(p)
                 if fake:
                     widths.append(thumb)
@@ -253,11 +262,18 @@ def extract_features(
         from uk_housing_dashboard_etl_spark.functions import png_codec
 
         for pdf in it:
+            # NULL payload -> null feature row (same rule as
+            # decode_images; bytes(None) crashed the batch pre-r10)
             if fake:
-                feats = [_fake_feature(bytes(p), dim) for p in pdf["payload"]]
+                feats = [
+                    None if p is None else _fake_feature(bytes(p), dim)
+                    for p in pdf["payload"]
+                ]
             else:
                 feats = [
-                    _intensity_histogram(bytes(p), dim, png_codec)
+                    None
+                    if p is None
+                    else _intensity_histogram(bytes(p), dim, png_codec)
                     for p in pdf["payload"]
                 ]
             out = pd.DataFrame(
@@ -265,12 +281,17 @@ def extract_features(
                     "doc_id": pdf["doc_id"],
                     "format": pdf["format"],
                     "feature": feats,
-                    "feat_norm": [
-                        float(sum(x * x for x in f) ** 0.5) for f in feats
-                    ],
                 }
             )
-            out["feat_norm"] = out["feat_norm"].astype("float32")
+            out["feat_norm"] = pd.array(
+                [
+                    None
+                    if f is None
+                    else float(sum(x * x for x in f) ** 0.5)
+                    for f in feats
+                ],
+                dtype=pd.Float32Dtype(),
+            )
             yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
@@ -346,6 +367,13 @@ def audio_features(
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                # NULL payload -> null feature row (same rule as
+                # decode_images; bytes(None) crashed the batch pre-r10)
+                if p is None:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None)
+                    )
+                    continue
                 raw = bytes(p)
                 if fake:
                     # deterministic stand-in: pretend bytes are 8kHz mono
