@@ -1129,3 +1129,45 @@ def test_media_kernels_null_payload_yields_null_rows(spark):
     aud = {r.doc_id: r for r in audio_features(media, fake=True).collect()}
     assert aud[1].n_samples is None and aud[1].rms is None
     assert aud[2].n_samples == 16
+
+
+def test_kll_summary_all_null_group_reports_null_estimates(spark):
+    """r10 sweep fix: a group whose values are ALL NULL emits a
+    non-null but EMPTY KLL sketch buffer, and an unguarded
+    kll_sketch_get_quantile_double crashes the job
+    (KLL_INVALID_INPUT_SKETCH_BUFFER). The probe is now guarded on the
+    group's non-null value count: such a group reports NULL estimates
+    next to its NULL exact percentiles, and real groups are
+    unaffected."""
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        quantile_sketch_summary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0, "a", None), (2, t0, "a", None),
+         (3, t0, "b", 1.5), (4, t0, "b", 2.5)],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r.event_type: r for r in quantile_sketch_summary(ev).collect()}
+    assert out["a"].approx_median is None and out["a"].exact_median is None
+    assert out["b"].approx_median is not None
+    assert out["b"].exact_median == 2.0
+
+
+def test_cms_rejects_non_integral_keys_at_plan_time(spark):
+    """r10 sweep fix: the CMS multiplicative hash is defined over
+    integral keys (what keeps it bit-identical in the DuckDB oracle);
+    a string key used to die executor-side with an opaque
+    CAST_INVALID_INPUT — now a plan-time ValueError with guidance."""
+    import pytest as _pytest
+
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        cms_frequency_estimates,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    with _pytest.raises(ValueError, match="integral key"):
+        cms_frequency_estimates(df, "k", df)

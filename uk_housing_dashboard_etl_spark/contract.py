@@ -10149,7 +10149,7 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-10 driver window (tools/rotation.py --plan after the round's
-# code landed). Required set (38): the two r9 tripwired null-edge fixes
+# code landed). Required set (40): the two r9 tripwired null-edge fixes
 # (sample_frames null payload, winsorized_stats NULL clipping), the six
 # more of the same class the r10 empty/NULL sweep found and fixed
 # (redact_pii NULL-text PII counts; fuzzy_pair_histogram's compressed
@@ -10157,14 +10157,14 @@ QUERIES = {
 # linkage family; scd2_history's non-null-safe change test swallowing
 # mid-stream NULL states; snapshot_diff conflating NULL-text hashes
 # with absence; apply_cdc letting a corrupt trailing record delete the
-# entity; asof_join matching NULL timestamps), the three LIVE CRASHES
-# the sweep found in the Arrow media kernels (bytes(None) in
-# decode_images / extract_features / audio_features killed the whole
-# batch on a NULL payload — now a null media row, staling the
-# multimodal family), plus the 19 artifact-consumer queries staled by
-# the traced-closure fit-salt rewrite (which also re-drives the
+# entity; asof_join matching NULL timestamps), the four LIVE CRASHES
+# the sweep found (bytes(None) in the three Arrow media kernels —
+# stales the multimodal family — and KLL_INVALID_INPUT_SKETCH_BUFFER on
+# an all-NULL-value group in quantile_sketch_summary) plus the CMS
+# integral-key fail-fast, plus the 19 artifact-consumer queries staled
+# by the traced-closure fit-salt rewrite (which also re-drives the
 # similarity/IVF family the r9 verdict flagged for a drift confirm).
-# Fill: the 12 oldest r4-era names. The displaced r4-era names lead the
+# Fill: the 10 oldest r4-era names. The displaced r4-era names lead the
 # r11 queue, followed by the r5 era.
 _R10_FRONT: list[str] = [
     "fuzzy_pair_stats",
@@ -10192,6 +10192,7 @@ _R10_FRONT: list[str] = [
     "semantic_dedup_check",
     "fuzzy_snm_recall",
     "multimodal_audio",
+    "sketch_cms_check",
     "cluster_split",
     "dedup_ngram_jaccard",
     "dedup_clusters",
@@ -10205,6 +10206,7 @@ _R10_FRONT: list[str] = [
     "incremental_near_gate",
     "scd2_history",
     "snapshot_diff",
+    "sketch_quantiles",
     "clean_transactions",
     "weekly_by_la",
     "rolling_windows",
@@ -10215,11 +10217,11 @@ _R10_FRONT: list[str] = [
     "value_trend",
     "semantic_decontaminate",
     "psi_drift",
-    "attribution_credit",
-    "embedding_health",
 ]
 # r4-era names displaced past the window edge: they lead the r11 window.
 _R10_QUEUE: list[str] = [
+    "attribution_credit",
+    "embedding_health",
     "table_profile",
     "twap",
     "join_cardinality",

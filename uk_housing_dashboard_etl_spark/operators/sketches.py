@@ -132,13 +132,19 @@ def quantile_sketch_summary(
     """
     lo_m, hi_m = 0.5 - RANK_EPS, 0.5 + RANK_EPS
     lo_p, hi_p = 0.9 - RANK_EPS, min(1.0, 0.9 + RANK_EPS)
+    # the sketch aggregates ONCE per group and the quantile probes are
+    # guarded on the group's NON-NULL VALUE COUNT: a group whose values
+    # are all NULL still emits a (non-null but EMPTY) sketch buffer,
+    # and kll_sketch_get_quantile_double crashes on it with
+    # KLL_INVALID_INPUT_SKETCH_BUFFER (r10 sweep — same live ANSI-crash
+    # class as r9's 0/0 fixes; an IS NULL guard does NOT catch it).
+    # Such a group reports NULL estimates next to its NULL exact
+    # percentiles.
     return (
         events.groupBy(group_col)
         .agg(
-            F.expr(
-                f"kll_sketch_get_quantile_double("
-                f"kll_sketch_agg_double({value_col}, {k}), 0.5)"
-            ).alias("approx_median"),
+            F.expr(f"kll_sketch_agg_double({value_col}, {k})").alias("__ks"),
+            F.count(F.col(value_col)).alias("__nv"),
             F.percentile(value_col, 0.5).alias("exact_median"),
             F.expr(
                 f"percentile_disc({lo_m}) WITHIN GROUP (ORDER BY {value_col})"
@@ -146,10 +152,6 @@ def quantile_sketch_summary(
             F.expr(
                 f"percentile_disc({hi_m}) WITHIN GROUP (ORDER BY {value_col})"
             ).alias("median_band_hi"),
-            F.expr(
-                f"kll_sketch_get_quantile_double("
-                f"kll_sketch_agg_double({value_col}, {k}), 0.9)"
-            ).alias("approx_p90"),
             F.percentile(value_col, 0.9).alias("exact_p90"),
             F.expr(
                 f"percentile_disc({lo_p}) WITHIN GROUP (ORDER BY {value_col})"
@@ -158,6 +160,21 @@ def quantile_sketch_summary(
                 f"percentile_disc({hi_p}) WITHIN GROUP (ORDER BY {value_col})"
             ).alias("p90_band_hi"),
         )
+        .withColumn(
+            "approx_median",
+            F.expr(
+                "CASE WHEN __nv = 0 THEN NULL"
+                " ELSE kll_sketch_get_quantile_double(__ks, 0.5) END"
+            ),
+        )
+        .withColumn(
+            "approx_p90",
+            F.expr(
+                "CASE WHEN __nv = 0 THEN NULL"
+                " ELSE kll_sketch_get_quantile_double(__ks, 0.9) END"
+            ),
+        )
+        .drop("__ks", "__nv")
         .withColumn(
             "median_rel_error",
             F.abs(F.col("approx_median") - F.col("exact_median"))
@@ -196,6 +213,18 @@ def cms_frequency_estimates(
     100 TB you'd skip them and keep only the sketch path; the contract
     query pays for them because they ARE the gate.
     """
+    # the multiplicative hash is defined over INTEGRAL keys (that is
+    # what keeps it bit-identical in the DuckDB oracle); a string key
+    # would die executor-side with an opaque CAST_INVALID_INPUT at the
+    # first non-numeric value — fail fast at plan time instead
+    key_type = df.schema[key_col].dataType.simpleString()
+    if key_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"cms_frequency_estimates requires an integral key column; "
+            f"{key_col!r} is {key_type}. Hash non-numeric keys to a "
+            "bigint first (e.g. xxhash64) — the sketch is over key "
+            "identity, so any injective pre-hash preserves its counts."
+        )
     buckets = F.expr(
         f"transform(sequence(0, {depth - 1}), i -> struct(i AS row,"
         f" CAST(({key_col} * 2654435761 + i * 40503) % 1000003"
