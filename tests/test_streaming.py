@@ -631,3 +631,44 @@ def test_cdc_stream_state_across_batches(spark, tmp_path):
     assert set(final) == {2, 3}
     assert final[2]["value"] == 2.0
     assert final[3]["event_type"] == "purchase"  # delete then re-insert
+
+
+def test_stateful_anomaly_null_value_does_not_poison_state(spark, tmp_path):
+    """r10 sweep fix: a NULL value event scored as unknown (NULL z,
+    NULL flag) and skipped by the Welford fold — previously
+    astype(float) turned it into NaN and permanently poisoned the
+    key's mean/m2, NaN-ing every subsequent score."""
+    import datetime as dt
+
+    from uk_housing_dashboard_etl_spark.streaming.stateful import (
+        streaming_anomaly_scores,
+    )
+
+    d = str(tmp_path / "landing")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 1.0), (2, t0 + dt.timedelta(minutes=1), "a", 2.0),
+        (3, t0 + dt.timedelta(minutes=2), "a", None),   # the poison pill
+        (4, t0 + dt.timedelta(minutes=3), "a", 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(d)
+    q = (
+        streaming_anomaly_scores(stream)
+        .writeStream.format("memory")
+        .queryName("nullstate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from nullstate").toPandas().sort_values("ts")
+    assert out.zscore.isna().tolist() == [False, False, True, False]
+    # the value AFTER the null still scores against clean stats
+    # (n=2, mean=1.5, sd=sqrt(0.5)): z finite, state not NaN
+    last = out.iloc[-1]
+    assert last.n_seen == 3 and abs(last.zscore) < 10

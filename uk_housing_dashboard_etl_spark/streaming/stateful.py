@@ -64,7 +64,17 @@ def _score_group(
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
         out_z, out_flag, out_n = [], [], []
-        for v in pdf["value"].astype(float):
+        for v in pdf["value"]:
+            # a NULL/NaN value must NOT fold into the accumulators —
+            # one such event would set mean/m2 to NaN and poison the
+            # key's state for every future batch (r10 sweep). It scores
+            # as unknown (NULL z, NULL flag) and n_seen stays put.
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out_z.append(None)
+                out_flag.append(None)
+                out_n.append(n)
+                continue
+            v = float(v)
             if n >= 2:
                 var = m2 / (n - 1)  # ddof=1, matching the batch operator
                 std = math.sqrt(var)
