@@ -10160,7 +10160,8 @@ QUERIES = {
 # entity; asof_join matching NULL timestamps), the four LIVE CRASHES
 # the sweep found (bytes(None) in the three Arrow media kernels —
 # stales the multimodal family — and KLL_INVALID_INPUT_SKETCH_BUFFER on
-# an all-NULL-value group in quantile_sketch_summary) plus the CMS
+# an all-NULL-value group in quantile_sketch_summary; NaN state
+# poisoning in the stateful streaming scorer) plus the CMS
 # integral-key fail-fast, plus the 19 artifact-consumer queries staled
 # by the traced-closure fit-salt rewrite (which also re-drives the
 # similarity/IVF family the r9 verdict flagged for a drift confirm).
@@ -10173,6 +10174,7 @@ _R10_FRONT: list[str] = [
     "asof_forward",
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "streaming_anomaly",
     "cdc_replay",
     "winsorized_prices",
     "redact_pii",
@@ -10216,17 +10218,16 @@ _R10_FRONT: list[str] = [
     "funnel_timing",
     "value_trend",
     "semantic_decontaminate",
-    "psi_drift",
 ]
 # r4-era names displaced past the window edge: they lead the r11 window.
 _R10_QUEUE: list[str] = [
+    "psi_drift",
     "attribution_credit",
     "embedding_health",
     "table_profile",
     "twap",
     "join_cardinality",
     "streaming_rate_cap",
-    "streaming_anomaly",
     "rrf_fusion",
     "trimmed_stats",
     "fuzzy_matches",
