@@ -143,3 +143,31 @@ def test_tar_shard_write_read_roundtrip(spark, tmp_path):
             for f in sorted(os.listdir(d))
         }
     assert digest(out) == digest(out2)
+
+
+def test_tar_shards_survive_contaminated_samples(spark, tmp_path):
+    """r10 sweep fix: a NULL parts map / NULL key / NULL member used to
+    kill the whole export task (sorted(None), bytes(None)). The writer
+    now filters unexportable rows (documented) and skips NULL members;
+    exportable samples in the same partition survive."""
+    from uk_housing_dashboard_etl_spark.sources.corpus import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    samples = spark.createDataFrame(
+        [
+            ("a", {"txt": bytearray(b"x")}),
+            ("b", None),                           # NULL parts: filtered
+            (None, {"txt": bytearray(b"y")}),      # NULL key: filtered
+            ("d", {"txt": None, "bin": bytearray(b"z")}),  # NULL member
+        ],
+        "sample_key string, parts map<string,binary>",
+    )
+    out = write_tar_shards(samples, str(tmp_path / "tars"), n_shards=2)
+    assert sum(r.n_samples for r in out.collect()) == 2
+    members = sorted(
+        r[1] for r in read_tar_shards(spark, str(tmp_path / "tars"))
+        .select("shard", "member_name").collect()
+    )
+    assert members == ["a.txt", "d.bin"]

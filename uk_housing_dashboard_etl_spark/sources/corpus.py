@@ -175,7 +175,18 @@ def write_tar_shards(
     (DFS/object-store mount; local path only in local mode). Size
     ``n_shards`` so a shard lands at ~0.5-2 GB — the parallelism unit
     for whoever reads the shards next.
+
+    Unexportable rows are FILTERED, not fatal (r10 sweep — a single
+    NULL parts map used to kill the whole export task): a NULL key has
+    no member name and a NULL parts map has no content, so neither can
+    become a tar entry; NULL-valued members inside a map are skipped
+    the same way. Callers needing loss accounting count them upstream
+    (``where(key IS NULL OR parts IS NULL)``) — the write path must
+    survive a contaminated corpus, failed fetches included.
     """
+    samples = samples.where(
+        F.col(key_col).isNotNull() & F.col(parts_col).isNotNull()
+    )
     sh = samples.withColumn(
         "__shard", (F.abs(F.xxhash64(F.col(key_col))) % n_shards).cast("int")
     )
@@ -201,6 +212,8 @@ def write_tar_shards(
                     path = os.path.join(out_dir, f"shard-{sid:05d}.tar")
                     ent = tars[sid] = [tarfile.open(path, "w"), path, 0]
                 for ext in sorted(r[parts_col]):
+                    if r[parts_col][ext] is None:
+                        continue  # NULL member: no content to write
                     data = bytes(r[parts_col][ext])
                     info = tarfile.TarInfo(
                         f"{r[key_col]}.{ext}" if ext else str(r[key_col])
