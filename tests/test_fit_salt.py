@@ -28,37 +28,61 @@ from uk_housing_dashboard_etl_spark import contract  # noqa: E402
 PKG = "uk_housing_dashboard_etl_spark"
 
 
-def _call_site_kinds() -> set[str]:
-    """Every literal kind passed to _cached_fit_large in contract.py."""
+def _call_sites_by_kind() -> dict[str, set[str]]:
+    """kind -> enclosing top-level function names of every
+    _cached_fit_large call site in contract.py."""
     tree = ast.parse((REPO / PKG / "contract.py").read_text())
-    kinds: set[str] = set()
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Name)
-            and node.func.id == "_cached_fit_large"
-        ):
-            # signature: (spark, sf_dir, kind, builder)
-            kind_arg = node.args[2]
-            assert isinstance(kind_arg, ast.Constant) and isinstance(
-                kind_arg.value, str
-            ), "kind must be a string literal so the salt registry is static"
-            kinds.add(kind_arg.value)
-    return kinds
+    sites: dict[str, set[str]] = {}
+    for top in tree.body:
+        if not isinstance(top, ast.FunctionDef):
+            continue
+        for node in ast.walk(top):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Name)
+                and node.func.id == "_cached_fit_large"
+            ):
+                # signature: (spark, sf_dir, kind, builder)
+                kind_arg = node.args[2]
+                assert isinstance(kind_arg, ast.Constant) and isinstance(
+                    kind_arg.value, str
+                ), "kind must be a string literal so the salt registry is static"
+                sites.setdefault(kind_arg.value, set()).add(top.name)
+    return sites
 
 
 def test_every_call_site_kind_declares_salt_roots():
-    kinds = _call_site_kinds()
-    assert kinds, "expected _cached_fit_large call sites in contract.py"
-    undeclared = kinds - set(contract._FIT_SALT_ROOTS)
+    sites = _call_sites_by_kind()
+    assert sites, "expected _cached_fit_large call sites in contract.py"
+    undeclared = set(sites) - set(contract._FIT_SALT_ROOTS)
     assert not undeclared, (
         f"artifact kinds without salt roots: {sorted(undeclared)} — "
         "declare their root units in contract._FIT_SALT_ROOTS"
     )
-    unused = set(contract._FIT_SALT_ROOTS) - kinds
+    unused = set(contract._FIT_SALT_ROOTS) - set(sites)
     assert not unused, (
         f"salt roots declared for kinds no call site uses: {sorted(unused)}"
     )
+
+
+def test_salt_roots_are_the_enclosing_builders():
+    """The r10-advice hole, closed structurally: a kind's salt must be
+    rooted at EVERY contract function that builds it, so the builder
+    lambda's literal parameters (min_len=30, threshold=0.4, m=32 …) sit
+    inside the hash — editing one can never silently serve the stale
+    artifact. Operator units come along via the traced closure, so the
+    roots need not (and no longer do) name them."""
+    for kind, fns in _call_sites_by_kind().items():
+        rooted = {
+            unit
+            for suffix, unit in contract._FIT_SALT_ROOTS[kind]
+            if suffix == "contract"
+        }
+        missing = fns - rooted
+        assert not missing, (
+            f"kind {kind!r} is built by {sorted(fns)} but only rooted at "
+            f"{sorted(rooted)} — a builder's literals are outside the salt"
+        )
 
 
 def test_salt_roots_resolve_and_salts_are_computable():
@@ -88,17 +112,49 @@ def test_closures_cover_the_formerly_pinned_transitive_deps():
     assert f"{PKG}.functions.topk" in closure_mods("ivfpq_cells")
     assert f"{PKG}.functions.topk" in closure_mods("ivfpq_res_codes")
     assert f"{PKG}.functions.rounding" in closure_mods("jaccard02_pairs")
-    # value dependencies the builder lambda doesn't name: clusters02 is
-    # built FROM the jaccard02 artifact, pq32_codes from pq_fit's
-    # codebooks, the ivfpq kinds from kmeans_fit's centroids
-    c02_units = set()
-    for suffix, unit in contract._FIT_SALT_ROOTS["clusters02"]:
-        c02_units.add(unit)
-    assert "ngram_jaccard_pairs" in c02_units
-    assert ("operators.pq", "pq_fit") in contract._FIT_SALT_ROOTS["pq32_codes"]
-    assert ("operators.ivf", "kmeans_fit") in contract._FIT_SALT_ROOTS[
+
+    # value dependencies the builder lambda names by reference and the
+    # builder-rooted closure must therefore span: clusters02 is built
+    # FROM the jaccard02 artifact (via _jaccard02_truth), pq32_codes
+    # from pq_fit's codebooks, the ivfpq kinds from kmeans_fit's
+    # centroids — all operator units formerly hand-listed as roots.
+    from tools import rotation
+
+    def closure_units(kind: str) -> set[tuple[str, str]]:
+        units = set()
+        for suffix, unit in contract._FIT_SALT_ROOTS[kind]:
+            units |= set(rotation._closure(f"{PKG}.{suffix}", unit))
+        return units
+
+    assert (f"{PKG}.operators.dedup", "ngram_jaccard_pairs") in closure_units(
+        "clusters02"
+    )
+    assert (f"{PKG}.operators.dedup", "duplicate_clusters") in closure_units(
+        "clusters02"
+    )
+    assert (f"{PKG}.contract", "_jaccard02_truth") in closure_units(
+        "clusters02"
+    )
+    assert (f"{PKG}.operators.pq", "pq_fit") in closure_units("pq32_codes")
+    assert (f"{PKG}.operators.pq", "pq_encode") in closure_units("pq32_codes")
+    assert (f"{PKG}.operators.ivf", "kmeans_fit") in closure_units(
         "ivfpq_cells"
-    ]
+    )
+    assert (f"{PKG}.operators.ivf", "ivf_index") in closure_units("ivfpq_cells")
+    assert (f"{PKG}.operators.dedup", "simhash_signatures") in closure_units(
+        "simhash_sigs"
+    )
+    assert (f"{PKG}.operators.dedup", "exact_substr_spans") in closure_units(
+        "exsub_spans30"
+    )
+    assert (
+        f"{PKG}.operators.similarity",
+        "embedding_near_dup",
+    ) in closure_units("embexact04_pairs")
+    assert (
+        f"{PKG}.operators.pq",
+        "ivfpq_residual_build",
+    ) in closure_units("ivfpq_res_codes")
 
 
 def test_salt_is_sensitive_to_any_unit_source_change():
@@ -146,4 +202,41 @@ def test_salt_changes_when_a_transitive_dependency_changes(monkeypatch):
     assert after != before, (
         "editing a transitive dependency did not move the fit salt — "
         "the traced-closure derivation regressed to the r9 blind spot"
+    )
+
+
+def test_salt_changes_when_a_builder_literal_changes(monkeypatch):
+    """The r10-advice scenario, end-to-end: the builder helper's own
+    source (where literal parameters like exact_substr min_len=30 live)
+    is INSIDE the salt. Perturb ``_exsub_spans30``'s normalized source
+    — as editing ``min_len=30`` to ``min_len=31`` would — and the
+    exsub_spans30 salt must move. Under the r10 operator-rooted scheme
+    this perturbation left the salt unchanged and the stale cut list
+    would have been served to all four exact_substr queries."""
+    from tools import rotation
+
+    real_modules = rotation._modules(None)
+    dep = (f"{PKG}.contract", "_exsub_spans30")
+    assert dep[1] in real_modules[dep[0]].units
+
+    before = contract._fit_code_salt("exsub_spans30")
+
+    class _Perturbed:
+        def __init__(self, info, unit):
+            self.units = dict(info.units)
+            self.units[unit] = self.units[unit].replace(
+                "min_len=30", "min_len=31"
+            )
+            assert self.units[unit] != info.units[unit]
+            self.imports = info.imports
+            self.residue = info.residue
+
+    perturbed = dict(real_modules)
+    perturbed[dep[0]] = _Perturbed(real_modules[dep[0]], dep[1])
+    monkeypatch.setattr(rotation, "_modules", lambda rev=None: perturbed)
+    monkeypatch.setattr(contract, "_FIT_SALT_MEMO", {})
+    after = contract._fit_code_salt("exsub_spans30")
+    assert after != before, (
+        "editing a builder literal did not move the fit salt — the "
+        "r10-advice silent-staleness hole has reopened"
     )

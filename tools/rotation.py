@@ -67,6 +67,7 @@ ROUND_CLOSE: dict[int, str] = {
     7: "0ec7ab2",
     8: "6d01be5",
     9: "566d239",
+    10: "6859e3e",
 }
 
 # ---------------------------------------------------------------- git

@@ -7656,37 +7656,41 @@ def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
 # helpers (pq_encode → similarity's norm expr, kmeans_fit →
 # functions.topk, ngram_jaccard_pairs → functions.rounding) are covered
 # automatically: the r8/r9 module-bytes salt's blind spot, which needed
-# a byte-pinning tripwire meanwhile. Roots must also list VALUE
-# dependencies the builder lambda doesn't name: pq32_codes depends on
-# pq_fit through the codebooks frame, clusters02 on ngram_jaccard_pairs
-# through the jaccard02 artifact, the ivfpq kinds on kmeans_fit through
-# the centroids frame. read_table is appended to every kind (the scan
-# path — nanos handling — shapes artifact bytes too).
-# tests/test_registry.py asserts every call-site kind is declared and
-# that the closures still span the formerly-pinned modules.
+# a byte-pinning tripwire meanwhile.
+#
+# Roots are the CONTRACT-SIDE BUILDER HELPERS that enclose each
+# ``_cached_fit_large`` call site (every one, for kinds built from more
+# than one function), NOT the operator units they call (r10 advice):
+# the builder lambdas carry literal parameters (exact_substr min_len=30,
+# embedding_near_dup threshold=0.4, pq m=32/k=16) that shape artifact
+# bytes but sat OUTSIDE an operator-rooted closure — editing such a
+# literal would have silently served the stale artifact, green-lighting
+# recall gates against an outdated truth set. Rooting at the builder
+# puts the lambda's literals inside the hash, and the operator closure
+# (plus VALUE dependencies the lambda names: _jaccard02_truth for
+# clusters02, pq_fit's codebooks for pq32_codes, kmeans_fit's centroids
+# for the ivfpq kinds) comes along automatically because the tracer
+# resolves function-local imports and plain name references.
+# read_table is appended to every kind (the scan path — nanos handling
+# — shapes artifact bytes too). tests/test_fit_salt.py asserts every
+# call-site kind roots at its enclosing builder and that the closures
+# still span the formerly-pinned modules AND the builder literals.
 _FIT_SALT_ROOTS: dict[str, tuple[tuple[str, str], ...]] = {
-    "simhash_sigs": (("operators.dedup", "simhash_signatures"),),
-    "jaccard02_pairs": (("operators.dedup", "ngram_jaccard_pairs"),),
-    "clusters02": (
-        ("operators.dedup", "duplicate_clusters"),
-        ("operators.dedup", "ngram_jaccard_pairs"),
-    ),
-    "embexact04_pairs": (("operators.similarity", "embedding_near_dup"),),
-    "exsub_spans30": (("operators.dedup", "exact_substr_spans"),),
+    "simhash_sigs": (("contract", "_simhash_sigs"),),
+    "jaccard02_pairs": (("contract", "_jaccard02_truth"),),
+    "clusters02": (("contract", "_clusters02_labels"),),
+    "embexact04_pairs": (("contract", "_embexact04_truth"),),
+    "exsub_spans30": (("contract", "_exsub_spans30"),),
     "pq32_codes": (
-        ("operators.pq", "pq_encode"),
-        ("operators.pq", "pq_fit"),
+        ("contract", "_ivfpq"),
+        ("contract", "q_similarity_pq"),
+        ("contract", "q_similarity_pq_recall"),
     ),
     "ivfpq_cells": (
-        ("operators.ivf", "ivf_index"),
-        ("operators.ivf", "kmeans_fit"),
-        ("operators.pq", "_norm_vectors"),
+        ("contract", "_ivfpq"),
+        ("contract", "_ivfpq_res"),
     ),
-    "ivfpq_res_codes": (
-        ("operators.pq", "ivfpq_residual_build"),
-        ("operators.ivf", "kmeans_fit"),
-        ("operators.pq", "_norm_vectors"),
-    ),
+    "ivfpq_res_codes": (("contract", "_ivfpq_res"),),
 }
 
 
