@@ -649,6 +649,13 @@ def snapshot_diff(
         )
         .otherwise(F.lit("unchanged"))
     )
+    # NULL-id rows are OUT OF CONTRACT (r10 advice): the full outer
+    # join's equi-key never matches NULL to NULL, so a doc with a NULL
+    # id present in both snapshots would surface as one 'removed' plus
+    # one 'added' row instead of changed/unchanged. That mirrors SQL
+    # join semantics, and identity-less rows have no meaningful diff —
+    # callers with nullable ids must filter or synthesize ids first,
+    # the same contract as write_tar_shards' NULL-key policy.
     return o.join(n, "doc_id", "full").select(
         "doc_id", status.alias("status"), "old_hash", "new_hash"
     )

@@ -395,6 +395,12 @@ def duplicate_clusters(
     usually emits. Both paths label every node with its component's
     MINIMUM id, so results are identical by construction.
     """
+    # materialize the canonical distinct edges ONCE (localCheckpoint):
+    # the count, the collect, and the distributed fallback all read the
+    # same materialized frame — when ``pairs`` is an inline near-dup
+    # detector rather than a cached artifact, the dominant
+    # pair-generation cost would otherwise be paid two or three times
+    # (r10 advice).
     edges = (
         pairs.select(
             F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
@@ -402,6 +408,7 @@ def duplicate_clusters(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     if edges.count() <= driver_union_max_edges:
         parent: dict = {}
@@ -448,7 +455,17 @@ def duplicate_clusters(
                 "node", F.col("node").alias("cluster_id")
             )
     else:
-        labels = connected_components(ids, pairs, id_col, max_iterations)
+        # hand the fallback the MATERIALIZED edges, not the raw pair
+        # plan: connected_components' own canonicalize/distinct is a
+        # no-op on them (u > v already), so the detector never re-runs
+        labels = connected_components(
+            ids,
+            edges.select(
+                F.col("u").alias("doc_a"), F.col("v").alias("doc_b")
+            ),
+            id_col,
+            max_iterations,
+        )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         F.col("node").alias("doc_id"),
