@@ -761,25 +761,61 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value tolerance: the sketch's compaction is internally randomized,
     so on heavy-tailed groups beyond sketch capacity any fixed VALUE
     band flips run-to-run (the round-8/9 sf0.001 artifact), while the
-    rank band is what the sketch promises at every scale."""
+    rank band is what the sketch promises at every scale.
+
+    ONE-SHOT RETRY (r10 verdict item 5): the band sits at ~4.6 sigma,
+    so a single draw flakes red with P ≈ 2e-4 per round (documented at
+    ``operators/sketches.py`` RANK_EPS). On any band miss the sketch is
+    re-drawn ONCE — fresh randomized compaction — and a flag passes if
+    EITHER draw lands in band, driving the spurious-red probability to
+    ~4e-8 while a real regression (systematically out-of-band
+    estimates) still fails both draws. The flag frame is gate-grain
+    (|event_type| rows), so the driver-side collect that decides the
+    retry is bounded, and the happy path pays exactly one draw."""
     from uk_housing_dashboard_etl_spark.operators.sketches import (
         quantile_sketch_summary,
     )
 
-    out = quantile_sketch_summary(read_table(spark, sf_dir, "events"))
-    return out.select(
-        "event_type",
-        round4(F.col("exact_median")).alias("exact_median"),
-        round4(F.col("exact_p90")).alias("exact_p90"),
+    def draw():
+        out = quantile_sketch_summary(read_table(spark, sf_dir, "events"))
+        return out.select(
+            "event_type",
+            round4(F.col("exact_median")).alias("exact_median"),
+            round4(F.col("exact_p90")).alias("exact_p90"),
+            (
+                (F.col("approx_median") >= F.col("median_band_lo"))
+                & (F.col("approx_median") <= F.col("median_band_hi"))
+            ).alias("median_in_rank_band"),
+            (
+                (F.col("approx_p90") >= F.col("p90_band_lo"))
+                & (F.col("approx_p90") <= F.col("p90_band_hi"))
+            ).alias("p90_in_rank_band"),
+        )
+
+    first = draw()
+    rows = first.collect()
+    if all(r["median_in_rank_band"] and r["p90_in_rank_band"] for r in rows):
+        # re-wrap the already-collected rows so the driver's own collect
+        # doesn't recompute the sketch (and can't flip a flag it never saw)
+        return spark.createDataFrame(rows, first.schema)
+    retry = {r["event_type"]: r for r in draw().collect()}
+    merged = [
         (
-            (F.col("approx_median") >= F.col("median_band_lo"))
-            & (F.col("approx_median") <= F.col("median_band_hi"))
-        ).alias("median_in_rank_band"),
-        (
-            (F.col("approx_p90") >= F.col("p90_band_lo"))
-            & (F.col("approx_p90") <= F.col("p90_band_hi"))
-        ).alias("p90_in_rank_band"),
-    )
+            r["event_type"],
+            r["exact_median"],
+            r["exact_p90"],
+            bool(
+                r["median_in_rank_band"]
+                or retry[r["event_type"]]["median_in_rank_band"]
+            ),
+            bool(
+                r["p90_in_rank_band"]
+                or retry[r["event_type"]]["p90_in_rank_band"]
+            ),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(merged, first.schema)
 
 
 # -------------------------------------------- extension: dedup family
