@@ -1131,6 +1131,62 @@ def test_media_kernels_null_payload_yields_null_rows(spark):
     assert aud[2].n_samples == 16
 
 
+def test_audio_gate_and_operator_agree_on_contaminated_frame(spark):
+    """r10 verdict item 4: the audio oracle gate
+    (contract._audio_digest_batches) is DELIBERATELY closure-independent
+    of audio_features — it vouches for the byte→sample convention, not
+    the operator's code. This test is the coupling the closure doesn't
+    provide: both run on the same NULL-contaminated frame, NULL payloads
+    yield null rows in BOTH (the gate crashed here pre-r11, the exact
+    bytes(None) class 6c1eee0 fixed in the operators), and on real rows
+    the digest↔feature identities hold: rms == sqrt(sum_sq/n)/128 and
+    zcr == crossings/(n-1)."""
+    import math
+
+    from uk_housing_dashboard_etl_spark import contract
+    from uk_housing_dashboard_etl_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, None, "wav", None),
+            (2, bytearray(b"0123456789abcdef"), "wav", 16),
+            (3, bytearray(b""), "wav", 0),
+            (4, bytearray(bytes([0, 255, 0, 255, 128])), "wav", 5),
+        ],
+        "doc_id long, payload binary, format string, n_bytes long",
+    )
+    gate = {
+        r.doc_id: r
+        for r in media.mapInPandas(
+            contract._audio_digest_batches, contract._AUDIO_DIGEST_SCHEMA
+        ).collect()
+    }
+    ops = {r.doc_id: r for r in audio_features(media, fake=True).collect()}
+
+    # null alignment: the failed-fetch row degrades per-row on BOTH sides
+    assert gate[1].n_samples is None and gate[1].sum_sq is None
+    assert ops[1].n_samples is None and ops[1].rms is None
+
+    for doc in (2, 4):
+        n, sum_sq, crossings = (
+            gate[doc].n_samples,
+            gate[doc].sum_sq,
+            gate[doc].crossings,
+        )
+        assert n == ops[doc].n_samples
+        assert math.isclose(
+            ops[doc].rms, math.sqrt(sum_sq / n) / 128.0, rel_tol=1e-5
+        )
+        assert math.isclose(
+            ops[doc].zero_crossing_rate, crossings / (n - 1), rel_tol=1e-9
+        )
+    # empty payload: 0 samples, zero digests; operator's guard gives a
+    # single zero sample (len 1) — divergence documented by assertion
+    assert gate[3].n_samples == 0 and gate[3].sum_sq == 0
+
+
 def test_kll_summary_all_null_group_reports_null_estimates(spark):
     """r10 sweep fix: a group whose values are ALL NULL emits a
     non-null but EMPTY KLL sketch buffer, and an unguarded

@@ -2673,15 +2673,10 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media, fake=True)
 
 
-def q_multimodal_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle gate for the audio byte→sample convention: exact integer
-    digests (sum of squared centered bytes, sign-crossing count) that
-    DuckDB recomputes from hex-extracted payload bytes — no float drift
-    possible, the same Arrow batch path as the feature kernel."""
+def _audio_digest_schema():
     from pyspark.sql.types import LongType, StructField, StructType
 
-    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
-    schema = StructType(
+    return StructType(
         [
             StructField("doc_id", LongType()),
             StructField("n_samples", LongType()),
@@ -2690,29 +2685,60 @@ def q_multimodal_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def batches(it):
-        import numpy as np
-        import pandas as pd
 
-        for pdf in it:
-            rows = []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
-                d = b - 128
-                neg = d < 0
-                rows.append(
-                    (
-                        int(doc_id),
-                        len(b),
-                        int((d * d).sum()),
-                        int((neg[1:] != neg[:-1]).sum()) if len(b) > 1 else 0,
-                    )
+_AUDIO_DIGEST_SCHEMA = _audio_digest_schema()
+
+
+def _audio_digest_batches(it):
+    """Arrow kernel of the audio gate: exact integer digests of the
+    byte→sample convention (centered uint8), re-derived INDEPENDENTLY of
+    ``audio_features`` — module-level so the contaminated-frame coupling
+    test can run it on a frame of its own making."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            # NULL payload -> null digest row, same per-row degradation
+            # rule as the audio_features kernel (bytes(None) would
+            # crash the whole Arrow batch)
+            if p is None:
+                rows.append((int(doc_id), None, None, None))
+                continue
+            b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+            d = b - 128
+            neg = d < 0
+            rows.append(
+                (
+                    int(doc_id),
+                    len(b),
+                    int((d * d).sum()),
+                    int((neg[1:] != neg[:-1]).sum()) if len(b) > 1 else 0,
                 )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_samples", "sum_sq", "crossings"]
             )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "sum_sq", "crossings"]
+        )
 
-    return media.mapInPandas(batches, schema)
+
+def q_multimodal_audio_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle gate for the audio byte→sample convention: exact integer
+    digests (sum of squared centered bytes, sign-crossing count) that
+    DuckDB recomputes from hex-extracted payload bytes — no float drift
+    possible, the same Arrow batch path as the feature kernel.
+
+    DELIBERATELY closure-independent of ``audio_features``: this gate
+    re-derives the byte→sample convention from scratch, so it vouches
+    for the CONVENTION (centered uint8 samples), not for the operator's
+    code — an operator bug can't auto-green its own gate. The coupling
+    is pinned the other way by ``tests/test_properties.py::
+    test_audio_gate_and_operator_agree_on_contaminated_frame``, which
+    runs both on the same NULL-contaminated frame and checks the
+    digest↔feature identities (rms² = sum_sq/n/128², zcr = crossings/
+    (n−1)) plus null-row alignment."""
+    media = attach_binary_payload(read_table(spark, sf_dir, "documents"))
+    return media.mapInPandas(_audio_digest_batches, _AUDIO_DIGEST_SCHEMA)
 
 
 def q_multimodal_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
