@@ -5,6 +5,7 @@ mart; the stateful anomaly operator carries state across micro-batches.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pandas as pd
 import pytest
@@ -211,6 +212,98 @@ def test_stateful_anomaly_scores_across_batches(spark, tmp_path):
     flagged = out[out["is_anomaly"]]
     assert set(flagged["value"]) == {10_000.0}
     assert flagged["n_seen"].iloc[0] == 11
+
+
+def test_streaming_anomaly_drain_equals_batch_companion(spark, tmp_path):
+    """r10 verdict item 3: the stateful drain's prequential scores must
+    equal the batch prefix z-score window (q_streaming_anomaly_check)
+    row-for-row on a single-batch landing — same (ts, event_id) fold
+    order (including ts TIES, which the pre-r11 ts-only quicksort left
+    shuffle-dependent), same NULL-value skip, ddof=1 stats. Welford vs
+    two-pass floats differ in the last ulps, so z compares at 1e-6."""
+    import math
+
+    from uk_housing_dashboard_etl_spark import contract
+
+    d = str(tmp_path / "sfdir")
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # key 'a': a tie pair at t0+2m (ids 4, 3 — order must be by id),
+        # a NULL value mid-stream, then an outlier
+        (1, t0, 9, "a", 10.0, ""),
+        (2, t0 + m, 9, "a", 12.0, ""),
+        (4, t0 + 2 * m, 9, "a", 11.0, ""),
+        (3, t0 + 2 * m, 9, "a", 14.0, ""),
+        (5, t0 + 3 * m, 9, "a", None, ""),
+        (6, t0 + 4 * m, 9, "a", 500.0, ""),
+        # key 'b': short history (n<2 -> z=0 path)
+        (7, t0, 9, "b", 1.0, ""),
+        (8, t0 + m, 9, "b", 2.0, ""),
+    ]
+    # read_table sniffs the parquet footer driver-side, so events.parquet
+    # must be a single FILE (the driver-testdata shape), not a Spark dir
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    pdf = _events(spark, rows).toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pq.write_table(
+        pa.Table.from_pandas(pdf), os.path.join(d, "events.parquet")
+    )
+
+    batch = {
+        r.event_id: r
+        for r in contract.q_streaming_anomaly_check(spark, d).collect()
+    }
+
+    # the streaming parquet source needs a DIRECTORY: land the same file
+    # via symlink, exactly like q_streaming_anomaly's landing dir
+    land = str(tmp_path / "landing")
+    os.makedirs(land, exist_ok=True)
+    os.symlink(
+        os.path.join(d, "events.parquet"),
+        os.path.join(land, "events.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(land)
+    q = (
+        streaming_anomaly_scores(stream)
+        .writeStream.format("memory")
+        .queryName("anom_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = {
+        r.event_id: r for r in spark.sql("SELECT * FROM anom_eq").collect()
+    }
+
+    assert set(drained) == set(batch) == {1, 2, 3, 4, 5, 6, 7, 8}
+    for eid in batch:
+        b, s = batch[eid], drained[eid]
+        assert s.key == b.key and s.n_seen == b.n_seen, eid
+        if b.value is None:
+            assert s.zscore is None and b.zscore is None, eid
+            assert s.is_anomaly is None and b.is_anomaly is None, eid
+            continue
+        assert s.is_anomaly == b.is_anomaly, eid
+        # the batch twin's z is 4dp-quantized; the drain's is raw —
+        # agreement bound is the rounding half-step plus float slack
+        assert math.isclose(s.zscore, b.zscore, abs_tol=5.1e-5), (
+            eid,
+            s.zscore,
+            b.zscore,
+        )
+    # the outlier is flagged, and the tie pair scored in id order:
+    # id 3 folds before id 4 despite arriving later in the file, so
+    # id 4 sees id 3's value in its prior stats — not file order
+    assert drained[6].is_anomaly
+    assert drained[3].n_seen == 3 and drained[4].n_seen == 4
 
 
 def test_session_stream_append_and_checkpoint_recovery(spark, tmp_path):

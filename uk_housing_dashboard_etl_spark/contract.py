@@ -1493,10 +1493,14 @@ def q_streaming_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Welford stateful anomaly stream drained once (rows-only
-    check: per-row prequential z-scores depend on within-timestamp
-    arrival order, so values aren't oracle-comparable — the cross-batch
-    state semantics are pinned by tests/test_streaming.py instead)."""
+    """The Welford stateful anomaly stream drained once. Rows-only in
+    the driver (the fold's Welford floats differ from two-pass window
+    aggregates in the last ulps), but no longer ORDER-ambiguous: the
+    fold sorts each group by (ts, event_id), so every score is
+    deterministic and row-for-row equal — to 4dp — to the batch prefix
+    z-score window ``q_streaming_anomaly_check``, the hash-exact
+    oracle-gated twin (r10 verdict item 3). The cross-batch state
+    semantics stay pinned by tests/test_streaming.py."""
     import hashlib
     import tempfile
     import uuid
@@ -1527,7 +1531,56 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_stream_once(
             s, query_name=f"anom_{uuid.uuid4().hex[:10]}", output_mode="append"
         )
-    return out.select("key", "ts", "value", "zscore", "is_anomaly", "n_seen")
+    return out.select(
+        "key", "event_id", "ts", "value", "zscore", "is_anomaly", "n_seen"
+    )
+
+
+def q_streaming_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence oracle gate for the stateful anomaly drain
+    (r10 verdict item 3): the drain's semantics — score each value
+    against ddof=1 stats of all PRIOR values per key, in (ts, event_id)
+    order, NULL values scored as unknown and excluded from the stats —
+    ARE batch-SQL-expressible as prefix window aggregates, so this twin
+    computes them with avg/stddev_samp/count over ``ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING`` and is hash-matched against
+    the identical DuckDB window SQL. z-scores are 4dp-quantized
+    (``round4``) on both sides; flags/counts are exact. The drain
+    itself equals this frame row-for-row on a single-batch landing —
+    pinned by ``tests/test_streaming.py::
+    test_streaming_anomaly_drain_equals_batch_companion``."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    base = ev.select(
+        F.col("event_type").cast("string").alias("key"),
+        "event_id",
+        "ts",
+        "value",
+    )
+    order = Window.partitionBy("key").orderBy("ts", "event_id")
+    wp = order.rowsBetween(Window.unboundedPreceding, -1)
+    wc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_prior = F.count("value").over(wp)
+    mean_prior = F.avg("value").over(wp)
+    std_prior = F.stddev_samp("value").over(wp)
+    z_raw = (F.col("value") - mean_prior) / std_prior
+    has_stats = (n_prior >= F.lit(2)) & (std_prior > F.lit(0.0))
+    return base.select(
+        "key",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        .when(has_stats, round4(z_raw))
+        .otherwise(F.lit(0.0))
+        .alias("zscore"),
+        F.when(F.col("value").isNull(), F.lit(None).cast("boolean"))
+        .when(has_stats, F.abs(z_raw) > F.lit(3.0))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+        F.count("value").over(wc).alias("n_seen"),
+    )
 
 
 def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10311,3 +10364,40 @@ QUERIES = {
     + _R10_QUEUE
     + [q for q in QUERIES if q not in _R10_FRONT and q not in _R10_QUEUE]
 }
+
+
+# ---------------------------------------------------------------------------
+# Round 11: batch-equivalence oracle gate for the stateful anomaly
+# drain. Window SQL mirror of the drain's prequential semantics — the
+# identical frame spec on both engines, z 4dp-quantized via round4 /
+# round4_sql (the engine-portable floor rounding).
+ORACLES["streaming_anomaly_check"] = f"""
+WITH e AS (
+    SELECT CAST(event_type AS VARCHAR) AS key, event_id, ts, value
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+), s AS (
+    SELECT key, event_id, ts, value,
+           count(value) OVER wp AS n_prior,
+           avg(value) OVER wp AS mean_prior,
+           stddev_samp(value) OVER wp AS std_prior,
+           count(value) OVER wc AS n_seen
+    FROM e
+    WINDOW wp AS (PARTITION BY key ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wc AS (PARTITION BY key ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key, event_id, ts, value,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN n_prior >= 2 AND std_prior > 0
+                 THEN {round4_sql('(value - mean_prior) / std_prior')}
+            ELSE 0.0 END AS zscore,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN n_prior >= 2 AND std_prior > 0
+                 THEN abs((value - mean_prior) / std_prior) > 3.0
+            ELSE FALSE END AS is_anomaly,
+       n_seen
+FROM s
+"""
+QUERIES["streaming_anomaly_check"] = q_streaming_anomaly_check

@@ -40,6 +40,7 @@ STATE_SCHEMA = StructType(
 OUTPUT_SCHEMA = StructType(
     [
         StructField("key", StringType()),
+        StructField("event_id", LongType()),
         StructField("ts", TimestampType()),
         StructField("value", DoubleType()),
         StructField("zscore", DoubleType()),
@@ -54,60 +55,79 @@ def _score_group(
 ) -> Iterator[pd.DataFrame]:
     """Welford update + score. Each value is scored against the stats of
     all PRIOR values (so the first observation of a key is never
-    anomalous), then folded into the state."""
+    anomalous), then folded into the state.
+
+    DETERMINISTIC fold order (r10 verdict item 3): the group's chunks
+    are concatenated and sorted by ``(ts, event_id)`` — not per-chunk by
+    ``ts`` alone, which (a) left same-``ts`` rows in shuffle-dependent
+    order and (b) broke the global sort whenever Arrow split one group
+    across chunks. With a total order per batch, a single-batch drain is
+    row-for-row equal to the batch prefix z-score window
+    (``contract.q_streaming_anomaly_check``), which is what makes the
+    drain oracle-gateable."""
     import math
 
     if state.exists:
         n, mean, m2 = state.get
     else:
         n, mean, m2 = 0, 0.0, 0.0
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        out_z, out_flag, out_n = [], [], []
-        for v in pdf["value"]:
-            # a NULL/NaN value must NOT fold into the accumulators —
-            # one such event would set mean/m2 to NaN and poison the
-            # key's state for every future batch (r10 sweep). It scores
-            # as unknown (NULL z, NULL flag) and n_seen stays put.
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                out_z.append(None)
-                out_flag.append(None)
-                out_n.append(n)
-                continue
-            v = float(v)
-            if n >= 2:
-                var = m2 / (n - 1)  # ddof=1, matching the batch operator
-                std = math.sqrt(var)
-                z = (v - mean) / std if std > 0 else 0.0
-            else:
-                z = 0.0
-            out_z.append(z)
-            out_flag.append(abs(z) > 3.0)
-            n += 1
-            delta = v - mean
-            mean += delta / n
-            m2 += delta * (v - mean)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
+    out_z, out_flag, out_n = [], [], []
+    for v in pdf["value"]:
+        # a NULL/NaN value must NOT fold into the accumulators —
+        # one such event would set mean/m2 to NaN and poison the
+        # key's state for every future batch (r10 sweep). It scores
+        # as unknown (NULL z, NULL flag) and n_seen stays put.
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            out_z.append(None)
+            out_flag.append(None)
             out_n.append(n)
-        yield pd.DataFrame(
-            {
-                "key": key[0],
-                "ts": pdf["ts"],
-                "value": pdf["value"],
-                "zscore": out_z,
-                "is_anomaly": out_flag,
-                "n_seen": out_n,
-            }
-        )
+            continue
+        v = float(v)
+        if n >= 2:
+            var = m2 / (n - 1)  # ddof=1, matching the batch operator
+            std = math.sqrt(var)
+            z = (v - mean) / std if std > 0 else 0.0
+        else:
+            z = 0.0
+        out_z.append(z)
+        out_flag.append(abs(z) > 3.0)
+        n += 1
+        delta = v - mean
+        mean += delta / n
+        m2 += delta * (v - mean)
+        out_n.append(n)
+    yield pd.DataFrame(
+        {
+            "key": key[0],
+            "event_id": pdf["event_id"],
+            "ts": pdf["ts"],
+            "value": pdf["value"],
+            "zscore": out_z,
+            "is_anomaly": out_flag,
+            "n_seen": out_n,
+        }
+    )
     state.update((n, mean, m2))
 
 
-def streaming_anomaly_scores(events: DataFrame, key_col: str = "event_type") -> DataFrame:
-    """Score a stream of (key, ts, value) rows against evolving per-key
-    statistics. ``events`` must be a streaming DataFrame."""
+def streaming_anomaly_scores(
+    events: DataFrame, key_col: str = "event_type", id_col: str = "event_id"
+) -> DataFrame:
+    """Score a stream of (key, id, ts, value) rows against evolving
+    per-key statistics. ``events`` must be a streaming DataFrame;
+    ``id_col`` breaks ``ts`` ties so the fold order — and therefore
+    every score — is deterministic."""
     from pyspark.sql import functions as F
 
     keyed = events.select(
-        F.col(key_col).cast("string").alias("key"), "ts", "value"
+        F.col(key_col).cast("string").alias("key"),
+        F.col(id_col).cast("long").alias("event_id"),
+        "ts",
+        "value",
     )
     return keyed.groupBy("key").applyInPandasWithState(
         _score_group,
