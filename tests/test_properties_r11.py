@@ -1,0 +1,300 @@
+"""Round-11 property blocks (r10 verdict item 7): the randomized
+independent-fold pattern extended to the operator families the r10
+sweep did NOT touch — graph (pagerank, label_propagation vs pure-Python
+folds of the same recurrences), behavioral (cohort_matrix vs a pandas
+fold), and curation packing (pack_sequences vs a pure-Python packer).
+
+Every comparison is against a reference implemented from the operator's
+CONTRACT (docstring recurrence), not its code, on hypothesis-drawn
+inputs that include the contamination classes the engine guarantees:
+self-loops, duplicate/reversed edges, dangling nodes, NULL user/ts
+rows, NULL/empty/whitespace-only texts.
+
+Free by construction: tests are outside the rotation tracer's scope,
+so property coverage grows without staling any driver-window query.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import re
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = dt.datetime(2024, 1, 1)  # a Monday
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10_000.0 + 0.5) / 10_000.0
+
+
+# ------------------------------------------------------------ graphs
+
+
+@st.composite
+def weighted_graphs(draw):
+    """Random directed weighted graphs: a chain, a hub, random edges,
+    plus the degenerate shapes the operators must absorb — self-loops,
+    duplicate and reversed edges, dangling nodes (no out-edges),
+    integer weights."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=2, max_value=60))
+    edges: list[tuple[int, int, int]] = []
+    start = int(rng.integers(0, n))
+    for i in range(start, min(start + int(rng.integers(0, 12)), n - 1)):
+        edges.append((i, i + 1, int(rng.integers(1, 5))))
+    hub = int(rng.integers(0, n))
+    for _ in range(int(rng.integers(0, 8))):
+        edges.append((hub, int(rng.integers(0, n)), int(rng.integers(1, 5))))
+    for _ in range(int(rng.integers(1, n))):
+        edges.append(
+            (
+                int(rng.integers(0, n)),
+                int(rng.integers(0, n)),
+                int(rng.integers(1, 5)),
+            )
+        )
+    if draw(st.booleans()):
+        s, d, w = edges[0]
+        edges.append((d, s, w))  # reversed duplicate
+    edges.append((1, 1, 2))  # self-loop
+    return edges
+
+
+@SLOW
+@given(g=weighted_graphs())
+def test_pagerank_matches_pure_python_power_iteration(spark, g):
+    """pagerank's documented recurrence — fixed iterations, weighted
+    out-probabilities, NO dangling-mass redistribution, ranks
+    normalized to mean 1 and 4dp-rounded — refolded in plain Python
+    dicts. 4dp equality on every node."""
+    from uk_housing_dashboard_etl_spark.operators.graph import pagerank
+
+    edges = g
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    got = {r.node: r.rank_norm for r in pagerank(df, iters=4).collect()}
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    outw: dict[int, float] = defaultdict(float)
+    for s, _, w in edges:
+        outw[s] += float(w)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        inflow: dict[int, float] = defaultdict(float)
+        for s, d, w in edges:
+            inflow[d] += rank[s] * (float(w) / outw[s])
+        rank = {
+            v: 0.15 / n + 0.85 * inflow.get(v, 0.0) for v in nodes
+        }
+    want = {v: _round4(rank[v] * n) for v in nodes}
+
+    assert set(got) == set(want)
+    for v in nodes:
+        # engine vs Python float-sum association can straddle a 4dp
+        # quantization boundary (a true value near x.xxxx5): allow one
+        # quantum; a real recurrence bug shows up orders larger
+        assert abs(got[v] - want[v]) <= 1e-4 + 1e-12, (v, got[v], want[v])
+
+
+@SLOW
+@given(g=weighted_graphs())
+def test_label_propagation_matches_pure_python_sync_fold(spark, g):
+    """label_propagation's contract — synchronous rounds, most-frequent
+    neighbour label with ties to the SMALLEST label, self-loops
+    ignored, symmetrized edges — refolded in plain Python. Exact label
+    and community-size equality."""
+    from uk_housing_dashboard_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = [(s, d) for s, d, _ in g]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.label, r.community_size)
+        for r in label_propagation(df, iters=4).collect()
+    }
+
+    und = {(s, d) for s, d in edges if s != d}
+    sym = und | {(d, s) for s, d in und}
+    neigh: dict[int, set] = defaultdict(set)
+    for s, d in sym:
+        neigh[s].add(d)
+    nodes = sorted(neigh)
+    label = {v: v for v in nodes}
+    for _ in range(4):
+        new = {}
+        for v in nodes:
+            counts = Counter(label[u] for u in neigh[v])
+            new[v] = min((-c, lbl) for lbl, c in counts.items())[1]
+        label = new
+    sizes = Counter(label.values())
+    want = {v: (label[v], sizes[label[v]]) for v in nodes}
+    assert got == want
+
+
+# -------------------------------------------------------- behavioral
+
+
+@st.composite
+def retention_events(draw):
+    """Random (event_id, ts, user_id, event_type, value) activity over
+    ~10 weeks with NULL user and NULL ts contamination."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n_users = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        first = int(rng.integers(0, 6))
+        for wk in range(first, 10):
+            if wk == first or rng.random() < 0.45:
+                ts = T0 + dt.timedelta(
+                    weeks=wk, hours=int(rng.integers(0, 100))
+                )
+                rows.append((eid, ts, u, "click", 1.0))
+                eid += 1
+    rows.append((eid, None, 0, "click", 1.0))  # NULL ts: dropped
+    rows.append((eid + 1, T0, None, "click", 1.0))  # NULL user: dropped
+    return rows
+
+
+@SLOW
+@given(ev=retention_events())
+def test_cohort_matrix_matches_pandas_fold(spark, ev):
+    """cohort_matrix vs an independent pandas fold: Monday-anchored
+    cohort week = the user's first active week, offsets 0..max, counts
+    distinct users, retention 4dp, NULL user/ts rows dropped."""
+    from uk_housing_dashboard_etl_spark.operators.behavior import (  # noqa: F401
+        cap_events_per_key,  # import check only: family module loads
+    )
+    from uk_housing_dashboard_etl_spark.operators.funnel import cohort_matrix
+
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): (
+            r.cohort_size,
+            r.active_users,
+            r.retention,
+        )
+        for r in cohort_matrix(df, max_offset=8).collect()
+    }
+
+    pdf = pd.DataFrame(
+        ev, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).dropna(subset=["ts", "user_id"])
+    if pdf.empty:
+        assert got == {}
+        return
+    # Monday-anchored week start, matching Spark's date_trunc('week')
+    wk = pdf["ts"].dt.normalize() - pd.to_timedelta(
+        pdf["ts"].dt.dayofweek, unit="D"
+    )
+    act = (
+        pd.DataFrame({"user_id": pdf["user_id"], "week": wk})
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    cohort = act.groupby("user_id")["week"].min().rename("cohort_week")
+    act = act.join(cohort, on="user_id")
+    act["week_offset"] = (
+        (act["week"] - act["cohort_week"]).dt.days // 7
+    ).astype(int)
+    sizes = cohort.reset_index().groupby("cohort_week")["user_id"].nunique()
+    want = {}
+    grp = (
+        act[act["week_offset"] <= 8]
+        .groupby(["cohort_week", "week_offset"])["user_id"]
+        .nunique()
+    )
+    for (cw, off), active in grp.items():
+        size = int(sizes[cw])
+        want[(cw.to_pydatetime(), int(off))] = (
+            size,
+            int(active),
+            _round4(active / size),
+        )
+    assert got == want
+
+
+# --------------------------------------------------- curation packing
+
+
+@st.composite
+def packable_docs(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=1, max_value=80))
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.08:
+            text = None
+        elif kind < 0.16:
+            text = ""
+        elif kind < 0.22:
+            text = "   \t  "
+        else:
+            text = " ".join(
+                "tok%d" % rng.integers(0, 50)
+                for _ in range(int(rng.integers(1, 120)))
+            )
+        rows.append((int(rng.integers(0, 10_000_000)), text))
+    # distinct ids (the packer's hash order is id-keyed)
+    seen, out = set(), []
+    for i, t in rows:
+        if i not in seen:
+            seen.add(i)
+            out.append((i, t))
+    return out
+
+
+@SLOW
+@given(docs=packable_docs())
+def test_pack_sequences_matches_pure_python_packer(spark, docs):
+    """pack_sequences vs an independent Python packer: multiplicative-
+    hash sharding, (hash, id) order, cumulative-boundary bin
+    assignment, NULL/empty/whitespace texts pack at 0 tokens. Exact
+    (shard, bin_idx, n_tokens) equality per doc."""
+    from uk_housing_dashboard_etl_spark.operators.curation import (
+        KNUTH,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.shard, r.bin_idx, r.n_tokens)
+        for r in pack_sequences(
+            df, budget_tokens=64, n_shards=4
+        ).collect()
+    }
+
+    def n_tokens(text) -> int:
+        if text is None:
+            return 0
+        collapsed = re.sub(r"\s+", " ", text).strip().lower()
+        return len([t for t in collapsed.split(" ") if t != ""])
+
+    byshard: dict[int, list] = defaultdict(list)
+    for i, t in docs:
+        h = (i * KNUTH) % 1_000_000_007
+        byshard[h % 4].append((h, i, n_tokens(t)))
+    want = {}
+    for shard, items in byshard.items():
+        cum = 0
+        for h, i, tok in sorted(items):
+            cum += tok
+            want[i] = (shard, (cum - tok) // 64, tok)
+    assert got == want
