@@ -10484,3 +10484,80 @@ SELECT key, event_id, ts, value,
 FROM s
 """
 QUERIES["streaming_anomaly_check"] = q_streaming_anomaly_check
+
+
+# ---------------------------------------------------------------------------
+# Round-11 driver window (tools/rotation.py --plan at round close).
+# Required set (35): the NEW batch-equivalence gate for the stateful
+# anomaly drain (streaming_anomaly_check); the 13 drains switched to
+# measured-group state-store sizing plus the anomaly drain's
+# deterministic (ts, event_id) fold — staling the whole streaming
+# family except attribution (r9-fresh, deliberately left on the old
+# helper until it rotates naturally in r12); the 19 artifact-consumer
+# queries staled by re-rooting the fit salts at the contract builder
+# helpers (r10 advice: builder literals are now inside the hash);
+# sketch_quantiles (one-shot rank-band retry); multimodal_audio_check
+# (NULL-payload guard + pinned gate independence). Fill (15): the
+# entire remaining r4 era — with the two r4 streaming names already
+# required, this clears the r4 rotation debt completely (r10 verdict
+# item 2: nothing older than r5 after this window). Queue: empty — the
+# fill consumed the oldest era exactly; the r5 era (36 names) leads r12.
+_R11_FRONT: list[str] = [
+    "streaming_anomaly_check",
+    "streaming_rate_cap",
+    "streaming_distinct_check",
+    "streaming_enriched",
+    "streaming_cdc",
+    "streaming_joined_agg",
+    "streaming_joined_outer",
+    "streaming_joined",
+    "streaming_mg_topk",
+    "streaming_weekly",
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_funnel",
+    "multimodal_audio_check",
+    "streaming_anomaly",
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivfpq_res",
+    "similarity_ivfpq_res_recall",
+    "embedding_near_dup_lsh_recall",
+    "semantic_dedup_check",
+    "cluster_split",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_exact_substr",
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_trim",
+    "dedup_exact_substr_agree",
+    "dedup_minhash_recall",
+    "dedup_simhash_complete",
+    "incremental_near_gate",
+    "sketch_quantiles",
+    "psi_drift",
+    "attribution_credit",
+    "embedding_health",
+    "table_profile",
+    "twap",
+    "join_cardinality",
+    "rrf_fusion",
+    "trimmed_stats",
+    "fuzzy_matches",
+    "interarrival_stats",
+    "benford_prices",
+    "basket_lift",
+    "embedding_covariance",
+    "hard_negatives",
+    "top_paths",
+]
+_R11_QUEUE: list[str] = []
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R11_FRONT
+    + _R11_QUEUE
+    + [q for q in QUERIES if q not in _R11_FRONT and q not in _R11_QUEUE]
+}
