@@ -298,3 +298,244 @@ def test_pack_sequences_matches_pure_python_packer(spark, docs):
             cum += tok
             want[i] = (shard, (cum - tok) // 64, tok)
     assert got == want
+
+
+# -------------------------------------------------- time-series folds
+
+
+@st.composite
+def keyed_series(draw):
+    """Random per-key weekly series (integer values, 1..30 points per
+    key), the mart grain the recursive folds contract on."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n_keys = draw(st.integers(min_value=1, max_value=6))
+    rows = []
+    for k in range(n_keys):
+        n = int(rng.integers(1, 30))
+        base = int(rng.integers(5, 200))
+        for i in range(n):
+            val = base + int(rng.integers(-5, 50)) + (40 if i > n // 2 and rng.random() < 0.4 else 0)
+            rows.append((f"k{k}", T0 + dt.timedelta(weeks=i), float(max(val, 0))))
+    return rows
+
+
+@SLOW
+@given(s=keyed_series())
+def test_ewma_matches_pure_python_fold(spark, s):
+    """ewma_smooth's recursive contract — e_0 = x_0,
+    e_t = a*x_t + (1-a)*e_{t-1}, series sorted by time per key —
+    refolded sequentially in Python. The operator's fold is the same
+    operation sequence, so equality is exact (no rounding in the
+    output column)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame(
+        s, "local_authority string, week timestamp, transactions double"
+    )
+    got = {
+        (r.local_authority, r.week): r.ewma
+        for r in ewma_smooth(df, alpha=0.5).collect()
+    }
+    want = {}
+    byk = defaultdict(list)
+    for k, t, x in s:
+        byk[k].append((t, x))
+    for k, pts in byk.items():
+        e = None
+        for t, x in sorted(pts):
+            e = x if e is None else 0.5 * x + 0.5 * e
+            want[(k, t)] = e
+    assert got == want
+
+
+@SLOW
+@given(s=keyed_series())
+def test_cusum_matches_pure_python_fold(spark, s):
+    """cusum_changepoints' two-sided fold — s+ = max(0, s+ + (x - mu)),
+    s- = min(0, s- + (x - mu)), mu the key's own mean — refolded in
+    Python; 4dp outputs compared at one quantum (mu's division is the
+    only float the engines may associate differently)."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame(
+        s, "local_authority string, week timestamp, transactions double"
+    )
+    got = {
+        (r.local_authority, r.week): (r.cusum_pos, r.cusum_neg, r.changepoint)
+        for r in cusum_changepoints(df, threshold=25.0).collect()
+    }
+    byk = defaultdict(list)
+    for k, t, x in s:
+        byk[k].append((t, x))
+    n_checked = 0
+    for k, pts in byk.items():
+        pts = sorted(pts)
+        mu = sum(x for _, x in pts) / len(pts)
+        sp = sn = 0.0
+        for t, x in pts:
+            sp = max(0.0, sp + (x - mu))
+            sn = min(0.0, sn + (x - mu))
+            g = got[(k, t)]
+            assert abs(g[0] - _round4(sp)) <= 1e-4 + 1e-12, (k, t, g[0], sp)
+            assert abs(g[1] - _round4(sn)) <= 1e-4 + 1e-12, (k, t, g[1], sn)
+            assert g[2] == (sp > 25.0 or sn < -25.0), (k, t)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+@SLOW
+@given(s=keyed_series())
+def test_holt_matches_pure_python_fold(spark, s):
+    """holt_linear's level/trend recurrence — l_0 = x_0, b_0 = 0;
+    l_t = a*x_t + (1-a)*(l+b); b_t = beta*(l_t - l) + (1-beta)*b —
+    refolded in Python; 4dp outputs at one quantum."""
+    from uk_housing_dashboard_etl_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    df = spark.createDataFrame(
+        s, "local_authority string, week timestamp, transactions double"
+    )
+    got = {
+        (r.local_authority, r.week): (r.level, r.trend, r.forecast)
+        for r in holt_linear(df).collect()
+    }
+    byk = defaultdict(list)
+    for k, t, x in s:
+        byk[k].append((t, x))
+    for k, pts in byk.items():
+        lvl = b = None
+        for t, x in sorted(pts):
+            if lvl is None:
+                lvl, b = x, 0.0
+            else:
+                new_l = 0.5 * x + 0.5 * (lvl + b)
+                b = 0.5 * (new_l - lvl) + 0.5 * b
+                lvl = new_l
+            g = got[(k, t)]
+            for gi, wi in zip(g, (lvl, b, lvl + b)):
+                assert abs(gi - _round4(wi)) <= 1e-4 + 1e-12, (k, t, g)
+
+
+# ------------------------------------------------------- MG sketches
+
+
+@st.composite
+def skewed_streams(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=20, max_value=4000))
+    # zipf-ish: a few hot keys over a long tail
+    keys = []
+    for _ in range(n):
+        if rng.random() < 0.5:
+            keys.append(f"hot{int(rng.integers(0, 3))}")
+        else:
+            keys.append(f"cold{int(rng.integers(0, 200))}")
+    return keys
+
+
+@SLOW
+@given(keys=skewed_streams())
+def test_mg_heavy_hitters_is_exact_superset(spark, keys):
+    """Misra-Gries' guarantee, verified against exact counts: EVERY key
+    with frequency > N/k appears in the candidate output with its EXACT
+    count and is_heavy TRUE; no candidate carries a wrong count; and
+    is_heavy is exactly the N/k cut."""
+    from uk_housing_dashboard_etl_spark.operators.sketches import (
+        mg_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    out = {r["k"]: (r.n, r.n_rows, r.is_heavy)
+           for r in mg_heavy_hitters(df, "k", k=10).collect()}
+    exact = Counter(keys)
+    n_total = len(keys)
+    for key, cnt in exact.items():
+        if cnt > n_total / 10:
+            assert key in out, f"true heavy hitter {key} missed"
+    for key, (n, n_rows, heavy) in out.items():
+        assert n == exact[key], (key, n, exact[key])
+        assert n_rows == n_total
+        assert heavy == (n > n_total / 10)
+
+
+# ---------------------------------------------------- funnel timing
+
+
+@st.composite
+def funnel_events(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    steps = ["signup", "view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for u in range(draw(st.integers(min_value=1, max_value=20))):
+        t = T0 + dt.timedelta(minutes=int(rng.integers(0, 500)))
+        for _ in range(int(rng.integers(1, 12))):
+            rows.append(
+                (eid, t, u, steps[int(rng.integers(0, 4))], 1.0)
+            )
+            eid += 1
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 4000)))
+    rows.append((eid, None, 0, "view", 1.0))  # NULL ts: excluded
+    return rows
+
+
+@SLOW
+@given(ev=funnel_events())
+def test_funnel_timing_matches_pandas_greedy_fold(spark, ev):
+    """funnel_timing vs an independent greedy fold: per user, events
+    sorted by ts advance the stage only on the next step type with a
+    strictly later timestamp; elapsed times per achieved transition
+    feed exact interpolated percentiles (computed with numpy, the same
+    linear-interpolation definition)."""
+    from uk_housing_dashboard_etl_spark.operators.funnel import funnel_timing
+
+    steps = ["signup", "view", "click", "purchase"]
+    df = spark.createDataFrame(
+        ev, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r.stage_from: (r.n_users, r.median_s, r.p90_s)
+        for r in funnel_timing(df, steps).collect()
+    }
+
+    byu = defaultdict(list)
+    for _, ts, u, et, _v in ev:
+        if ts is not None and et in steps:
+            byu[u].append((ts, et))
+    deltas = defaultdict(list)
+    for u, evs in byu.items():
+        stage, t, times = 0, None, []
+        for ts, et in sorted(evs, key=lambda p: (p[0], steps.index(p[1]))):
+            if (
+                stage < 4
+                and et == steps[stage]
+                and (stage == 0 or ts > t)
+            ):
+                stage += 1
+                t = ts
+                times.append(ts)
+        for i in range(1, len(times)):
+            us = int(
+                (times[i] - times[i - 1]) / dt.timedelta(microseconds=1)
+            )
+            deltas[i].append(us)
+    want = {}
+    for stage_from, ds in deltas.items():
+        med, p90 = np.percentile(np.array(ds, dtype=float), [50, 90],
+                                 method="linear")
+        want[stage_from] = (
+            len(ds),
+            _round4(med / 1e6),
+            _round4(p90 / 1e6),
+        )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], (k, got[k], want[k])
+        assert abs(got[k][1] - want[k][1]) <= 1e-4 + 1e-12, (k, got[k], want[k])
+        assert abs(got[k][2] - want[k][2]) <= 1e-4 + 1e-12, (k, got[k], want[k])
