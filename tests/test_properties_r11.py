@@ -539,3 +539,88 @@ def test_funnel_timing_matches_pandas_greedy_fold(spark, ev):
         assert got[k][0] == want[k][0], (k, got[k], want[k])
         assert abs(got[k][1] - want[k][1]) <= 1e-4 + 1e-12, (k, got[k], want[k])
         assert abs(got[k][2] - want[k][2]) <= 1e-4 + 1e-12, (k, got[k], want[k])
+
+
+# ------------------------------------------------------ PQ / ADC
+
+
+@st.composite
+def embedding_sets(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=20, max_value=60))
+    d = 32
+    vecs = rng.normal(size=(n, d))
+    # no zero vectors (normalization contract); a few duplicate rows to
+    # exercise identical-centroid ties
+    vecs[rng.integers(0, n)] = vecs[0]
+    return [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+
+
+@SLOW
+@given(emb=embedding_sets())
+def test_pq_encode_and_adc_match_numpy(spark, emb):
+    """The compressed-domain ANN path pinned against numpy: pq_encode's
+    codes must be (near-)optimal subspace assignments against the
+    fitted codebooks (exact argmin with ties to the smallest cell when
+    the margin is clear), and pq_topk's ADC distance must equal the
+    numpy recomputation sum_s ||q_s - centroid[s, codes[s]]||^2 at one
+    4dp quantum, with the returned ranking consistent with the
+    returned distances (dist asc, vec_id asc)."""
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    m, k = 4, 8
+    df = spark.createDataFrame(emb, "vec_id long, embedding array<double>")
+    codebooks = pq_fit(df, m=m, k=k, iterations=2)
+    cb = {(r.sub, r.cell): np.array(r.centroid) for r in codebooks.collect()}
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, codebooks).collect()}
+
+    vecs = {i: np.array(v) for i, v in emb}
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    d = 32
+    dsub = d // m
+
+    # (a) codes are per-subspace argmins (ties to the smallest cell)
+    for i, u in unit.items():
+        for s in range(m):
+            sub = u[s * dsub : (s + 1) * dsub]
+            dists = {
+                cell: float(((sub - c) ** 2).sum())
+                for (ss, cell), c in cb.items()
+                if ss == s
+            }
+            best = min(dists.values())
+            chosen = codes[i][s]
+            assert dists[chosen] <= best + 1e-9, (i, s, chosen)
+            clear = [c for c, dv in dists.items() if dv < best + 1e-9]
+            if len(clear) == 1:
+                assert chosen == clear[0], (i, s)
+
+    # (b) ADC distances match numpy for every returned (query, vec)
+    queries = spark.createDataFrame(
+        [(100 + j, emb[j][1]) for j in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    out = pq_topk(codes=pq_encode(df, codebooks), codebooks=codebooks,
+                  queries=queries, k=10).collect()
+    qunit = {100 + j: vecs[emb[j][0]] / np.linalg.norm(vecs[emb[j][0]])
+             for j in range(3)}
+    by_query = defaultdict(list)
+    for r in out:
+        q = qunit[r.query_id]
+        want = 0.0
+        for s in range(m):
+            c = cb[(s, codes[r.vec_id][s])]
+            sub = q[s * dsub : (s + 1) * dsub]
+            want += float(((sub - c) ** 2).sum())
+        assert abs(r.dist - _round4(want)) <= 1e-4 + 1e-12, (
+            r.query_id, r.vec_id, r.dist, want,
+        )
+        by_query[r.query_id].append((r.rank, r.dist, r.vec_id))
+    for q, rows in by_query.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda t: (t[1], t[2]), ), q
