@@ -1623,7 +1623,11 @@ def q_streaming_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``round4``) on both sides; flags/counts are exact. The drain
     itself equals this frame row-for-row on a single-batch landing —
     pinned by ``tests/test_streaming.py::
-    test_streaming_anomaly_drain_equals_batch_companion``."""
+    test_streaming_anomaly_drain_equals_batch_companion``. NULL
+    ``event_id`` rows are out of contract for that equality (pandas
+    sorts a NULL id last in a ts tie, Spark's orderBy nulls-first —
+    see the fold's docstring); the driver corpus's event_id is its
+    primary key, so the boundary is unreachable on shipped data."""
     ev = read_table(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("event_type").isNotNull()
     )

@@ -64,7 +64,15 @@ def _score_group(
     across chunks. With a total order per batch, a single-batch drain is
     row-for-row equal to the batch prefix z-score window
     (``contract.q_streaming_anomaly_check``), which is what makes the
-    drain oracle-gateable."""
+    drain oracle-gateable.
+
+    NULL ``event_id`` rows are OUT OF CONTRACT for the equality (the
+    same boundary as snapshot_diff's NULL ids): pandas sorts a NULL id
+    last within its timestamp while Spark's ``orderBy`` puts nulls
+    first, so a tie between a NULL-id and a real-id row at the same
+    ``ts`` folds in a different order on the two sides. event_id is the
+    source's primary key — callers feeding synthetic streams must
+    supply non-null ids (or pre-assign surrogates) for score parity."""
     import math
 
     if state.exists:
