@@ -624,3 +624,64 @@ def test_pq_encode_and_adc_match_numpy(spark, emb):
         rows.sort()
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         assert rows == sorted(rows, key=lambda t: (t[1], t[2]), ), q
+
+
+def test_duplicate_clusters_foreign_edges_agree_across_paths(spark):
+    """Edges may reference ids absent from the node frame (an external
+    pair list can mention docs pruned upstream): both the driver
+    union-find fast path and the distributed large-star/small-star
+    fallback label present nodes by the minimum REACHABLE id — foreign
+    ids included, so the label can be an id outside the node frame —
+    while cluster_size counts only present nodes. Identical by
+    construction; this pins it."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    ids = spark.createDataFrame([(10,), (11,), (12,), (13,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(10, 5), (11, 10), (12, 13)], "doc_a long, doc_b long"
+    )
+    fast = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in duplicate_clusters(ids, pairs).collect()
+    }
+    slow = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in duplicate_clusters(
+            ids, pairs, driver_union_max_edges=0
+        ).collect()
+    }
+    assert fast == slow
+    assert fast == {10: (5, 2), 11: (5, 2), 12: (12, 2), 13: (12, 2)}
+
+
+def test_exact_substr_spans_multibyte_codepoint_grain(spark):
+    """Span offsets/lengths are CODEPOINT-grain (Spark substring
+    semantics, matching DuckDB), not byte-grain: a 43-codepoint shared
+    run of CJK + emoji + spaces is found at the exact codepoint offsets
+    a pure-Python longest-common-substring reports."""
+    from uk_housing_dashboard_etl_spark.operators.dedup import (
+        exact_substr_spans,
+    )
+
+    dup = (
+        "这是一个重复的长句子用于测试精确子串检测功能的正确性跨越多字节字符边界"
+        + "🎉🚀" * 3
+    )
+    t1 = "prefix " + dup + " suffix one"
+    t2 = "other start " + dup + " tail two"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "unrelated text entirely 完全不同的内容 here")],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in exact_substr_spans(
+            docs, min_len=30, hash_grams=False
+        ).collect()
+    }
+    # python reference: the shared run is " <dup> " = 43 codepoints,
+    # at codepoint offset 6 in t1 (after "prefix") and 11 in t2
+    assert spans == {1: (6, 43), 2: (11, 43)}
+    assert t1[6:49] == t2[11:54] == " " + dup + " "
