@@ -58,3 +58,55 @@ def test_cms_never_underestimates_and_bounds_overestimate(spark):
         # w=64 cells the expected excess per row is n/w ~ 12.5 — allow
         # a generous deterministic ceiling
         assert r["overestimate"] <= n // 2
+
+
+def test_sketch_quantiles_retry_ors_a_second_draw(spark, monkeypatch):
+    """The r11 one-shot retry's MISS path: when the first draw reports
+    an out-of-band flag, the gate re-draws once and a flag passes if
+    EITHER draw landed in band; exact percentiles come from the first
+    draw. A systematic miss (both draws out) stays red."""
+    from uk_housing_dashboard_etl_spark import contract
+    from uk_housing_dashboard_etl_spark.operators import sketches
+
+    def fake_summary_factory(flag_sequence):
+        calls = {"n": 0}
+
+        def fake(events, group_col="event_type", value_col="value"):
+            in_band = flag_sequence[min(calls["n"], len(flag_sequence) - 1)]
+            calls["n"] += 1
+            lo, hi = (0.0, 10.0) if in_band else (7.0, 8.0)
+            return spark.createDataFrame(
+                [("a", 5.0, 9.0, 5.0, 9.0, lo, hi, lo, hi)],
+                "event_type string, exact_median double, exact_p90 double,"
+                " approx_median double, approx_p90 double,"
+                " median_band_lo double, median_band_hi double,"
+                " p90_band_lo double, p90_band_hi double",
+            )
+
+        fake.calls = calls
+        return fake
+
+    # approx_median=5 / approx_p90=9: in [0,10] band, out of [7,8] for
+    # the median (9 stays inside either band for p90? 9 not in [7,8]);
+    # first draw out, second draw in -> flags flip to TRUE via the OR
+    fake = fake_summary_factory([False, True])
+    monkeypatch.setattr(sketches, "quantile_sketch_summary", fake)
+    out = contract.q_sketch_quantiles(spark, "/root/testdata/sf0.001")
+    row = out.collect()[0]
+    assert fake.calls["n"] == 2, "miss must trigger exactly one re-draw"
+    assert row.median_in_rank_band and row.p90_in_rank_band
+    assert row.exact_median == 5.0 and row.exact_p90 == 9.0
+
+    # systematic miss: both draws out of band -> stays red
+    fake2 = fake_summary_factory([False, False])
+    monkeypatch.setattr(sketches, "quantile_sketch_summary", fake2)
+    row2 = contract.q_sketch_quantiles(spark, "/root/testdata/sf0.001").collect()[0]
+    assert fake2.calls["n"] == 2
+    assert not row2.median_in_rank_band
+
+    # happy path: one draw only
+    fake3 = fake_summary_factory([True])
+    monkeypatch.setattr(sketches, "quantile_sketch_summary", fake3)
+    row3 = contract.q_sketch_quantiles(spark, "/root/testdata/sf0.001").collect()[0]
+    assert fake3.calls["n"] == 1, "an in-band first draw must not re-draw"
+    assert row3.median_in_rank_band

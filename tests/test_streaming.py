@@ -765,3 +765,31 @@ def test_stateful_anomaly_null_value_does_not_poison_state(spark, tmp_path):
     # (n=2, mean=1.5, sd=sqrt(0.5)): z finite, state not NaN
     last = out.iloc[-1]
     assert last.n_seen == 3 and abs(last.zscore) < 10
+
+
+def test_sized_state_partitions_two_regime_clamp(spark):
+    """The r11 sizing rule's arithmetic: python-stateful = one
+    partition per group clamped to [4, session default]; JVM stateful =
+    ~25k keys per shard clamped the same. The session default always
+    wins at scale (the production setting is never reduced below it by
+    a large key space, and never exceeded)."""
+    from uk_housing_dashboard_etl_spark.contract import (
+        _sized_state_partitions,
+    )
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def chosen(n_groups, python_stateful):
+        with _sized_state_partitions(spark, n_groups, python_stateful):
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # python regime: per-group up to the default
+    assert chosen(1, True) == 4          # floor
+    assert chosen(5, True) == 5
+    assert chosen(10**9, True) == default
+    # JVM regime: ceil(groups / 25k), floored at 4
+    assert chosen(1500, False) == 4
+    assert chosen(297_552, False) == min(12, default)
+    assert chosen(10**9, False) == default
+    # the scope restores the session conf on exit
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
