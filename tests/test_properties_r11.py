@@ -685,3 +685,63 @@ def test_exact_substr_spans_multibyte_codepoint_grain(spark):
     # at codepoint offset 6 in t1 (after "prefix") and 11 in t2
     assert spans == {1: (6, 43), 2: (11, 43)}
     assert t1[6:49] == t2[11:54] == " " + dup + " "
+
+
+def test_pq_adc_survives_ragged_codebooks(spark):
+    """pq_topk's ADC table is keyed sub*_PACK+cell as a MAP precisely
+    because Lloyd's can empty a cell, leaving codebooks ragged per
+    subspace — a dense positional layout would silently misalign every
+    lookup after the gap. Pin it: hand-built codebooks with a missing
+    cell id in subspace 0 (cells 0 and 2, no 1) must still score every
+    (query, vec) pair to the numpy recomputation."""
+    import numpy as np
+
+    from uk_housing_dashboard_etl_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+    )
+
+    d, m = 8, 2
+    dsub = d // m
+    cb_rows = [
+        # subspace 0: cells 0 and 2 only (1 was emptied)
+        (0, 0, [0.0, 0.0, 0.0, 0.0]),
+        (0, 2, [1.0, 1.0, 1.0, 1.0]),
+        # subspace 1: cells 0 and 1
+        (1, 0, [0.0, 0.0, 0.0, 0.0]),
+        (1, 1, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    codebooks = spark.createDataFrame(
+        cb_rows, "sub int, cell int, centroid array<double>"
+    )
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(12, d))
+    emb = [(int(i), [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(emb, "vec_id long, embedding array<double>")
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(df, codebooks).collect()}
+    # encoding must only ever choose existing cells
+    assert all(c[0] in (0, 2) and c[1] in (0, 1) for c in codes.values())
+
+    queries = spark.createDataFrame(
+        [(100, emb[0][1])], "query_id long, embedding array<double>"
+    )
+    out = pq_topk(
+        codes=pq_encode(df, codebooks), codebooks=codebooks,
+        queries=queries, k=12,
+    ).collect()
+    assert len(out) == 12
+    cb = {(s, c): np.array(v) for s, c, v in cb_rows}
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    for r in out:
+        want = sum(
+            float(
+                (
+                    (q[s * dsub : (s + 1) * dsub] - cb[(s, codes[r.vec_id][s])])
+                    ** 2
+                ).sum()
+            )
+            for s in range(m)
+        )
+        assert abs(r.dist - _round4(want)) <= 1e-4 + 1e-12, (
+            r.vec_id, r.dist, want,
+        )
