@@ -68,6 +68,7 @@ ROUND_CLOSE: dict[int, str] = {
     8: "6d01be5",
     9: "566d239",
     10: "6859e3e",
+    11: "e1976a6",
 }
 
 # ---------------------------------------------------------------- git
