@@ -110,3 +110,36 @@ def test_sketch_quantiles_retry_ors_a_second_draw(spark, monkeypatch):
     row3 = contract.q_sketch_quantiles(spark, "/root/testdata/sf0.001").collect()[0]
     assert fake3.calls["n"] == 1, "an in-band first draw must not re-draw"
     assert row3.median_in_rank_band
+
+
+def test_sketch_quantiles_retry_group_mismatch_fails_band(spark, monkeypatch):
+    """A retry draw that returns a DIFFERENT group set (a future filter
+    change could shrink it) must surface as a failed band for the
+    missing group — never a KeyError inside the gate (r11 advice)."""
+    from uk_housing_dashboard_etl_spark import contract
+    from uk_housing_dashboard_etl_spark.operators import sketches
+
+    calls = {"n": 0}
+    schema = (
+        "event_type string, exact_median double, exact_p90 double,"
+        " approx_median double, approx_p90 double,"
+        " median_band_lo double, median_band_hi double,"
+        " p90_band_lo double, p90_band_hi double"
+    )
+
+    def fake(events, group_col="event_type", value_col="value"):
+        calls["n"] += 1
+        if calls["n"] == 1:  # group "a", out of band -> triggers retry
+            return spark.createDataFrame(
+                [("a", 5.0, 9.0, 5.0, 9.0, 7.0, 8.0, 7.0, 8.0)], schema
+            )
+        # retry returns only group "b": "a" is missing from the re-draw
+        return spark.createDataFrame(
+            [("b", 5.0, 9.0, 5.0, 9.0, 0.0, 10.0, 0.0, 10.0)], schema
+        )
+
+    monkeypatch.setattr(sketches, "quantile_sketch_summary", fake)
+    row = contract.q_sketch_quantiles(spark, "/root/testdata/sf0.001").collect()[0]
+    assert calls["n"] == 2
+    assert row.event_type == "a"
+    assert not row.median_in_rank_band and not row.p90_in_rank_band

@@ -793,3 +793,48 @@ def test_sized_state_partitions_two_regime_clamp(spark):
     assert chosen(10**9, False) == default
     # the scope restores the session conf on exit
     assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+
+
+def test_stateful_anomaly_group_batch_cap_fails_fast(monkeypatch):
+    """The fold's memory guard (r11 verdict item 4): a group whose
+    micro-batch exceeds GROUP_BATCH_MAX_ROWS must raise the documented
+    remediation error BEFORE consuming the rest of the Arrow chunk
+    iterator (fail fast, never OOM), and an under-cap group is
+    unaffected."""
+    import pandas as pd
+
+    from uk_housing_dashboard_etl_spark.streaming import stateful
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.stored = t
+
+    monkeypatch.setattr(stateful, "GROUP_BATCH_MAX_ROWS", 5)
+
+    def chunk(ids):
+        t0 = dt.datetime(2024, 1, 1)
+        return pd.DataFrame(
+            {
+                "key": "a",
+                "event_id": ids,
+                "ts": [t0 + dt.timedelta(hours=int(i)) for i in ids],
+                "value": [float(i) for i in ids],
+            }
+        )
+
+    consumed = {"n": 0}
+
+    def chunks_over_cap():
+        for ids in ([0, 1, 2], [3, 4, 5], [6, 7, 8]):
+            consumed["n"] += 1
+            yield chunk(ids)
+
+    with pytest.raises(ValueError, match="maxFilesPerTrigger"):
+        list(stateful._score_group(("a",), chunks_over_cap(), FakeState()))
+    assert consumed["n"] == 2, "must stop at the chunk that crosses the cap"
+
+    # under the cap: the fold runs and scores normally
+    out = list(stateful._score_group(("a",), iter([chunk([0, 1, 2])]), FakeState()))
+    assert len(out) == 1 and len(out[0]) == 3

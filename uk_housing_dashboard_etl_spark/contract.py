@@ -799,6 +799,10 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # doesn't recompute the sketch (and can't flip a flag it never saw)
         return spark.createDataFrame(rows, first.schema)
     retry = {r["event_type"]: r for r in draw().collect()}
+    # a group missing from the retry draw (a future filter change could
+    # shrink the group set) must surface as a failed band, not a
+    # KeyError inside the gate — default the missing row to all-False
+    miss = {"median_in_rank_band": False, "p90_in_rank_band": False}
     merged = [
         (
             r["event_type"],
@@ -806,11 +810,11 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["exact_p90"],
             bool(
                 r["median_in_rank_band"]
-                or retry[r["event_type"]]["median_in_rank_band"]
+                or retry.get(r["event_type"], miss)["median_in_rank_band"]
             ),
             bool(
                 r["p90_in_rank_band"]
-                or retry[r["event_type"]]["p90_in_rank_band"]
+                or retry.get(r["event_type"], miss)["p90_in_rank_band"]
             ),
         )
         for r in rows
@@ -1215,7 +1219,13 @@ def _stream_state_partitions(spark: SparkSession, n: int = 8):
 
 # memo for _measured_groups: one approx_count_distinct scan per
 # (sf_dir, table, key exprs) per process, amortized across every drain
-# that shares the key space (user-keyed drains all reuse one count)
+# that shares the key space (user-keyed drains all reuse one count).
+# Deliberately NOT invalidated on data change: the key carries no file
+# fingerprint, so a process that rewrites parquet under the same
+# sf_dir keeps sizing from the first scan. Acceptable because the
+# count only picks a partition COUNT (clamped to the session default
+# either way) — a stale count can cost a suboptimal task count for the
+# rest of the process, never a wrong answer.
 _GROUP_COUNT_MEMO: dict[tuple, int] = {}
 
 
@@ -1348,8 +1358,13 @@ def q_streaming_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     dim = read_table(spark, sf_dir, "customer")
     sdf = enriched_segment_stream(spark, land, dim)
-    # agg grain is (segment, event_type) <= |event_type| x few segments
-    groups = _measured_groups(spark, sf_dir, "events", ("event_type",))
+    # agg grain is (segment, event_type): segment comes off the joined
+    # dimension, not the stream, so measure each factor on its own
+    # table and take the product as the composite-key bound (the join
+    # can only shrink it) — both scans memoized like every other drain
+    groups = _measured_groups(
+        spark, sf_dir, "events", ("event_type",)
+    ) * _measured_groups(spark, sf_dir, "customer", ("c_mktsegment",))
     with _sized_state_partitions(spark, groups):
         out = run_stream_once(sdf, query_name=f"enr_{uuid.uuid4().hex[:10]}")
     return out.select("segment", "event_type", "n_events", "value_sum")
@@ -1696,7 +1711,11 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     )
     s = attribution_stream(raw, window="1 hour")
-    with _stream_state_partitions(spark):
+    # stream-stream join state shards on the join key (user_id): size
+    # from the measured key cardinality like every other drain (reuses
+    # the user-keyed memo slot, so no extra scan)
+    groups = _measured_groups(spark, sf_dir, "events", ("user_id",))
+    with _sized_state_partitions(spark, groups):
         out = run_stream_once(
             s, query_name=f"attr_{uuid.uuid4().hex[:10]}", output_mode="append"
         )
@@ -10458,6 +10477,19 @@ QUERIES = {
 # drain. Window SQL mirror of the drain's prequential semantics — the
 # identical frame spec on both engines, z 4dp-quantized via round4 /
 # round4_sql (the engine-portable floor rounding).
+#
+# QUANTIZATION-BOUNDARY ASSUMPTION (r11 advice): hash-exactness relies
+# on Spark and DuckDB producing prefix-window avg/stddev_samp whose
+# difference stays below the 4dp floor's step. Both engines fold the
+# SAME (ts, event_id)-ordered sequence (the frame spec pins the order,
+# unlike a groupBy avg whose combine order is free — the reason dsum/
+# dmean exist elsewhere), so the residual risk is only implementation-
+# level accumulation differences (e.g. a pairwise-summation engine
+# upgrade), which could flip a z-score sitting within an ulp of a
+# .00005 boundary. Verified hash-exact on the shipped corpus at sf0.01
+# and sf0.1; if a regenerated corpus or engine upgrade ever trips it,
+# pre-quantize `value` to 1e-4 integer units on both sides (dsum-style)
+# before the window instead of loosening the gate.
 ORACLES["streaming_anomaly_check"] = f"""
 WITH e AS (
     SELECT CAST(event_type AS VARCHAR) AS key, event_id, ts, value
@@ -10564,4 +10596,95 @@ QUERIES = {
     for name in _R11_FRONT
     + _R11_QUEUE
     + [q for q in QUERIES if q not in _R11_FRONT and q not in _R11_QUEUE]
+}
+
+
+# ---------------------------------------------------------------------------
+# Round-12 driver window (tools/rotation.py --plan at round open).
+# Required set (4): streaming_attribution (switched from the constant-8
+# helper to measured-group sizing — the r11 deliberate deferral),
+# streaming_enriched (state sized from the composite (segment,
+# event_type) key product, r11 advice), streaming_anomaly (the fold's
+# GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4) and
+# sketch_quantiles (retry group-set mismatch fails the band instead of
+# KeyError, r11 advice). Fill (46) = the full r5 era (36) + the 10
+# oldest r6-era names; the 18 remaining r6-era names queue for r13.
+# # required=4 (new=0), fill=46 (through r6-era), queue=18
+_R12_FRONT: list[str] = [
+    "streaming_attribution",
+    "streaming_enriched",
+    "streaming_anomaly",
+    "sketch_quantiles",
+    "copurchase_triangles",
+    "pagerank_trade",
+    "degree_profile",
+    "communities",
+    "weighted_sample",
+    "sql_weekly_by_la",
+    "ks_values",
+    "ab_ztest",
+    "seasonality_profile",
+    "weekly_churn",
+    "mannwhitney_values",
+    "chi2_type_split",
+    "pareto_parts",
+    "rollup_lineitem",
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority",
+    "customers_without_orders",
+    "brand_revenue",
+    "promo_revenue",
+    "large_orders",
+    "idle_capital",
+    "top_supplier",
+    "nation_pair_trade",
+    "market_share",
+    "product_profit",
+    "late_shipments",
+    "order_count_distribution",
+    "supplier_variety",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "slow_suppliers",
+    "important_parts",
+    "min_cost_supplier",
+    "khop_distances",
+    "bloom_join_prune",
+    "link_prediction",
+    "acf_weekly",
+    "band_join",
+    "salted_join_stats",
+    "sketch_intersection_check",
+    "embedding_quantile_norm",
+    "expectations",
+    "dedup_exact",
+]
+_R12_QUEUE: list[str] = [
+    "sketch_cardinalities",
+    "sketch_weekly_distinct",
+    "type_breakdown",
+    "coverage_report",
+    "grid_weekly",
+    "week_over_week",
+    "props_json",
+    "quality_checks",
+    "latest_by_key",
+    "revenue_filter",
+    "weekly_type_pivot",
+    "similarity_lsh",
+    "similarity_ivf",
+    "embedding_near_dup",
+    "hash_sample",
+    "dataset_split",
+    "stratified_sample",
+    "corpus_cube",
+]
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R12_FRONT
+    + _R12_QUEUE
+    + [q for q in QUERIES if q not in _R12_FRONT and q not in _R12_QUEUE]
 }

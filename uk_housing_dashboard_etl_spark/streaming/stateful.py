@@ -14,6 +14,7 @@ state round-trips as a plain tuple.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -35,6 +36,19 @@ STATE_SCHEMA = StructType(
         StructField("mean", DoubleType()),
         StructField("m2", DoubleType()),
     ]
+)
+
+# Establishing the total (ts, event_id) fold order materializes ONE
+# GROUP's ENTIRE MICRO-BATCH as a single pandas frame — O(rows-per-key-
+# per-batch) executor memory, and with a low-cardinality key (the
+# default event_type has ~5 values) a catch-up batch puts a key's whole
+# backlog in one frame. Guard it like the quadratic baselines
+# (similarity.NEAR_DUP_QUADRATIC_MAX_ROWS): fail fast past the cap with
+# remediation guidance instead of OOMing an executor. 20M rows of
+# (key, id, ts, value) is ~1 GB of pandas — comfortable on a production
+# executor, far above any bounded-trigger micro-batch.
+GROUP_BATCH_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_STATEFUL_GROUP_MAX_ROWS", 20_000_000)
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -72,14 +86,35 @@ def _score_group(
     first, so a tie between a NULL-id and a real-id row at the same
     ``ts`` folds in a different order on the two sides. event_id is the
     source's primary key — callers feeding synthetic streams must
-    supply non-null ids (or pre-assign surrogates) for score parity."""
+    supply non-null ids (or pre-assign surrogates) for score parity.
+
+    MEMORY BOUND: the total order requires the group's micro-batch in
+    one frame, so the accumulation is capped at ``GROUP_BATCH_MAX_ROWS``
+    and raises with remediation guidance rather than OOMing — bound the
+    trigger (smaller ``maxFilesPerTrigger``/``maxBytesPerTrigger``) or
+    stream on a higher-cardinality key."""
     import math
 
     if state.exists:
         n, mean, m2 = state.get
     else:
         n, mean, m2 = 0, 0.0, 0.0
-    chunks = [pdf for pdf in pdfs if len(pdf)]
+    chunks, total = [], 0
+    for c in pdfs:
+        if not len(c):
+            continue
+        total += len(c)
+        if total > GROUP_BATCH_MAX_ROWS:
+            raise ValueError(
+                f"streaming_anomaly_scores: key {key[0]!r} has more than "
+                f"{GROUP_BATCH_MAX_ROWS} rows in one micro-batch; the "
+                "deterministic (ts, event_id) fold must hold a key's "
+                "whole micro-batch in memory. Bound the trigger (smaller "
+                "maxFilesPerTrigger / maxBytesPerTrigger), stream on a "
+                "higher-cardinality key, or raise "
+                "SPARK_GRAFT_STATEFUL_GROUP_MAX_ROWS."
+            )
+        chunks.append(c)
     if not chunks:
         return
     pdf = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
