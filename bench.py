@@ -28,12 +28,15 @@ queries ran up to 1.7× slower purely from earlier queries' accumulated
 blocks crowding the unified memory pool — the per-query clean room
 makes numbers comparable across rounds regardless of registry order.
 (Streaming queries execute their drain inside the builder,
-so their time covers the whole readStream→sink pass, run once — a
-second drain would replay identical state transitions at the same
-cost. The warmup phase runs one throwaway stateful drain first so the
-one-time Python-state-worker spin-up is amortized exactly like the
-batch queries' first-run JVM warmup, instead of being charged to
-whichever streaming query sits first in registry order.)
+so their time covers the whole readStream→sink pass; each drain is a
+fresh checkpoint, so three runs are independent samples and the
+recorded number is the MEDIAN — the family is the suite's variance
+hotspot and a single run charges any ambient stall to the query
+(r11 verdict item 3). The warmup phase runs one throwaway stateful
+drain first so the one-time Python-state-worker spin-up is amortized
+exactly like the batch queries' first-run JVM warmup, instead of
+being charged to whichever streaming query sits first in registry
+order.)
 
 If any query fails, ``complete`` is false and ``value`` is null: a
 suite total over a shrunken query set must never be compared against a
@@ -63,6 +66,22 @@ from uk_housing_dashboard_etl_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The probe level `value_calnorm` normalizes against: the r11 same-tree
+# pair measured probes 0.484/0.479 while suite totals spread 17 s, and
+# the driver's r11 run (whose streaming family read +27% on identical
+# code) is what this yardstick exists to correct for. A FIXED reference
+# makes the normalized totals of any two runs directly comparable.
+CALIBRATION_REF = 0.48
+
+
+def calnorm(total_sec: float, probe_sec: float) -> float:
+    """Suite total with ambient machine speed divided out: scaled by
+    (reference probe / measured probe), so a run on a machine measuring
+    2× slower on the pure-synthetic probe reports half its raw total.
+    The normalized totals of two runs are comparable regardless of
+    ambient conditions at measurement time."""
+    return round(total_sec * CALIBRATION_REF / probe_sec, 3)
 
 HEADLINE = [
     "weekly_by_la",
@@ -286,19 +305,27 @@ def main() -> None:
             release_caches(spark)
             calibration["middle"] = calibration_probe(spark)
         fn = contract.QUERIES[name]
-        # streaming builders run their drain eagerly; timing a repeat
-        # would re-execute the same stateful pass for no extra signal
-        runs = 1 if name.startswith("streaming_") else 3
+        # STREAMING = MEDIAN-OF-3 (r11 verdict item 3): each drain is a
+        # fresh checkpoint (uuid query names), so repeats are genuine
+        # independent samples — and the family is the suite's variance
+        # hotspot (13 drains × per-micro-batch state-store init: the
+        # r11 driver run read the family 27% over the same-tree calm
+        # run). The median absorbs a one-off ambient stall that a
+        # single run charges to the query; batch queries stay best-of-3
+        # (their first run's JVM warmup makes the min the steady-state
+        # number, unchanged since r5).
+        streaming = name.startswith("streaming_")
         samples: list[float] = []
         # per-query isolation: one broken query must never zero the bench
         try:
             release_caches(spark)  # clean room: untimed, between queries
-            for _ in range(runs):
+            for _ in range(3):
                 t0 = time.time()
                 fn(spark, SF_DIR).count()
                 samples.append(time.time() - t0)
-            times[name] = round(min(samples), 3)
-            medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+            med = sorted(samples)[len(samples) // 2]
+            times[name] = round(med if streaming else min(samples), 3)
+            medians[name] = round(med, 3)
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
 
@@ -376,6 +403,25 @@ def main() -> None:
         "calibration_sec": sorted(calibration.values())[
             len(calibration) // 2
         ],
+        # NOISE-ROBUST HEADLINE (r11 verdict item 3): `value` with the
+        # ambient machine speed divided out — suite total scaled by
+        # (reference probe / this run's probe), where the reference is
+        # the r11 two-run probe level (0.48 s) this yardstick was
+        # calibrated against. Round-over-round comparisons should use
+        # THIS number: the r11 driver-vs-builder 11% divergence on an
+        # identical tree came entirely from ambient speed the raw sum
+        # cannot see. Streaming entries inside `value` are additionally
+        # median-of-3 (see `streaming_stat`).
+        "value_calnorm": (
+            calnorm(
+                sum(times.values()),
+                sorted(calibration.values())[len(calibration) // 2],
+            )
+            if complete
+            else None
+        ),
+        "calibration_ref": CALIBRATION_REF,
+        "streaming_stat": "median_of_3",
         "detail_file": detail_name,
     }
     if failures:

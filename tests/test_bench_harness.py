@@ -43,3 +43,18 @@ def test_calibration_probe_returns_positive_seconds(spark):
     bench = _bench()
     t = bench.calibration_probe(spark)
     assert 0.0 < t < 60.0
+
+
+def test_calnorm_divides_out_ambient_speed():
+    """The r12 noise-robust headline: a run whose synthetic probe reads
+    2x the reference must report half its raw total, and a run at the
+    reference probe reports the raw total unchanged."""
+    bench = _bench()
+    assert bench.calnorm(100.0, bench.CALIBRATION_REF) == 100.0
+    assert bench.calnorm(100.0, 2 * bench.CALIBRATION_REF) == 50.0
+    # normalized totals of two runs of the same tree under different
+    # ambient speeds agree: (raw, probe) pairs that differ only by a
+    # common ambient factor normalize to the same number
+    assert bench.calnorm(173.2, 0.484 * (173.2 / 156.3)) == bench.calnorm(
+        156.3, 0.484
+    )

@@ -1,0 +1,231 @@
+"""Round-12 property blocks (r11 verdict item 5): adversarial ±Inf/NaN
+value fuzz for the stats family, each operator run against its OWN
+DuckDB oracle (the exact driver-gate comparison, via tools.selfcheck's
+canonicalize/compare) on hypothesis-drawn tables whose generators
+GUARANTEE NaN, +Inf, -Inf and NULL draws in the value column — the
+class of input where Spark and DuckDB semantics can silently diverge
+(Spark's total order puts NaN above +Inf; a bare ``x >= 1.0`` filter
+keeps both). The r12 seed probe of this exact shape found a real crash:
+``benford_profile`` overflowed the ANSI digit cast on a single +Inf row
+(fixed with an explicit finiteness filter on both engines; pinned
+below).
+
+Covered pairs: ks_values (ks_two_sample), mannwhitney_values
+(mannwhitney_two_sample), benford_prices (benford_profile), psi_drift
+(psi_drift), interarrival_stats (interarrival_stats — timestamps carry
+no NaN/Inf, so its adversarial classes are NULL/duplicate/tied
+timestamps, NULL users and single-event users).
+
+Free by construction: tests are outside the rotation tracer's scope,
+so property coverage grows without staling any driver-window query
+(the benford operator fix itself stales benford_prices — budgeted).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo/tools")
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+LINEITEM_SCHEMA = pa.schema(
+    [
+        ("l_orderkey", pa.int64()),
+        ("l_linenumber", pa.int64()),
+        ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()),
+    ]
+)
+
+
+def _gate(spark, name: str, sf_dir: str, tables: dict[str, pd.DataFrame]):
+    """Run contract query `name` AND its DuckDB oracle on the same
+    generated parquet, compared exactly like the driver gate."""
+    import duckdb
+
+    from selfcheck import canonicalize, compare
+    from uk_housing_dashboard_etl_spark import contract
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    got = contract.QUERIES[name](spark, sf_dir).toPandas()
+    want = con.sql(contract.ORACLES[name]).df()
+    con.close()
+    problems = compare(canonicalize(got), canonicalize(want))
+    assert not problems, f"{name} diverged on fuzzed input: {problems}"
+
+
+def _write_sf(tables: dict[str, tuple[pd.DataFrame, pa.Schema]]) -> str:
+    d = tempfile.mkdtemp(prefix="fuzz_sf_")
+    for t, (pdf, schema) in tables.items():
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    return d
+
+
+@st.composite
+def adversarial_values(draw, n_min=8, n_max=40, positive=False):
+    """A float64 column with GUARANTEED NaN, +Inf, -Inf and NULL
+    entries, plus random finite draws including exact ties and (unless
+    positive) negatives and zero."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=n_min, max_value=n_max))
+    lo = 0.5 if positive else -100.0
+    finite = rng.uniform(lo, 1000.0, n).round(2)  # 2dp -> natural ties
+    if positive:
+        # magnitude spread for digit extraction, incl. 10^e boundaries
+        finite = np.concatenate(
+            [finite, [1.0, 10.0, 100.0, 9.999999999, 0.5, 123.45]]
+        )
+    vals = list(finite) + [float("nan"), float("inf"), float("-inf"), None]
+    rng.shuffle(vals)
+    return vals
+
+
+def _events_pdf(rng: np.random.Generator, vals: list) -> pd.DataFrame:
+    n = len(vals)
+    # timestamps: spread over ~40 days (straddles psi's 01-16 split),
+    # with duplicates (ties) and some NULLs
+    hours = rng.integers(0, 24 * 40, n)
+    ts = [T0 + dt.timedelta(hours=int(h)) for h in hours]
+    for i in range(0, n, 7):
+        ts[i] = ts[min(i + 1, n - 1)]  # forced tie
+    if n > 3:
+        ts[3] = None
+    users = rng.integers(1, max(2, n // 4), n).astype(object)
+    if n > 5:
+        users[5] = None
+    return pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, n + 1), dtype="int64"),
+            "ts": ts,
+            "user_id": pd.array(list(users), dtype="Int64"),
+            "event_type": rng.choice(
+                ["click", "purchase", "view"], n
+            ).astype(object),
+            "value": vals,
+            "props": [""] * n,
+        }
+    )
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_ks_values_engine_identical_under_nan_inf(spark, vals, seed):
+    """ks_two_sample vs its DuckDB oracle on values including NaN/±Inf:
+    both engines must place the specials identically in the pooled CDF
+    (NaN groups as a single value, ±Inf at the order extremes)."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "ks_values", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_mannwhitney_engine_identical_under_nan_inf(spark, vals, seed):
+    """mannwhitney_two_sample vs its oracle: midranks over a pooled
+    order containing NaN/±Inf and exact ties must agree bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "mannwhitney_values", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_psi_drift_engine_identical_under_nan_inf(spark, vals, seed):
+    """psi_drift vs its oracle: reference-decile bucketing with NaN/±Inf
+    present in either window must bin identically on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "psi_drift", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_interarrival_engine_identical_on_tied_null_timestamps(
+    spark, vals, seed
+):
+    """interarrival_stats vs its oracle: gaps over (ts, event_id)-tied
+    orders, NULL ts/user rows and single-event users (values carry the
+    NaN/±Inf draws but don't enter the statistic — the adversarial axis
+    here is the ordering)."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "interarrival_stats", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(positive=True), seed=st.integers(0, 2**31))
+def test_benford_engine_identical_under_nan_inf(spark, vals, seed):
+    """benford_profile vs its oracle with NaN/±Inf in the price column:
+    the r12 seed probe crashed here (ANSI CAST_OVERFLOW on +Inf — NaN
+    and +Inf both pass ``x >= 1.0`` under Spark's total order); the
+    finiteness filter on both engines must hold on every draw,
+    including exact powers of 10 and near-boundary magnitudes."""
+    rng = np.random.default_rng(seed)
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": pd.array(range(1, n + 1), dtype="int64"),
+            "l_linenumber": pd.array(
+                list(rng.integers(1, 7, n)), dtype="int64"
+            ),
+            "l_quantity": rng.integers(1, 50, n).astype(float),
+            "l_extendedprice": vals,
+        }
+    )
+    sf = _write_sf({"lineitem": (pdf, LINEITEM_SCHEMA)})
+    try:
+        _gate(spark, "benford_prices", sf, {"lineitem": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

@@ -6248,7 +6248,9 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXTENSION_ORACLES["benford_prices"] = """
     WITH src AS (
         SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
-        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0
+        WHERE l_extendedprice IS NOT NULL
+          AND isfinite(l_extendedprice)
+          AND l_extendedprice >= 1.0
     ), e0s AS (
         SELECT x, CAST(floor(log10(x)) AS INT) AS e0 FROM src
     ), es AS (
@@ -10601,20 +10603,23 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-12 driver window (tools/rotation.py --plan at round open).
-# Required set (4): streaming_attribution (switched from the constant-8
+# Required set (5): streaming_attribution (switched from the constant-8
 # helper to measured-group sizing — the r11 deliberate deferral),
 # streaming_enriched (state sized from the composite (segment,
 # event_type) key product, r11 advice), streaming_anomaly (the fold's
-# GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4) and
+# GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4),
 # sketch_quantiles (retry group-set mismatch fails the band instead of
-# KeyError, r11 advice). Fill (46) = the full r5 era (36) + the 10
-# oldest r6-era names; the 18 remaining r6-era names queue for r13.
-# # required=4 (new=0), fill=46 (through r6-era), queue=18
+# KeyError, r11 advice) and benford_prices (the r12 NaN/Inf fuzz found
+# +Inf crashes the ANSI digit cast — finiteness filter on both
+# engines). Fill (45) = the full r5 era (36) + the 9 oldest r6-era
+# names; the 19 remaining r6-era names queue for r13.
+# # required=5 (new=0), fill=45 (through r6-era), queue=19
 _R12_FRONT: list[str] = [
     "streaming_attribution",
     "streaming_enriched",
     "streaming_anomaly",
     "sketch_quantiles",
+    "benford_prices",
     "copurchase_triangles",
     "pagerank_trade",
     "degree_profile",
@@ -10660,9 +10665,9 @@ _R12_FRONT: list[str] = [
     "sketch_intersection_check",
     "embedding_quantile_norm",
     "expectations",
-    "dedup_exact",
 ]
 _R12_QUEUE: list[str] = [
+    "dedup_exact",
     "sketch_cardinalities",
     "sketch_weekly_distinct",
     "type_breakdown",

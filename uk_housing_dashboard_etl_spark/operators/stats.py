@@ -410,7 +410,12 @@ def benford_profile(
     re-derives e from the order comparison, which is exact because
     10^e is an exact double for 0 ≤ e ≤ 22), then digit =
     floor(x / 10^e) on exactly-rounded IEEE division. Values below
-    ``min_value`` (≥ 1 keeps e non-negative) are excluded.
+    ``min_value`` (≥ 1 keeps e non-negative) are excluded, and so are
+    NaN and +Inf: neither has a first digit, and both sort ABOVE any
+    finite threshold in Spark's comparison semantics (NaN > +Inf >
+    every finite double), so without the explicit finiteness filter a
+    single +Inf row overflows the digit cast under ANSI (r12 NaN/Inf
+    fuzz finding).
 
     Plan: one projection + a 9-group partial aggregate; the share
     normalization is a window over the 9-row aggregate. Scales as a
@@ -438,7 +443,12 @@ def benford_profile(
     p = F.pow(F.lit(10.0), e.cast("double"))
     digit = F.floor(x / p).cast("int")
     counts = (
-        df.where(F.col(value_col).isNotNull() & (x >= F.lit(min_value)))
+        df.where(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(x)
+            & (x < F.lit(float("inf")))
+            & (x >= F.lit(min_value))
+        )
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
