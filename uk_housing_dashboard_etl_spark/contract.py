@@ -6543,8 +6543,16 @@ def q_streaming_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     except FileExistsError:
         pass
     sdf = distinct_stream(spark, land)
+    # DELIBERATE PROXY (r11 verdict item 7): the agg keys state on week
+    # alone, but the sizing reuses the weekly drain's (week, event_type)
+    # memo slot instead of paying a second approx_count_distinct scan
+    # (~0.5 s/suite). The composite count is a small constant factor
+    # (|event_type| ~5) over the true key count, and the JVM rule's
+    # 25k-keys-per-shard divisor absorbs it: both counts pick the floor
+    # (4) at sf0.1 and both clamp to the cluster default at scale, so
+    # the proxy never changes the partition pick — only the scan count.
     groups = _measured_groups(
-        spark, sf_dir, "events", ("date_trunc('week', ts)",)
+        spark, sf_dir, "events", ("date_trunc('week', ts)", "event_type")
     )
     with _sized_state_partitions(spark, groups):
         approx = run_stream_once(
@@ -10603,23 +10611,26 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-12 driver window (tools/rotation.py --plan at round open).
-# Required set (5): streaming_attribution (switched from the constant-8
+# Required set (6): streaming_attribution (switched from the constant-8
 # helper to measured-group sizing — the r11 deliberate deferral),
 # streaming_enriched (state sized from the composite (segment,
 # event_type) key product, r11 advice), streaming_anomaly (the fold's
 # GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4),
 # sketch_quantiles (retry group-set mismatch fails the band instead of
-# KeyError, r11 advice) and benford_prices (the r12 NaN/Inf fuzz found
-# +Inf crashes the ANSI digit cast — finiteness filter on both
-# engines). Fill (45) = the full r5 era (36) + the 9 oldest r6-era
-# names; the 19 remaining r6-era names queue for r13.
-# # required=5 (new=0), fill=45 (through r6-era), queue=19
+# KeyError, r11 advice), benford_prices (the r12 NaN/Inf fuzz found
+# +Inf crashes the ANSI digit cast — finiteness filter on both engines)
+# and streaming_distinct_check (sizing now shares the weekly drain's
+# memo slot instead of paying its own scan — documented proxy, r11
+# verdict item 7). Fill (44) = the full r5 era (36) + the 8 oldest
+# r6-era names; the 20 remaining r6-era names queue for r13.
+# # required=6 (new=0), fill=44 (through r6-era), queue=20
 _R12_FRONT: list[str] = [
     "streaming_attribution",
     "streaming_enriched",
     "streaming_anomaly",
     "sketch_quantiles",
     "benford_prices",
+    "streaming_distinct_check",
     "copurchase_triangles",
     "pagerank_trade",
     "degree_profile",
@@ -10664,9 +10675,9 @@ _R12_FRONT: list[str] = [
     "salted_join_stats",
     "sketch_intersection_check",
     "embedding_quantile_norm",
-    "expectations",
 ]
 _R12_QUEUE: list[str] = [
+    "expectations",
     "dedup_exact",
     "sketch_cardinalities",
     "sketch_weekly_distinct",
