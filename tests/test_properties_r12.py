@@ -14,7 +14,13 @@ Covered pairs: ks_values (ks_two_sample), mannwhitney_values
 (mannwhitney_two_sample), benford_prices (benford_profile), psi_drift
 (psi_drift), interarrival_stats (interarrival_stats — timestamps carry
 no NaN/Inf, so its adversarial classes are NULL/duplicate/tied
-timestamps, NULL users and single-event users).
+timestamps, NULL users and single-event users), and the second sweep's
+findings: twap (time_weighted_mean — ANSI bigint overflow on ±Inf in
+the integer-unit quantization), peak_sessions (ENGINE DIVERGENCE:
+Spark's floor(double) returns LONG and silently saturates ±Inf/NaN
+while DuckDB's stays DOUBLE and its cast raises), trimmed_stats and
+winsorized_prices (both crash in dsum's quantization on ±Inf reaching
+the kept/clipped rows).
 
 Free by construction: tests are outside the rotation tracer's scope,
 so property coverage grows without staling any driver-window query
@@ -227,5 +233,101 @@ def test_benford_engine_identical_under_nan_inf(spark, vals, seed):
     sf = _write_sf({"lineitem": (pdf, LINEITEM_SCHEMA)})
     try:
         _gate(spark, "benford_prices", sf, {"lineitem": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+ORDERS_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.date32()),
+        ("o_orderstatus", pa.string()),
+        ("o_orderpriority", pa.string()),
+    ]
+)
+
+
+def _orders_pdf(rng: np.random.Generator, vals: list) -> pd.DataFrame:
+    n = len(vals)
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, n + 1), dtype="int64"),
+            "o_custkey": pd.array(
+                list(rng.integers(1, max(2, n // 3), n)), dtype="int64"
+            ),
+            "o_totalprice": vals,
+            "o_orderdate": [
+                dt.date(2024, 1, int(d)) for d in rng.integers(1, 28, n)
+            ],
+            "o_orderstatus": rng.choice(["F", "O", "P"], n).astype(object),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM"], n
+            ).astype(object),
+        }
+    )
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_twap_engine_identical_under_nan_inf(spark, vals, seed):
+    """time_weighted_mean vs its oracle: a single ±Inf/NaN observation
+    crashed the ANSI bigint quantization pre-fix; post-fix both engines
+    drop non-finite observations BEFORE the lead so holding intervals
+    accrue identically."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "twap", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_peak_sessions_engine_identical_under_nan_inf(spark, vals, seed):
+    """peak_concurrency vs its oracle: pre-fix Spark's floor(double)
+    SILENTLY saturated ±Inf to maxlong (a 1807 s phantom session) and
+    NaN to 0 while DuckDB raised — the worst divergence class, one
+    engine wrong and the other dead. The finiteness filter must hold on
+    every draw, midnight-crossers included."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "peak_sessions", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_trimmed_stats_engine_identical_under_nan_inf(spark, vals, seed):
+    """trimmed_stats vs its oracle: non-finite rows must leave the
+    ranked population on BOTH engines (NULLs keep their rank-first
+    behavior), so the trim boundaries and the kept-row dsum agree."""
+    rng = np.random.default_rng(seed)
+    pdf = _orders_pdf(rng, vals)
+    sf = _write_sf({"orders": (pdf, ORDERS_SCHEMA)})
+    try:
+        _gate(spark, "trimmed_stats", sf, {"orders": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_winsorized_engine_identical_under_nan_inf(spark, vals, seed):
+    """winsorized_stats vs its oracle: percentile fences, raw mean and
+    clipped mean all exclude non-finite rows identically — an Inf row
+    clipped to a fence would silently launder the sentinel into the
+    mean on whichever engine survived it."""
+    rng = np.random.default_rng(seed)
+    pdf = _orders_pdf(rng, vals)
+    sf = _write_sf({"orders": (pdf, ORDERS_SCHEMA)})
+    try:
+        _gate(spark, "winsorized_prices", sf, {"orders": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)

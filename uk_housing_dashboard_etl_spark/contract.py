@@ -5112,11 +5112,20 @@ _EXTENSION_ORACLES["twap"] = """
                    ORDER BY ts, event_id)) - epoch_us(ts) AS dt
         FROM events
         WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+          AND isfinite(value)
     )
     SELECT key, count(*) AS n_obs,
-           floor((CAST(sum(CAST(round(value * 10000.0) AS BIGINT) * dt)
-                      AS DOUBLE) / 10000.0 / sum(dt))
-                 * 10000.0 + 0.5) / 10000.0 AS twap
+           -- HUGEINT multiply: value-units x µs-gaps overflows INT64
+           -- (5e6 units x 3e12 µs crosses 2^63; the Spark side
+           -- accumulates in decimal(38) for the same reason), and a
+           -- key whose observations are all timestamp-tied has
+           -- sum(dt) = 0 -> NULL twap, matching the operator
+           CASE WHEN sum(dt) > 0 THEN
+               floor((CAST(sum(CAST(round(value * 10000.0) AS HUGEINT)
+                               * dt)
+                          AS DOUBLE) / 10000.0 / sum(dt))
+                     * 10000.0 + 0.5) / 10000.0
+           END AS twap
     FROM base GROUP BY key
     """
 
@@ -5751,6 +5760,7 @@ _EXTENSION_ORACLES["trimmed_stats"] = f"""
                    ORDER BY o_totalprice, o_orderkey) AS rn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
+        WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
     ), kept AS (
         SELECT * FROM r
         WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
@@ -8368,13 +8378,22 @@ def q_peak_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The Spark plan is the distributed two-phase prefix sum (within-day
     windows + a day-grain carry); the oracle is the single global
     running sum — they must agree exactly, midnight-crossers included.
+
+    Non-finite values are excluded: a session length derived from
+    NaN/±Inf is meaningless, and the engines SILENTLY DIVERGE on it —
+    Spark's ``floor(double)`` returns LONG and saturates (+Inf →
+    maxlong → 1807 s after the modulo, NaN → 0) while DuckDB's floor
+    stays DOUBLE and its bigint cast raises (r12 fuzz finding).
     """
     from uk_housing_dashboard_etl_spark.operators.timeseries import (
         peak_concurrency,
     )
 
     ev = read_table(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
     )
     iv = ev.select(
         F.col("ts").alias("start_ts"),
@@ -8391,7 +8410,8 @@ _EXTENSION_ORACLES["peak_sessions"] = """
         SELECT ts AS s,
                ts + (1 + CAST(floor(value) AS BIGINT) % 3600)
                    * INTERVAL 1 SECOND AS e
-        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
     ), pts AS (
         SELECT t, sum(ns) AS ns, sum(ne) AS ne
         FROM (SELECT s AS t, 1 AS ns, 0 AS ne FROM iv
@@ -9642,7 +9662,9 @@ ORACLES["winsorized_prices"] = """
                floor((CAST(sum(CAST(round(o_totalprice * 10000.0) AS BIGINT)) AS DOUBLE)
                       / 10000.0 / count(o_totalprice)) * 10000.0 + 0.5)
                    / 10000.0 AS raw_mean
-        FROM orders GROUP BY 1
+        FROM orders
+        WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
+        GROUP BY 1
     )
     SELECT f.grp AS o_orderpriority, f.n, f.p_lo, f.p_hi, f.raw_mean,
            -- NULL values stay NULL so the dsum/count mean skips them
@@ -9657,6 +9679,7 @@ ORACLES["winsorized_prices"] = """
                   / 10000.0 / count(o.o_totalprice)) * 10000.0 + 0.5)
                / 10000.0 AS winsorized_mean
     FROM orders o JOIN fences f ON o.o_orderpriority = f.grp
+    WHERE o.o_totalprice IS NULL OR isfinite(o.o_totalprice)
     GROUP BY 1, 2, 3, 4, 5
 """
 QUERIES["winsorized_prices"] = q_winsorized_prices
@@ -10610,27 +10633,35 @@ QUERIES = {
 
 
 # ---------------------------------------------------------------------------
-# Round-12 driver window (tools/rotation.py --plan at round open).
-# Required set (6): streaming_attribution (switched from the constant-8
-# helper to measured-group sizing — the r11 deliberate deferral),
-# streaming_enriched (state sized from the composite (segment,
-# event_type) key product, r11 advice), streaming_anomaly (the fold's
-# GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4),
+# Round-12 driver window (tools/rotation.py --plan at round close).
+# Required set (10): streaming_attribution (switched from the
+# constant-8 helper to measured-group sizing — the r11 deliberate
+# deferral), streaming_enriched (state sized from the composite
+# (segment, event_type) key product, r11 advice), streaming_anomaly
+# (the fold's GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4),
 # sketch_quantiles (retry group-set mismatch fails the band instead of
-# KeyError, r11 advice), benford_prices (the r12 NaN/Inf fuzz found
-# +Inf crashes the ANSI digit cast — finiteness filter on both engines)
-# and streaming_distinct_check (sizing now shares the weekly drain's
-# memo slot instead of paying its own scan — documented proxy, r11
-# verdict item 7). Fill (44) = the full r5 era (36) + the 8 oldest
-# r6-era names; the 20 remaining r6-era names queue for r13.
-# # required=6 (new=0), fill=44 (through r6-era), queue=20
+# KeyError, r11 advice), streaming_distinct_check (sizing shares the
+# weekly drain's memo slot — documented proxy, r11 verdict item 7),
+# and the five pairs the r12 NaN/Inf fuzz repaired on both engines:
+# benford_prices (+Inf overflowed the ANSI digit cast), twap (±Inf
+# overflowed the unit quantization; all-tied timestamps divided by
+# zero; the oracle's INT64 product crossed 2^63), peak_sessions
+# (Spark floor() saturates ±Inf silently while DuckDB raises),
+# trimmed_stats and winsorized_prices (±Inf reaching dsum's bigint
+# cast). Fill (40) = the full r5 era (36) + the 4 oldest r6-era
+# names; the 24 remaining r6-era names queue for r13.
+# # required=10 (new=0), fill=40 (through r6-era), queue=24
 _R12_FRONT: list[str] = [
+    "peak_sessions",
     "streaming_attribution",
+    "winsorized_prices",
     "streaming_enriched",
     "streaming_anomaly",
     "sketch_quantiles",
     "benford_prices",
     "streaming_distinct_check",
+    "twap",
+    "trimmed_stats",
     "copurchase_triangles",
     "pagerank_trade",
     "degree_profile",
@@ -10671,12 +10702,12 @@ _R12_FRONT: list[str] = [
     "bloom_join_prune",
     "link_prediction",
     "acf_weekly",
+]
+_R12_QUEUE: list[str] = [
     "band_join",
     "salted_join_stats",
     "sketch_intersection_check",
     "embedding_quantile_norm",
-]
-_R12_QUEUE: list[str] = [
     "expectations",
     "dedup_exact",
     "sketch_cardinalities",

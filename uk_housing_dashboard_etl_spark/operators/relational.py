@@ -1057,8 +1057,19 @@ def trimmed_stats(
     priorities) but each group is fact-sized — at 100 TB replace the
     exact rank cut with approx-percentile boundaries at (trim, 100−trim)
     and a filter, which needs no per-group sort.
+
+    NaN/±Inf rows are excluded from the ranked population (NULLs keep
+    their existing rank-first behavior): a non-finite value cannot
+    quantize to dsum's integer units — a single ±Inf row inside the
+    kept band overflows the ANSI bigint cast (r12 fuzz finding) — and
+    trimming is exactly the tool that should not let sentinel values
+    consume trim slots.
     """
-    ranked = orders.select(
+    vc = F.col(value_col)
+    finite = vc.isNull() | (
+        ~F.isnan(vc) & (F.abs(vc) < F.lit(float("inf")))
+    )
+    ranked = orders.where(finite).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("val"),
         F.row_number().over(

@@ -869,12 +869,22 @@ def winsorized_stats(
     can't move it. Two passes over the fact input, one shuffle each —
     at 100 TB swap the exact fences for KLL estimates and the plan
     shape is unchanged.
+
+    NaN/±Inf rows are excluded entirely (NULLs keep their documented
+    skip-but-count behavior): a non-finite value poisons the exact
+    percentile fences AND overflows dsum's ANSI bigint quantization
+    (r12 fuzz finding) — and a clip-to-fence of an Inf row would
+    silently launder the sentinel into the mean.
     """
     from uk_housing_dashboard_etl_spark.functions.rounding import (
         dmean,
         round4,
     )
 
+    vc = F.col(value_col)
+    df = df.where(
+        vc.isNull() | (~F.isnan(vc) & (F.abs(vc) < F.lit(float("inf"))))
+    )
     fences = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         round4(F.percentile(value_col, lo)).alias("p_lo"),

@@ -165,6 +165,13 @@ def time_weighted_mean(
     to 1e-4 units before the weighted sum, so the result is exact
     integer arithmetic until the final divide (engine-independent;
     the oracle reproduces it bit-for-bit), then 4dp-rounded.
+
+    Non-finite values (NaN/±Inf) are excluded BEFORE the lead — they
+    pass an IS NOT NULL filter but cannot quantize to integer units
+    (the ANSI bigint cast overflows on a single ±Inf row; r12 fuzz
+    finding, same class as benford_profile). A dropped observation's
+    holding interval accrues to its predecessor, identically on both
+    engines since the oracle filters at the same stage.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
     dt_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(
@@ -183,6 +190,8 @@ def time_weighted_mean(
             F.col(ts_col).isNotNull()
             & F.col(key_col).isNotNull()
             & F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col))
+            & (F.abs(F.col(value_col)) < F.lit(float("inf")))
         )
         .select(
             F.col(key_col).alias("key"),
@@ -190,12 +199,18 @@ def time_weighted_mean(
             dt_us.alias("__w"),
         )
     )
+    # a key whose observations are ALL timestamp-tied has Σdt = 0 (not
+    # NULL — that's the single-observation case): no elapsed time to
+    # weight by, so twap is NULL, never an ANSI divide-by-zero (r12
+    # fuzz finding)
+    total_w = F.sum("__w")
     return weighted.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_obs"),
         round4(
-            F.sum("__wv").cast("double")
-            / F.lit(10000.0)
-            / F.sum("__w")
+            F.when(
+                total_w > 0,
+                F.sum("__wv").cast("double") / F.lit(10000.0) / total_w,
+            )
         ).alias("twap"),
     )
 
