@@ -331,3 +331,23 @@ def test_winsorized_engine_identical_under_nan_inf(spark, vals, seed):
         _gate(spark, "winsorized_prices", sf, {"orders": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_anomaly_check_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The stateful anomaly drain's batch twin vs its oracle on values
+    including NaN/±Inf: non-finite values must score unknown and leave
+    the prefix stats on BOTH engines — pre-fix, a single ±Inf folded
+    into the Welford state (mean=Inf, m2=NaN) and poisoned every later
+    score for the key, the exact class the fold's NaN guard was built
+    for."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "streaming_anomaly_check", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

@@ -838,3 +838,48 @@ def test_stateful_anomaly_group_batch_cap_fails_fast(monkeypatch):
     # under the cap: the fold runs and scores normally
     out = list(stateful._score_group(("a",), iter([chunk([0, 1, 2])]), FakeState()))
     assert len(out) == 1 and len(out[0]) == 3
+
+
+def test_stateful_anomaly_inf_value_does_not_poison_state():
+    """±Inf must behave exactly like NULL/NaN in the fold (r12 fuzz):
+    scored unknown, never folded — pre-fix one +Inf set mean=Inf and
+    the next delta made m2 NaN, poisoning the key's state for every
+    future batch."""
+    import math
+
+    import pandas as pd
+
+    from uk_housing_dashboard_etl_spark.streaming import stateful
+
+    class FakeState:
+        exists = False
+        stored = None
+
+        def update(self, t):
+            self.stored = t
+
+        @property
+        def get(self):
+            return self.stored
+
+    t0 = dt.datetime(2024, 1, 1)
+    chunk = pd.DataFrame(
+        {
+            "key": "a",
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [t0 + dt.timedelta(hours=i) for i in range(6)],
+            "value": [10.0, float("inf"), 11.0, float("-inf"), 12.0, 13.0],
+        }
+    )
+    state = FakeState()
+    out = list(stateful._score_group(("a",), iter([chunk]), state))[0]
+    # the two Inf rows score unknown; n_seen freezes at the prior count
+    inf_rows = out[~out["value"].apply(lambda v: math.isfinite(v))]
+    assert inf_rows["zscore"].isna().all()
+    assert inf_rows["is_anomaly"].isna().all()
+    assert list(inf_rows["n_seen"]) == [1, 2]
+    # state holds ONLY the four finite values: mean finite, m2 finite
+    n, mean, m2 = state.stored
+    assert n == 4
+    assert math.isfinite(mean) and math.isfinite(m2)
+    assert abs(mean - 11.5) < 1e-12

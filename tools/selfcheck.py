@@ -39,7 +39,14 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df[sorted(df.columns)].copy()
     for c in out.columns:
         if out[c].dtype == object:
+            # a SQL NULL in an object column surfaces as None from
+            # Spark's toPandas but NaN from DuckDB's .df() — same
+            # value, different pandas spelling; normalize BEFORE the
+            # string compare (seen live: NULL boolean flags in the
+            # r12 NaN/Inf fuzz)
+            na = out[c].isna()
             out[c] = out[c].astype(str)
+            out.loc[na, c] = "<NULL>"
     out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
     return out
 

@@ -1634,7 +1634,11 @@ def q_streaming_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARE batch-SQL-expressible as prefix window aggregates, so this twin
     computes them with avg/stddev_samp/count over ``ROWS BETWEEN
     UNBOUNDED PRECEDING AND 1 PRECEDING`` and is hash-matched against
-    the identical DuckDB window SQL. z-scores are 4dp-quantized
+    the identical DuckDB window SQL. NULL/NaN/±Inf values score unknown
+    (NULL z, NULL flag) and never enter the prefix stats on either
+    engine — the batch mirror of the fold's state-poisoning guard (the
+    r12 fuzz extended the r10 NULL/NaN class with ±Inf, which poisons
+    Welford state just the same). z-scores are 4dp-quantized
     (``round4``) on both sides; flags/counts are exact. The drain
     itself equals this frame row-for-row on a single-batch landing —
     pinned by ``tests/test_streaming.py::
@@ -1655,9 +1659,17 @@ def q_streaming_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = Window.partitionBy("key").orderBy("ts", "event_id")
     wp = order.rowsBetween(Window.unboundedPreceding, -1)
     wc = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    n_prior = F.count("value").over(wp)
-    mean_prior = F.avg("value").over(wp)
-    std_prior = F.stddev_samp("value").over(wp)
+    # the drain scores NULL/NaN/±Inf as unknown and never folds them
+    # (state poisoning — see the fold's guard); the twin mirrors that
+    # by feeding the window aggregates a NULLed-out copy of the value
+    # so non-finite rows leave the prefix stats on both engines
+    unknown = F.col("value").isNull() | F.isnan("value") | (
+        F.abs("value") >= F.lit(float("inf"))
+    )
+    fv = F.when(~unknown, F.col("value"))
+    n_prior = F.count(fv).over(wp)
+    mean_prior = F.avg(fv).over(wp)
+    std_prior = F.stddev_samp(fv).over(wp)
     z_raw = (F.col("value") - mean_prior) / std_prior
     has_stats = (n_prior >= F.lit(2)) & (std_prior > F.lit(0.0))
     return base.select(
@@ -1665,15 +1677,15 @@ def q_streaming_anomaly_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.when(F.col("value").isNull(), F.lit(None).cast("double"))
+        F.when(unknown, F.lit(None).cast("double"))
         .when(has_stats, round4(z_raw))
         .otherwise(F.lit(0.0))
         .alias("zscore"),
-        F.when(F.col("value").isNull(), F.lit(None).cast("boolean"))
+        F.when(unknown, F.lit(None).cast("boolean"))
         .when(has_stats, F.abs(z_raw) > F.lit(3.0))
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
-        F.count("value").over(wc).alias("n_seen"),
+        F.count(fv).over(wc).alias("n_seen"),
     )
 
 
@@ -10525,15 +10537,19 @@ QUERIES = {
 # before the window instead of loosening the gate.
 ORACLES["streaming_anomaly_check"] = f"""
 WITH e AS (
-    SELECT CAST(event_type AS VARCHAR) AS key, event_id, ts, value
+    SELECT CAST(event_type AS VARCHAR) AS key, event_id, ts, value,
+           -- NULL/NaN/±Inf score unknown and never enter the prefix
+           -- stats, mirroring the drain's state-poisoning guard
+           CASE WHEN value IS NOT NULL AND isfinite(value) THEN value
+           END AS fv
     FROM events
     WHERE ts IS NOT NULL AND event_type IS NOT NULL
 ), s AS (
-    SELECT key, event_id, ts, value,
-           count(value) OVER wp AS n_prior,
-           avg(value) OVER wp AS mean_prior,
-           stddev_samp(value) OVER wp AS std_prior,
-           count(value) OVER wc AS n_seen
+    SELECT key, event_id, ts, value, fv,
+           count(fv) OVER wp AS n_prior,
+           avg(fv) OVER wp AS mean_prior,
+           stddev_samp(fv) OVER wp AS std_prior,
+           count(fv) OVER wc AS n_seen
     FROM e
     WINDOW wp AS (PARTITION BY key ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -10541,11 +10557,11 @@ WITH e AS (
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT key, event_id, ts, value,
-       CASE WHEN value IS NULL THEN NULL
+       CASE WHEN fv IS NULL THEN NULL
             WHEN n_prior >= 2 AND std_prior > 0
                  THEN {round4_sql('(value - mean_prior) / std_prior')}
             ELSE 0.0 END AS zscore,
-       CASE WHEN value IS NULL THEN NULL
+       CASE WHEN fv IS NULL THEN NULL
             WHEN n_prior >= 2 AND std_prior > 0
                  THEN abs((value - mean_prior) / std_prior) > 3.0
             ELSE FALSE END AS is_anomaly,
@@ -10634,23 +10650,25 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-12 driver window (tools/rotation.py --plan at round close).
-# Required set (10): streaming_attribution (switched from the
+# Required set (11): streaming_attribution (switched from the
 # constant-8 helper to measured-group sizing — the r11 deliberate
 # deferral), streaming_enriched (state sized from the composite
-# (segment, event_type) key product, r11 advice), streaming_anomaly
-# (the fold's GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4),
-# sketch_quantiles (retry group-set mismatch fails the band instead of
-# KeyError, r11 advice), streaming_distinct_check (sizing shares the
-# weekly drain's memo slot — documented proxy, r11 verdict item 7),
-# and the five pairs the r12 NaN/Inf fuzz repaired on both engines:
-# benford_prices (+Inf overflowed the ANSI digit cast), twap (±Inf
-# overflowed the unit quantization; all-tied timestamps divided by
-# zero; the oracle's INT64 product crossed 2^63), peak_sessions
-# (Spark floor() saturates ±Inf silently while DuckDB raises),
-# trimmed_stats and winsorized_prices (±Inf reaching dsum's bigint
-# cast). Fill (40) = the full r5 era (36) + the 4 oldest r6-era
-# names; the 24 remaining r6-era names queue for r13.
-# # required=10 (new=0), fill=40 (through r6-era), queue=24
+# (segment, event_type) key product, r11 advice), streaming_anomaly +
+# streaming_anomaly_check (the fold's GROUP_BATCH_MAX_ROWS memory
+# guard, r11 verdict item 4, plus the ±Inf state-poisoning guard the
+# r12 fuzz found — non-finite scores unknown on drain, twin and
+# oracle alike), sketch_quantiles (retry group-set mismatch fails the
+# band instead of KeyError, r11 advice), streaming_distinct_check
+# (sizing shares the weekly drain's memo slot — documented proxy, r11
+# verdict item 7), and the five pairs the r12 NaN/Inf fuzz repaired on
+# both engines: benford_prices (+Inf overflowed the ANSI digit cast),
+# twap (±Inf overflowed the unit quantization; all-tied timestamps
+# divided by zero; the oracle's INT64 product crossed 2^63),
+# peak_sessions (Spark floor() saturates ±Inf silently while DuckDB
+# raises), trimmed_stats and winsorized_prices (±Inf reaching dsum's
+# bigint cast). Fill (39) = the full r5 era (36) + the 3 oldest
+# r6-era names; the 25 remaining r6-era names queue for r13.
+# # required=11 (new=0), fill=39 (through r6-era), queue=25
 _R12_FRONT: list[str] = [
     "peak_sessions",
     "streaming_attribution",
@@ -10662,6 +10680,7 @@ _R12_FRONT: list[str] = [
     "streaming_distinct_check",
     "twap",
     "trimmed_stats",
+    "streaming_anomaly_check",
     "copurchase_triangles",
     "pagerank_trade",
     "degree_profile",
@@ -10701,9 +10720,9 @@ _R12_FRONT: list[str] = [
     "khop_distances",
     "bloom_join_prune",
     "link_prediction",
-    "acf_weekly",
 ]
 _R12_QUEUE: list[str] = [
+    "acf_weekly",
     "band_join",
     "salted_join_stats",
     "sketch_intersection_check",

@@ -120,11 +120,15 @@ def _score_group(
     pdf = pd.concat(chunks).sort_values(["ts", "event_id"], kind="mergesort")
     out_z, out_flag, out_n = [], [], []
     for v in pdf["value"]:
-        # a NULL/NaN value must NOT fold into the accumulators —
-        # one such event would set mean/m2 to NaN and poison the
-        # key's state for every future batch (r10 sweep). It scores
-        # as unknown (NULL z, NULL flag) and n_seen stays put.
-        if v is None or (isinstance(v, float) and math.isnan(v)):
+        # a NULL/NaN/±Inf value must NOT fold into the accumulators —
+        # one such event would set mean/m2 to NaN/Inf and poison the
+        # key's state for every future batch (r10 sweep caught
+        # NULL/NaN; the r12 fuzz caught ±Inf doing the same through
+        # the Welford delta). It scores as unknown (NULL z, NULL
+        # flag) and n_seen stays put.
+        if v is None or (
+            isinstance(v, float) and (math.isnan(v) or math.isinf(v))
+        ):
             out_z.append(None)
             out_flag.append(None)
             out_n.append(n)
