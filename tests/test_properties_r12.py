@@ -351,3 +351,103 @@ def test_streaming_anomaly_check_engine_identical_under_nan_inf(
         _gate(spark, "streaming_anomaly_check", sf, {"events": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+CUSTOMER_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("c_name", pa.string()),
+        ("c_mktsegment", pa.string()),
+        ("c_nationkey", pa.int64()),
+    ]
+)
+
+FAST = settings(
+    max_examples=3,  # each example drains a real streaming query
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _customer_pdf(rng: np.random.Generator, n_users: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "c_custkey": pd.array(range(1, n_users + 1), dtype="int64"),
+            "c_name": [f"c{i}" for i in range(1, n_users + 1)],
+            "c_mktsegment": rng.choice(
+                ["BUILDING", "MACHINERY"], n_users
+            ).astype(object),
+            "c_nationkey": pd.array([0] * n_users, dtype="int64"),
+        }
+    )
+
+
+@FAST
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_weekly_gate_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The weekly drain's deterministic integer-unit mean vs its batch
+    oracle on NaN/±Inf values: pre-fix Spark's floor silently saturated
+    them into the unit sum while DuckDB raised — non-finite now leaves
+    the mean like NULL on both engines, across a real drain."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "streaming_weekly", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@FAST
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_enriched_gate_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The stream-static enrichment drain's integer-unit value sum vs
+    its batch join oracle under NaN/±Inf — the sum skips non-finite,
+    the row still counts in n_events, identically on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    cust = _customer_pdf(rng, int(pd.Series(pdf["user_id"]).max() or 5) + 2)
+    sf = _write_sf(
+        {"events": (pdf, EVENTS_SCHEMA), "customer": (cust, CUSTOMER_SCHEMA)}
+    )
+    try:
+        _gate(spark, "streaming_enriched", sf, {"events": pdf, "customer": cust})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_mg_heavy_hitters_engine_identical_under_nan_inf(spark, vals, seed):
+    """mg_heavy_hitters vs its exact GROUP BY/HAVING oracle: non-finite
+    values have no bucket (Spark floor saturates +Inf to a phantom
+    maxlong bucket, NaN to bucket 0; DuckDB raises) — both engines now
+    filter to finite before bucketing."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "mg_heavy_hitters", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_seasonality_profile_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """seasonality_profile vs its oracle: the per-(type, dow) unit-sum
+    mean skips non-finite values like NULLs on both engines while the
+    share denominators still count every row."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "seasonality_profile", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

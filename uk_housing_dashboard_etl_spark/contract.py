@@ -4587,8 +4587,9 @@ _EXTENSION_ORACLES["dedup_keep_best"] = f"""
 _EXTENSION_ORACLES["streaming_enriched"] = """
     SELECT c.c_mktsegment AS segment, e.event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT))
-                AS DOUBLE) / 10000.0 AS value_sum
+           CAST(sum(CASE WHEN isfinite(e.value) THEN
+                        CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 10000.0 AS value_sum
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.ts IS NOT NULL
     GROUP BY 1, 2
@@ -4747,8 +4748,11 @@ _EXTENSION_ORACLES["streaming_weekly"] = """
     SELECT date_trunc('week', ts) AS week,
            event_type,
            count(*) AS transactions,
-           round((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
-                      AS DOUBLE) / 10000.0) / count(value), 4) AS value_mean
+           round((CAST(sum(CASE WHEN isfinite(value) THEN
+                               CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                           END) AS DOUBLE) / 10000.0)
+                 / count(CASE WHEN isfinite(value) THEN value END),
+                 4) AS value_mean
     FROM events
     WHERE ts IS NOT NULL
     GROUP BY 1, 2
@@ -7437,14 +7441,19 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan is (type × 7)-grain; the share is a window over that
     tiny frame."""
     ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # non-finite values leave the mean like NULLs (the integer-unit
+    # quantization saturates on Spark, raises on DuckDB — r12 fuzz)
+    units = F.expr(
+        "CASE WHEN NOT isnan(value)"
+        " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+        " THEN CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END"
+    )
     cells = ev.groupBy(
         F.col("event_type"), F.dayofweek("ts").alias("dow")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(
-            F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
-        ).alias("__units"),
-        F.count("value").alias("__nv"),
+        F.sum(units).alias("__units"),
+        F.count(units).alias("__nv"),
     )
     w = Window.partitionBy("event_type")
     return cells.select(
@@ -7467,8 +7476,10 @@ _EXTENSION_ORACLES["seasonality_profile"] = """
     WITH cells AS (
         SELECT event_type, dayofweek(ts) + 1 AS dow,
                count(*) AS n_events,
-               sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS units,
-               count(value) AS nv
+               sum(CASE WHEN isfinite(value) THEN
+                       CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                   END) AS units,
+               count(CASE WHEN isfinite(value) THEN value END) AS nv
         FROM events WHERE ts IS NOT NULL
         GROUP BY 1, 2
     )
@@ -9104,6 +9115,8 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").where(
         F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs("value") < F.lit(float("inf")))
     )
     keyed = ev.select(F.floor("value").cast("bigint").alias("vbucket"))
     return (
@@ -9113,10 +9126,13 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# non-finite values have no bucket: Spark's floor(double) returns LONG
+# and silently saturates them (+Inf -> maxlong, NaN -> 0) while
+# DuckDB's cast raises — both engines filter to finite (r12 fuzz)
 ORACLES["mg_heavy_hitters"] = """
     WITH t AS (
         SELECT CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS vbucket
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND isfinite(value)
     ), tot AS (SELECT count(*) AS n_rows FROM t)
     SELECT vbucket, count(*) AS n,
            (SELECT n_rows FROM tot) AS n_rows,
@@ -9329,10 +9345,16 @@ def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     except FileExistsError:
         pass
+    # non-finite values yield a NULL key (dropped by the candidate
+    # stream) so phantom maxlong/0 buckets never inflate the fold's N —
+    # the MG completeness bar must be measured over the same finite
+    # population the exact recount below uses (r12 fuzz)
     sdf = mg_candidate_stream(
         spark,
         land,
-        "CAST(floor(value) AS BIGINT)",
+        "CASE WHEN NOT isnan(value)"
+        " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+        " THEN CAST(floor(value) AS BIGINT) END",
         EVENTS_STREAM_SCHEMA,
         k=60,
         n_shards=8,
@@ -9352,7 +9374,11 @@ def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = cand.select("key")
     keyed = (
         read_table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
         .select(F.floor("value").cast("bigint").cast("string").alias("vbucket"))
     )
     n_total = keyed.count()  # 1-row digest, fixes N for the N/k cut
@@ -10650,27 +10676,29 @@ QUERIES = {
 
 # ---------------------------------------------------------------------------
 # Round-12 driver window (tools/rotation.py --plan at round close).
-# Required set (11): streaming_attribution (switched from the
-# constant-8 helper to measured-group sizing — the r11 deliberate
-# deferral), streaming_enriched (state sized from the composite
-# (segment, event_type) key product, r11 advice), streaming_anomaly +
-# streaming_anomaly_check (the fold's GROUP_BATCH_MAX_ROWS memory
-# guard, r11 verdict item 4, plus the ±Inf state-poisoning guard the
-# r12 fuzz found — non-finite scores unknown on drain, twin and
-# oracle alike), sketch_quantiles (retry group-set mismatch fails the
-# band instead of KeyError, r11 advice), streaming_distinct_check
-# (sizing shares the weekly drain's memo slot — documented proxy, r11
-# verdict item 7), and the five pairs the r12 NaN/Inf fuzz repaired on
-# both engines: benford_prices (+Inf overflowed the ANSI digit cast),
-# twap (±Inf overflowed the unit quantization; all-tied timestamps
-# divided by zero; the oracle's INT64 product crossed 2^63),
-# peak_sessions (Spark floor() saturates ±Inf silently while DuckDB
-# raises), trimmed_stats and winsorized_prices (±Inf reaching dsum's
-# bigint cast). Fill (39) = the full r5 era (36) + the 3 oldest
-# r6-era names; the 25 remaining r6-era names queue for r13.
-# # required=11 (new=0), fill=39 (through r6-era), queue=25
+# Required set (15): streaming_attribution (constant-8 helper ->
+# measured-group sizing, the r11 deliberate deferral),
+# streaming_enriched (composite-key sizing + non-finite value-sum
+# guard), streaming_anomaly + streaming_anomaly_check (the fold's
+# GROUP_BATCH_MAX_ROWS memory guard, r11 verdict item 4, plus the ±Inf
+# state-poisoning guard), sketch_quantiles (retry group-set mismatch
+# fails the band instead of KeyError), streaming_distinct_check
+# (sizing shares the weekly drain's memo slot), and the pairs the r12
+# NaN/Inf fuzz repaired on both engines: benford_prices, twap,
+# peak_sessions, trimmed_stats, winsorized_prices, streaming_weekly,
+# seasonality_profile, mg_heavy_hitters + streaming_mg_topk (Spark's
+# floor/quantization silently saturates non-finite values where DuckDB
+# raises — every fix filters or NULLs them identically on both
+# engines; each pinned by a hypothesis block in
+# tests/test_properties_r12.py). Fill (35) = the rest of the r5 era —
+# the window is exactly full, so the same class in the three
+# stream-stream join gates and salted_event_stats is DEFERRED to r13
+# (documented in SCALE.md; unreachable on shipped data).
+# # required=15 (new=0), fill=35 (through r5-era), queue=0
 _R12_FRONT: list[str] = [
+    "seasonality_profile",
     "peak_sessions",
+    "mg_heavy_hitters",
     "streaming_attribution",
     "winsorized_prices",
     "streaming_enriched",
@@ -10681,6 +10709,8 @@ _R12_FRONT: list[str] = [
     "twap",
     "trimmed_stats",
     "streaming_anomaly_check",
+    "streaming_mg_topk",
+    "streaming_weekly",
     "copurchase_triangles",
     "pagerank_trade",
     "degree_profile",
@@ -10689,7 +10719,6 @@ _R12_FRONT: list[str] = [
     "sql_weekly_by_la",
     "ks_values",
     "ab_ztest",
-    "seasonality_profile",
     "weekly_churn",
     "mannwhitney_values",
     "chi2_type_split",
@@ -10717,36 +10746,8 @@ _R12_FRONT: list[str] = [
     "slow_suppliers",
     "important_parts",
     "min_cost_supplier",
-    "khop_distances",
-    "bloom_join_prune",
-    "link_prediction",
 ]
 _R12_QUEUE: list[str] = [
-    "acf_weekly",
-    "band_join",
-    "salted_join_stats",
-    "sketch_intersection_check",
-    "embedding_quantile_norm",
-    "expectations",
-    "dedup_exact",
-    "sketch_cardinalities",
-    "sketch_weekly_distinct",
-    "type_breakdown",
-    "coverage_report",
-    "grid_weekly",
-    "week_over_week",
-    "props_json",
-    "quality_checks",
-    "latest_by_key",
-    "revenue_filter",
-    "weekly_type_pivot",
-    "similarity_lsh",
-    "similarity_ivf",
-    "embedding_near_dup",
-    "hash_sample",
-    "dataset_split",
-    "stratified_sample",
-    "corpus_cube",
 ]
 QUERIES = {
     name: QUERIES[name]

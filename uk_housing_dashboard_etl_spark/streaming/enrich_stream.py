@@ -37,7 +37,11 @@ def enriched_segment_stream(
 
     The value sum uses the batch mart's half-up 1e-4 integer-unit rule
     so the result is bit-identical under any micro-batch split — the
-    property the driver gate hash-compares.
+    property the driver gate hash-compares. NaN/±Inf values are
+    excluded from the sum like NULLs (they cannot quantize to integer
+    units; Spark's floor silently saturates them while the oracle
+    engine raises — r12 fuzz finding); the row still counts in
+    ``n_events``.
     """
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
     seg = F.broadcast(
@@ -54,7 +58,12 @@ def enriched_segment_stream(
             F.count(F.lit(1)).alias("n_events"),
             (
                 F.sum(
-                    F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
+                    F.expr(
+                        "CASE WHEN NOT isnan(value)"
+                        " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+                        " THEN CAST(floor(value * 10000.0 + 0.5)"
+                        " AS BIGINT) END"
+                    )
                 ).cast("double")
                 / 10000.0
             ).alias("value_sum"),

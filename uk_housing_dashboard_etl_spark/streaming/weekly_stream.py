@@ -59,15 +59,20 @@ def weekly_stream(
     integer units (the batch mart's ``_dsum`` rule) so the result is
     bit-identical regardless of micro-batch partitioning/combine order —
     required when the output is hash-compared against an oracle.
+    NaN/±Inf values are excluded from the deterministic mean like NULLs
+    (they cannot quantize to integer units; Spark's floor(double)
+    silently saturates them to LONG while the oracle engine raises —
+    r12 fuzz finding).
     """
     raw = spark.readStream.schema(schema).parquet(source_dir)
     if deterministic_sum:
+        units = F.expr(
+            "CASE WHEN NOT isnan(value)"
+            " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+            " THEN CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END"
+        )
         mean = (
-            F.sum(
-                F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)")
-            ).cast("double")
-            / 10000.0
-            / F.count("value")
+            F.sum(units).cast("double") / 10000.0 / F.count(units)
         ).alias("value_mean")
     else:
         mean = F.avg("value").alias("value_mean")
