@@ -451,3 +451,50 @@ def test_seasonality_profile_engine_identical_under_nan_inf(
         _gate(spark, "seasonality_profile", sf, {"events": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_ab_ztest_engine_identical_under_nan_inf(spark, vals, seed):
+    """ab_ztest vs its oracle under NaN/±Inf draws: the proportion test
+    counts conversions, never sums values, so it survives the class by
+    construction — pinned so a future value-sum addition can't silently
+    join the quantization class."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "ab_ztest", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_chi2_type_split_engine_identical_under_nan_inf(spark, vals, seed):
+    """chi2_type_split vs its oracle under NaN/±Inf draws: pure count
+    contingency — survives by construction, pinned."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "chi2_type_split", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_attribution_credit_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """attribution_credit vs its oracle under NaN/±Inf draws and tied/
+    NULL timestamps: credit fractions come from touch COUNTS between
+    purchases, not values — survives by construction, pinned."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "attribution_credit", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
