@@ -36,6 +36,7 @@ import sys
 import tempfile
 
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -496,5 +497,92 @@ def test_attribution_credit_engine_identical_under_nan_inf(
     sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
     try:
         _gate(spark, "attribution_credit", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+DOCS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+EXOTIC_TEXTS = [
+    "plain ascii text with words and more words here",
+    "café naïve résumé straße",
+    "élève combining marks é",
+    "\U0001F600 \U0001F680 emoji \U0001F9E0 mixed with text",
+    "中文文本处理 chinese text",
+    "مرحبا بالعالم arabic",
+    "\U00010400\U00010401 deseret astral letters",
+    "tab\tseparated\nand newline",
+    "",
+    "   ",
+]
+
+
+def _docs_pdf(rng: np.random.Generator) -> pd.DataFrame:
+    extra = [f"doc {i} body words {'x' * int(rng.integers(1, 40))}" for i in range(10)]
+    texts = EXOTIC_TEXTS + extra
+    n = len(texts)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(1, n + 1), dtype="int64"),
+            "text": texts,
+            "lang": rng.choice(["en", "xx", "de"], n).astype(object),
+            "source": rng.choice(["s1", "s2", "s3"], n).astype(object),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+@pytest.mark.parametrize(
+    "name", ["funnel_timing", "cohort_matrix", "top_paths", "basket_lift"]
+)
+def test_events_pairs_survive_nan_inf_by_construction(
+    spark, name, vals, seed
+):
+    """Events-based pairs that survive the non-finite class by
+    construction (count/timing-based, no value quantization) — pinned
+    so a future value-sum addition can't silently join it."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, name, sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(seed=st.integers(0, 2**31))
+@pytest.mark.parametrize(
+    "name",
+    [
+        "weighted_sample",
+        "importance_resample",
+        "temperature_mix",
+        "hash_sample",
+        "stratified_sample",
+    ],
+)
+def test_sampling_pairs_engine_identical_on_exotic_documents(
+    spark, name, seed
+):
+    """The five sampling pairs over documents with exotic Unicode
+    (astral plane, CJK, RTL, combining marks), empty and whitespace
+    texts — deterministic hashes and weights must agree bit-for-bit on
+    both engines regardless of text content."""
+    rng = np.random.default_rng(seed)
+    pdf = _docs_pdf(rng)
+    sf = _write_sf({"documents": (pdf, DOCS_SCHEMA)})
+    try:
+        _gate(spark, name, sf, {"documents": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
