@@ -1,0 +1,233 @@
+"""Round-13 property blocks (r12 verdict items 1-2): the remaining
+members of the non-finite unit-sum class the r12 NaN/±Inf fuzz proved —
+Spark's integer-unit quantization (``floor(value*1e4+0.5)`` /
+``round(value*1e4).cast(bigint)``) silently saturates ±Inf/NaN where
+DuckDB's bigint cast raises, so every pair in the class needs a
+symmetric finiteness guard at the operator boundary on BOTH engines.
+
+Covered here, each against its OWN DuckDB oracle via the exact
+driver-gate comparison (tools.selfcheck canonicalize/compare), on
+hypothesis tables whose generators GUARANTEE NaN/+Inf/-Inf/NULL draws:
+
+- value_trend (grouped_slope's decimal moment sums — the one query the
+  r12 fuzz probed RED: CAST_OVERFLOW on a single ±Inf row)
+- salted_event_stats (salted two-phase unit sum)
+- streaming_joined / streaming_joined_outer / streaming_joined_agg
+  (the stream-stream join family's attributed_value unit sums —
+  real AvailableNow drains, not batch stand-ins)
+- embedding_health / embedding_quantile_norm (non-finite VECTOR
+  components: Spark's round4 saturates ±Inf where DuckDB emits inf —
+  excluded at the operator boundary, never inside shared round4)
+- band_join / latest_by_key / scd2_history / cdc_replay (r12 verdict
+  item 7: probed clean in r12 but previously un-pinned — the
+  adversarial axes are tied/NULL timestamps and non-finite values
+  riding through passthrough columns)
+
+Free by construction: tests are outside the rotation tracer's scope,
+so property coverage grows without staling any driver-window query
+(the operator guards themselves stale their queries — budgeted).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo/tools")
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+FAST = settings(
+    max_examples=3,  # each example drains a real streaming query
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+
+EMBEDDINGS_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.string()),
+    ]
+)
+
+
+def _gate(spark, name: str, sf_dir: str, tables: dict[str, pd.DataFrame]):
+    """Run contract query `name` AND its DuckDB oracle on the same
+    generated parquet, compared exactly like the driver gate."""
+    import duckdb
+
+    from selfcheck import canonicalize, compare
+    from uk_housing_dashboard_etl_spark import contract
+
+    con = duckdb.connect()
+    for t in tables:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    got = contract.QUERIES[name](spark, sf_dir).toPandas()
+    want = con.sql(contract.ORACLES[name]).df()
+    con.close()
+    problems = compare(canonicalize(got), canonicalize(want))
+    assert not problems, f"{name} diverged on fuzzed input: {problems}"
+
+
+def _write_sf(tables: dict[str, tuple[pd.DataFrame, pa.Schema]]) -> str:
+    d = tempfile.mkdtemp(prefix="fuzz_sf_")
+    for t, (pdf, schema) in tables.items():
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    return d
+
+
+@st.composite
+def adversarial_values(draw, n_min=8, n_max=40):
+    """A float64 column with GUARANTEED NaN, +Inf, -Inf and NULL
+    entries, plus random finite draws including exact ties, negatives
+    and zero."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=n_min, max_value=n_max))
+    finite = rng.uniform(-100.0, 1000.0, n).round(2)  # 2dp -> ties
+    vals = list(finite) + [float("nan"), float("inf"), float("-inf"), None]
+    rng.shuffle(vals)
+    return vals
+
+
+def _events_pdf(rng: np.random.Generator, vals: list) -> pd.DataFrame:
+    n = len(vals)
+    # timestamps: spread over ~40 days, with forced ties and NULLs —
+    # ties exercise the (ts, event_id) tie-breaks of the temporal family
+    hours = rng.integers(0, 24 * 40, n)
+    ts = [T0 + dt.timedelta(hours=int(h)) for h in hours]
+    for i in range(0, n, 7):
+        ts[i] = ts[min(i + 1, n - 1)]  # forced tie
+    if n > 3:
+        ts[3] = None
+    users = rng.integers(1, max(2, n // 4), n).astype(object)
+    if n > 5:
+        users[5] = None
+    return pd.DataFrame(
+        {
+            "event_id": pd.array(range(1, n + 1), dtype="int64"),
+            "ts": ts,
+            "user_id": pd.array(list(users), dtype="Int64"),
+            "event_type": rng.choice(
+                ["click", "purchase", "view"], n
+            ).astype(object),
+            "value": vals,
+            "props": [""] * n,
+        }
+    )
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_value_trend_engine_identical_under_nan_inf(spark, vals, seed):
+    """grouped_slope vs its hugeint-moments oracle on NaN/±Inf values:
+    pre-fix the 1e-4 quantization CAST_OVERFLOWed on Spark while the
+    oracle's bigint cast raised — non-finite y rows now leave the
+    moments like NULLs on both engines (n_points agrees)."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "value_trend", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_salted_event_stats_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """salted_agg's two-phase unit sum vs the plain GROUP BY oracle on
+    NaN/±Inf values: the sum skips non-finite, n_events still counts
+    them, identically on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "salted_event_stats", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@FAST
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_joined_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The stream-stream inner interval join's attributed_value unit
+    sum vs the batch join oracle under NaN/±Inf, across a real
+    AvailableNow drain."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "streaming_joined", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@FAST
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_joined_outer_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The LEFT OUTER stream-stream join's unit sum under NaN/±Inf —
+    unmatched clicks keep NULL purchase columns, non-finite purchase
+    values leave the sum like NULLs, on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "streaming_joined_outer", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@FAST
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_streaming_joined_agg_engine_identical_under_nan_inf(
+    spark, vals, seed
+):
+    """The chained stateful join→windowed-agg drain's unit sum under
+    NaN/±Inf — the guard rides INSIDE the streaming aggregate."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "streaming_joined_agg", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

@@ -69,6 +69,7 @@ ROUND_CLOSE: dict[int, str] = {
     9: "566d239",
     10: "6859e3e",
     11: "e1976a6",
+    12: "1a79fac",
 }
 
 # ---------------------------------------------------------------- git

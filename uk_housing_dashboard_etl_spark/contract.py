@@ -1867,12 +1867,19 @@ def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hot-key rows spread over 16 salt buckets in phase 1, partials merged
     in phase 2), results identical to a plain GROUP BY — which is exactly
     what the oracle runs. The summed value is integer-scaled (1e4 units)
-    so the two-phase merge is combine-order independent."""
+    so the two-phase merge is combine-order independent; non-finite
+    values leave the sum like NULLs (the quantization saturates on
+    Spark, raises on DuckDB — r12 fuzz class) while n_events still
+    counts them on both engines."""
     from uk_housing_dashboard_etl_spark.functions.skew import salted_agg
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").alias("iv"),
+        F.expr(
+            "CASE WHEN NOT isnan(value)"
+            " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+            " THEN CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END"
+        ).alias("iv"),
         F.col("value").alias("v"),
     )
     out = salted_agg(
@@ -4760,8 +4767,9 @@ _EXTENSION_ORACLES["streaming_weekly"] = """
 
 _EXTENSION_ORACLES["salted_event_stats"] = """
     SELECT event_type,
-           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / 10000.0 AS total_value,
+           CAST(sum(CASE WHEN isfinite(value) THEN
+                    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END)
+                AS DOUBLE) / 10000.0 AS total_value,
            count(value) AS n_events
     FROM events
     GROUP BY event_type
@@ -5334,7 +5342,8 @@ _EXTENSION_ORACLES["value_trend"] = """
         SELECT event_type,
                datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
                CAST(round(value * 10000.0) AS BIGINT) AS yu
-        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
     ), agg AS (
         SELECT event_type, count(*) AS n, sum(x) AS sx, sum(yu) AS sy,
                sum(CAST(x AS HUGEINT) * yu) AS sxy,
@@ -7375,10 +7384,16 @@ def q_streaming_joined_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             (
+                # non-finite values leave the sum like NULLs (the
+                # quantization saturates on Spark, raises on DuckDB —
+                # r12 fuzz class)
                 F.sum(
                     F.expr(
-                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
-                        " AS BIGINT)"
+                        "CASE WHEN NOT isnan(purchase_value)"
+                        " AND abs(purchase_value)"
+                        " < CAST('Infinity' AS DOUBLE)"
+                        " THEN CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT) END"
                     )
                 ).cast("double")
                 / 10000.0
@@ -7428,7 +7443,8 @@ _EXTENSION_ORACLES["streaming_joined_agg"] = """
     )
     SELECT CAST(click_ts AS DATE) AS day,
            count(*) AS n_pairs,
-           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+           CAST(sum(CASE WHEN isfinite(value) THEN
+                    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END)
                 AS DOUBLE) / 10000.0 AS attributed_value
     FROM j GROUP BY 1
     """
@@ -7840,10 +7856,16 @@ def q_streaming_joined_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("purchase_id").isNull().cast("long")
             ).alias("n_unmatched_clicks"),
             (
+                # non-finite values leave the sum like NULLs (the
+                # quantization saturates on Spark, raises on DuckDB —
+                # r12 fuzz class)
                 F.sum(
                     F.expr(
-                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
-                        " AS BIGINT)"
+                        "CASE WHEN NOT isnan(purchase_value)"
+                        " AND abs(purchase_value)"
+                        " < CAST('Infinity' AS DOUBLE)"
+                        " THEN CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT) END"
                     )
                 ).cast("double")
                 / 10000.0
@@ -7873,7 +7895,8 @@ _EXTENSION_ORACLES["streaming_joined_outer"] = """
            count(purchase_id) AS n_pairs,
            CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_unmatched_clicks,
-           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+           CAST(sum(CASE WHEN isfinite(value) THEN
+                    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END)
                 AS DOUBLE) / 10000.0 AS attributed_value
     FROM j GROUP BY 1
     """
@@ -8185,10 +8208,16 @@ def q_streaming_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pairs"),
             F.count_distinct("user_id").alias("n_users"),
             (
+                # non-finite values leave the sum like NULLs (the
+                # quantization saturates on Spark, raises on DuckDB —
+                # r12 fuzz class)
                 F.sum(
                     F.expr(
-                        "CAST(floor(purchase_value * 10000.0 + 0.5)"
-                        " AS BIGINT)"
+                        "CASE WHEN NOT isnan(purchase_value)"
+                        " AND abs(purchase_value)"
+                        " < CAST('Infinity' AS DOUBLE)"
+                        " THEN CAST(floor(purchase_value * 10000.0 + 0.5)"
+                        " AS BIGINT) END"
                     )
                 ).cast("double")
                 / 10000.0
@@ -8229,7 +8258,8 @@ _EXTENSION_ORACLES["streaming_joined"] = """
     SELECT CAST(click_ts AS DATE) AS day,
            count(*) AS n_pairs,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+           CAST(sum(CASE WHEN isfinite(value) THEN
+                    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) END)
                 AS DOUBLE) / 10000.0 AS attributed_value,
            floor((CAST(sum(date_diff('microsecond', click_ts,
                                purchase_ts)) AS DOUBLE)

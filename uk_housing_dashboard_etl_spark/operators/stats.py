@@ -271,13 +271,19 @@ def grouped_slope(
     slope is exact integer arithmetic until the final divide, then
     4dp-rounded — bit-identical in the SQL oracle's hugeint sums.
     Groups with a single point (or constant x) have zero variance and
-    yield NULL slope/intercept.
+    yield NULL slope/intercept. Non-finite y rows are excluded like
+    NULLs at this operator boundary (the 1e-4 quantization would
+    otherwise CAST_OVERFLOW on Spark and raise on the oracle's bigint
+    cast — the r12 NaN/±Inf fuzz class); the oracle filters
+    ``isfinite(value)`` in the same place so n_points agrees.
     """
     from uk_housing_dashboard_etl_spark.functions.rounding import round4
 
     x = x_col.cast("decimal(38,0)")
+    yd = y_col.cast("double")
+    finite_y = ~F.isnan(yd) & (F.abs(yd) < F.expr("CAST('Infinity' AS DOUBLE)"))
     yu = F.round(y_col * F.lit(10000.0)).cast("bigint").cast("decimal(38,0)")
-    agg = df.where(x_col.isNotNull() & y_col.isNotNull()).groupBy(
+    agg = df.where(x_col.isNotNull() & y_col.isNotNull() & finite_y).groupBy(
         *group_cols
     ).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
