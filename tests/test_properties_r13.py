@@ -74,7 +74,7 @@ EMBEDDINGS_SCHEMA = pa.schema(
     [
         ("vec_id", pa.int64()),
         ("embedding", pa.list_(pa.float32())),
-        ("label", pa.string()),
+        ("label", pa.int32()),
     ]
 )
 
@@ -213,6 +213,84 @@ def test_streaming_joined_outer_engine_identical_under_nan_inf(
     sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
     try:
         _gate(spark, "streaming_joined_outer", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@st.composite
+def adversarial_embeddings(draw, dim=8, n_min=6, n_max=24):
+    """An embeddings table with GUARANTEED adversarial vectors: a +Inf
+    component, a -Inf component, a NaN component, a NULL component, an
+    all-zero vector (zero norm) and a NULL vector, plus random finite
+    vectors (some tied component values across vectors)."""
+    rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+    n = draw(st.integers(min_value=n_min, max_value=n_max))
+    vecs: list = [
+        list(rng.uniform(-2, 2, dim).round(2).astype(np.float32))
+        for _ in range(n)
+    ]
+    specials = [
+        [float("inf")] + [0.5] * (dim - 1),
+        [float("-inf")] + [0.5] * (dim - 1),
+        [float("nan")] + [0.5] * (dim - 1),
+        [None] + [0.5] * (dim - 1),
+        [0.0] * dim,
+        None,
+    ]
+    vecs.extend(specials)
+    rng.shuffle(vecs)
+    return vecs
+
+
+@SLOW
+@given(vecs=adversarial_embeddings(), seed=st.integers(0, 2**31))
+def test_embedding_health_engine_identical_under_nonfinite_components(
+    spark, vecs, seed
+):
+    """embedding_health vs its oracle on vectors with NaN/±Inf/NULL
+    components: pre-fix a +Inf component produced an Inf norm that
+    Spark's round4 saturated to ~9.2e14 where DuckDB emitted inf —
+    non-finite components now count into n_nan and leave the norm
+    percentiles on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, len(vecs) + 1), dtype="int64"),
+            "embedding": vecs,
+            "label": pd.array(
+                rng.integers(0, 3, len(vecs)), dtype="int32"
+            ),
+        }
+    )
+    sf = _write_sf({"embeddings": (pdf, EMBEDDINGS_SCHEMA)})
+    try:
+        _gate(spark, "embedding_health", sf, {"embeddings": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vecs=adversarial_embeddings(), seed=st.integers(0, 2**31))
+def test_embedding_quantile_norm_engine_identical_under_nonfinite(
+    spark, vecs, seed
+):
+    """quantile_normalize vs its oracle on vectors with NaN/±Inf/NULL
+    components: NULL and non-finite coordinates are excluded from the
+    per-dim rank on both engines (pre-fix round4 saturated non-finite
+    on Spark, and the engines order NULLs at opposite window ends)."""
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(1, len(vecs) + 1), dtype="int64"),
+            "embedding": vecs,
+            "label": pd.array(
+                rng.integers(0, 3, len(vecs)), dtype="int32"
+            ),
+        }
+    )
+    sf = _write_sf({"embeddings": (pdf, EMBEDDINGS_SCHEMA)})
+    try:
+        _gate(spark, "embedding_quantile_norm", sf, {"embeddings": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
 

@@ -5202,7 +5202,8 @@ _EXTENSION_ORACLES["embedding_health"] = f"""
         SELECT vec_id, embedding AS cv,
                len(embedding) AS dim,
                (len(list_filter(embedding,
-                    x -> isnan(CAST(x AS DOUBLE)) OR x IS NULL)) > 0)
+                    x -> x IS NULL
+                         OR NOT isfinite(CAST(x AS DOUBLE)))) > 0)
                    AS has_nan,
                {_NORM_SQL.format(a='embedding')} AS nrm
         FROM embeddings
@@ -9700,6 +9701,7 @@ ORACLES["embedding_quantile_norm"] = """
         FROM embeddings
         WHERE embedding IS NOT NULL
     )
+    WHERE isfinite(CAST(v AS DOUBLE))
 """
 QUERIES["embedding_quantile_norm"] = q_embedding_quantile_norm
 

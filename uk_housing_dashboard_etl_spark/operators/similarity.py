@@ -695,6 +695,12 @@ def embedding_health(
     Plan: one scan, one aggregate; the norm is the same sequential-fold
     expression the similarity family scores with, so "healthy here"
     means healthy for the operators that consume the store.
+
+    Non-finite components (±Inf, not just NaN) count into ``n_nan`` and
+    leave the norm percentiles at this operator boundary: Spark's
+    ``round4`` would saturate an Inf norm to ~9.2e14 where DuckDB emits
+    ``inf`` (the r12 NaN/±Inf fuzz class) — the oracle's filter widens
+    to ``NOT isfinite`` in the same place, never inside shared round4.
     """
     v = _as_double(vec_col)
     base = embeddings.select(
@@ -705,7 +711,8 @@ def embedding_health(
         "cv",
         F.size("cv").alias("__dim"),
         F.expr(
-            "exists(cv, x -> isnan(x) OR x IS NULL)"
+            "exists(cv, x -> x IS NULL OR isnan(x)"
+            " OR abs(x) >= CAST('Infinity' AS DOUBLE))"
         ).alias("__has_nan"),
         norm_expr("cv").alias("__norm"),
     )
@@ -961,12 +968,23 @@ def quantile_normalize(
     the KLL sketch (``sketches.quantile_sketch_summary``): estimate
     each dim's quantile boundaries once, then map coordinates to
     buckets row-locally — constant memory, no per-dim sort.
+
+    NULL and non-finite coordinates (NaN/±Inf) are excluded at this
+    operator boundary: Spark's ``round4`` saturates non-finite where
+    DuckDB emits ``inf``/``nan`` (the r12 fuzz class), the two engines
+    order NULLs at opposite ends of a rank window (Spark NULLS FIRST,
+    DuckDB NULLS LAST), and a rank for a NULL/Inf coordinate is
+    meaningless anyway.
     """
     from pyspark.sql import Window
 
     exploded = embeddings.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(F.col(vec_col)).alias("__pos", "value"),
+    )
+    vd = F.col("value").cast("double")
+    exploded = exploded.where(
+        ~F.isnan(vd) & (F.abs(vd) < F.expr("CAST('Infinity' AS DOUBLE)"))
     )
     w = Window.partitionBy("__pos").orderBy("value")
     return exploded.select(
