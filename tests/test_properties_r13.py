@@ -217,6 +217,77 @@ def test_streaming_joined_outer_engine_identical_under_nan_inf(
         shutil.rmtree(sf, ignore_errors=True)
 
 
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_asof_join_engine_identical_on_ties_and_null_keys(
+    spark, vals, seed
+):
+    """asof_join vs its rewritten argmax oracle on tied purchase
+    timestamps, NULL timestamps and NULL user keys: the old native
+    ASOF LEFT JOIN oracle picked ties arbitrarily, and Spark's window
+    partitioning would have matched NULL-key rows to each other —
+    both now deterministic ((ts, event_id) tie-break, NULL never
+    matches) on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "asof_join", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_asof_forward_engine_identical_on_ties_and_null_keys(
+    spark, vals, seed
+):
+    """asof_join(direction='forward', tolerance=1h) vs its argmax
+    oracle on tied/NULL timestamps and NULL keys — the earliest
+    (ts, event_id) future purchase wins on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "asof_forward", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_asof_join_tied_purchases_pick_latest_event_id(spark):
+    """Deterministic tied-timestamp fixture (r12 verdict item 3): two
+    purchases by the same user at the IDENTICAL timestamp must resolve
+    to the one with the larger event_id — on Spark AND on the oracle,
+    which previously used DuckDB's native ASOF JOIN and picked
+    arbitrarily."""
+    t = T0 + dt.timedelta(hours=1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3], dtype="int64"),
+            "ts": [t, t, t + dt.timedelta(minutes=5)],
+            "user_id": pd.array([7, 7, 7], dtype="Int64"),
+            "event_type": ["purchase", "purchase", "view"],
+            "value": [10.0, 20.0, 0.0],
+            "props": [""] * 3,
+        }
+    )
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        from uk_housing_dashboard_etl_spark import contract
+
+        got = (
+            contract.QUERIES["asof_join"](spark, sf)
+            .where("event_id = 3")
+            .collect()
+        )
+        assert len(got) == 1
+        # the larger event_id (2, value 20.0) wins the (ts, tie) race
+        assert got[0]["asof_purchase_value"] == 20.0
+        _gate(spark, "asof_join", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
 @st.composite
 def adversarial_embeddings(draw, dim=8, n_min=6, n_max=24):
     """An embeddings table with GUARANTEED adversarial vectors: a +Inf

@@ -3749,18 +3749,33 @@ _EXTENSION_ORACLES: dict[str, str] = {
     GROUP BY 1
     """,
     "asof_join": """
+    -- explicit argmax instead of DuckDB's native ASOF LEFT JOIN: on
+    -- tied purchase timestamps the native form picks ARBITRARILY,
+    -- while the operator pins ties with (purchase_ts, event_id) —
+    -- latest event_id wins (r12 verdict item 3)
     WITH ev AS (
         SELECT event_id, ts, user_id, event_type, value FROM events
     ), purchases AS (
-        SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts
-        FROM events WHERE event_type = 'purchase'
+        SELECT user_id, ts, value AS purchase_value, ts AS purchase_ts,
+               event_id AS tie
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts IS NOT NULL AND user_id IS NOT NULL
+    ), picked AS (
+        SELECT e.event_id,
+               p.purchase_value, p.purchase_ts,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY p.purchase_ts DESC, p.tie DESC) AS rn
+        FROM ev e
+        JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
     )
     SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
            p.purchase_value AS asof_purchase_value,
            p.purchase_ts AS asof_purchase_ts
     FROM ev e
-    ASOF LEFT JOIN purchases p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
+    LEFT JOIN (SELECT * FROM picked WHERE rn = 1) p USING (event_id)
     """,
     "range_join": """
     WITH intervals AS (

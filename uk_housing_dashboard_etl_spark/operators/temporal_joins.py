@@ -62,10 +62,14 @@ def asof_join(
     # a NULL-ts RIGHT row sorts first under the asc window order and
     # would carry into NULL-ts left rows (and, forward, a NULL-ts left
     # row would match the earliest real right row) — pandas merge_asof
-    # rejects null keys outright. Right rows with NULL ts are excluded
-    # from candidacy; left rows with NULL ts pass through with null
-    # match values (masked below).
-    right = right.where(F.col(ts).isNotNull())
+    # rejects null keys outright. The same holds for a NULL KEY
+    # (r13): Spark's window partitioning groups NULL keys into ONE
+    # partition, so NULL-key left rows would silently match NULL-key
+    # right rows where any SQL equi/asof join (and merge_asof) never
+    # matches NULL to NULL. Right rows with NULL ts or NULL key are
+    # excluded from candidacy; left rows with NULL ts or NULL key pass
+    # through with null match values (masked below).
+    right = right.where(F.col(ts).isNotNull() & F.col(key).isNotNull())
     rvals = right_value_cols or [
         c for c in right.columns if c not in (key, ts)
     ]
@@ -88,6 +92,18 @@ def asof_join(
         rvals_int = [*rvals, "__match_ts"]
     else:
         rvals_int = list(rvals)
+    # the carried match is ONE struct per right row — never per-column
+    # ignorenulls carries (r13: a NULL right VALUE would otherwise
+    # carry an older right row's value while the timestamp came from
+    # the newer one, de-synchronizing the matched row's columns; the
+    # struct is non-null for every right row even when its fields are
+    # null, so the carry always lands on the matched row wholesale)
+    match = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            *[F.col(f"__rv_{c}").alias(c) for c in rvals_int]
+        ),
+    )
     if direction == "backward":
         # right rows sort BEFORE left rows at equal ts (__is_left asc)
         # so an exactly-simultaneous right row is visible; among
@@ -97,10 +113,7 @@ def asof_join(
             .orderBy(F.col(ts), F.col("__is_left"), F.col("__rtie"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        picks = {
-            c: F.last(f"__rv_{c}", ignorenulls=True).over(w)
-            for c in rvals_int
-        }
+        carry = F.last(match, ignorenulls=True).over(w)
     else:
         # left rows sort BEFORE right rows at equal ts (__is_left desc)
         # so an exactly-simultaneous right row is inside the FOLLOWING
@@ -110,16 +123,14 @@ def asof_join(
             .orderBy(F.col(ts), F.col("__is_left").desc(), F.col("__rtie"))
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        picks = {
-            c: F.first(f"__rv_{c}", ignorenulls=True).over(w)
-            for c in rvals_int
-        }
+        carry = F.first(match, ignorenulls=True).over(w)
     carried = lhs.unionByName(rhs).select(
         "*",
-        *[picks[c].alias(f"__asof_{c}") for c in rvals_int],
+        *[carry[c].alias(f"__asof_{c}") for c in rvals_int],
     )
-    # a NULL-ts left row carries no match (see the candidacy note above)
-    keep = F.col(ts).isNotNull()
+    # a NULL-ts or NULL-key left row carries no match (see the
+    # candidacy note above)
+    keep = F.col(ts).isNotNull() & F.col(key).isNotNull()
     if tolerance_seconds is not None:
         keep = keep & (
             F.abs(F.col("__asof___match_ts") - F.unix_micros(F.col(ts)))
