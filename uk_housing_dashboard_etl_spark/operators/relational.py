@@ -1275,7 +1275,22 @@ def band_join(
     that bucket's local cross product — the operator is exact, so that
     cost is irreducible (the matching pairs themselves are quadratic in
     the pile-up); AQE's skew-join split keeps the stragglers parallel.
+
+    NULL and non-finite values are excluded at this operator boundary:
+    they can never satisfy ``|Δ| ≤ eps`` (NaN comparisons are false,
+    Inf−anything is Inf or NaN), and Spark's ``floor`` saturates ±Inf
+    to ±maxlong where the neighbour probe's ``bucket ± 1`` then raises
+    ANSI ArithmeticOverflow (r13 fuzz find).
     """
+
+    def _finite(c: str):
+        v = F.col(c).cast("double")
+        return ~F.isnan(v) & (
+            F.abs(v) < F.expr("CAST('Infinity' AS DOUBLE)")
+        )
+
+    left = left.where(_finite(left_val))
+    right = right.where(_finite(right_val))
     lb = F.floor(F.col(left_val) / F.lit(eps)).cast("long")
     probes = left.withColumn(
         "__b", F.explode(F.array(lb - 1, lb, lb + 1))
