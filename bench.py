@@ -32,7 +32,10 @@ so their time covers the whole readStream→sink pass; each drain is a
 fresh checkpoint, so three runs are independent samples and the
 recorded number is the MEDIAN — the family is the suite's variance
 hotspot and a single run charges any ambient stall to the query
-(r11 verdict item 3). The warmup phase runs one throwaway stateful
+(r11 verdict item 3). Pre-r12 artifacts timed streaming as a single
+drain: any cross-round table spanning r11→r12 must recompute the older
+round's streaming entries from its detail file or footnote the metric
+change (r12 advice item 2). The warmup phase runs one throwaway stateful
 drain first so the one-time Python-state-worker spin-up is amortized
 exactly like the batch queries' first-run JVM warmup, instead of
 being charged to whichever streaming query sits first in registry
@@ -76,11 +79,15 @@ CALIBRATION_REF = 0.48
 
 
 def calnorm(total_sec: float, probe_sec: float) -> float:
-    """Suite total with ambient machine speed divided out: scaled by
-    (reference probe / measured probe), so a run on a machine measuring
-    2× slower on the pure-synthetic probe reports half its raw total.
-    The normalized totals of two runs are comparable regardless of
-    ambient conditions at measurement time."""
+    """CROSS-MACHINE-ONLY yardstick (demoted, r12 verdict item 6):
+    suite total scaled by (reference probe / measured probe), so a
+    machine measuring 2× slower on the pure-synthetic probe reports
+    half its raw total. The probe shares the JVM warmup curve with the
+    suite (r12 measured an in-run probe spread of 0.31-0.53 s — larger
+    than the raw totals' same-tree spread), so on the SAME machine the
+    raw ``value`` plus per-run ``queries_samples`` is the comparison
+    of record and this field is only for sanity-checking runs from
+    machines with different ambient speed."""
     return round(total_sec * CALIBRATION_REF / probe_sec, 3)
 
 HEADLINE = [
@@ -295,6 +302,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     calibration: dict[str, float] = {"start": calibration_probe(spark)}
     extra = [q for q in contract.QUERIES if q not in HEADLINE]
@@ -326,6 +334,7 @@ def main() -> None:
             med = sorted(samples)[len(samples) // 2]
             times[name] = round(med if streaming else min(samples), 3)
             medians[name] = round(med, 3)
+            raw_samples[name] = [round(s, 3) for s in samples]
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"[:500]
 
@@ -347,6 +356,14 @@ def main() -> None:
         "runs_per_query": 3,
         "queries": times,
         "queries_median": medians,
+        # RAW per-run samples, in run order (r12 verdict item 4): a
+        # recorded median above its committed counterparts is only
+        # diagnosable from the artifact when the artifact shows whether
+        # the three samples were one outlier or three slow runs —
+        # streaming_attribution's recorded 2.8 s vs three committed
+        # sub-2.2 s runs survived three rounds precisely because the
+        # medians alone couldn't distinguish the two
+        "queries_samples": raw_samples,
         "failures": failures,
         "maintenance": maint,
         # ambient-speed yardstick (round-7 advice item 4): the same
@@ -403,14 +420,18 @@ def main() -> None:
         "calibration_sec": sorted(calibration.values())[
             len(calibration) // 2
         ],
-        # NOISE-ROBUST HEADLINE (r11 verdict item 3): `value` with the
-        # ambient machine speed divided out — suite total scaled by
-        # (reference probe / this run's probe), where the reference is
-        # the r11 two-run probe level (0.48 s) this yardstick was
-        # calibrated against. Round-over-round comparisons should use
-        # THIS number: the r11 driver-vs-builder 11% divergence on an
-        # identical tree came entirely from ambient speed the raw sum
-        # cannot see. Streaming entries inside `value` are additionally
+        # THE COMPARISON OF RECORD is `value` (raw suite sum, streaming
+        # entries median-of-3): the r12 round proved value_calnorm's
+        # probe shares the JVM warmup curve (in-run probe spread
+        # 0.31-0.53 s exceeded the raw totals' spread), so on the SAME
+        # machine the normalized number is NOISIER than the raw sum.
+        "comparison_of_record": "value",
+        # CROSS-MACHINE-ONLY auxiliary (r12 verdict item 6 demotion):
+        # `value` scaled by (reference probe / this run's probe). Use
+        # it only to sanity-check runs from machines with different
+        # ambient speed — never for same-machine round-over-round
+        # comparisons, where `value` plus `queries_samples` is the
+        # protocol. Streaming entries inside `value` are additionally
         # median-of-3 (see `streaming_stat`).
         "value_calnorm": (
             calnorm(

@@ -96,3 +96,69 @@ def test_numeric_columns_are_finite(sf_dir):
             "oracle gates assume finite doubles — land a per-family "
             "NaN policy with oracle parity before trusting the gate"
         )
+
+
+@pytest.mark.parametrize("sf_dir", _SF_DIRS)
+def test_documents_text_is_ascii(sf_dir):
+    """Case-folding parity boundary (r12, promoted to a contract test
+    in r13): Java's lower() and DuckDB's utf8proc fold U+0130-class
+    codepoints differently — an unfixable engine boundary that is safe
+    exactly while documents.text is ASCII. If a regenerated corpus
+    gains non-ASCII text this goes red, and the comparison layer's
+    casefold_boundary_warning (tools/selfcheck.py) flags the affected
+    lower()-derived queries instead of letting them read as unexplained
+    regressions."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"no documents table at {sf_dir}")
+    n_bad = duckdb.sql(
+        f"SELECT count(*) FROM '{path}' "
+        "WHERE octet_length(encode(text)) <> length(text)"
+    ).fetchone()[0]
+    assert n_bad == 0, (
+        f"{path} has {n_bad} non-ASCII docs: the Java-vs-utf8proc "
+        "case-folding boundary (doc_fingerprint / top_ngrams / "
+        "doc_chunks) is now reachable — see SCALE.md's boundary note"
+    )
+
+
+def test_casefold_boundary_warning_fires_on_non_ascii(tmp_path):
+    """The comparison layer's guard: silent on an ASCII corpus, loud on
+    a corpus carrying the U+0130 class."""
+    import sys
+
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/tools")
+    from selfcheck import casefold_boundary_warning
+
+    def corpus(texts, d):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(texts))),
+                    "text": texts,
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        con = _duck.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{os.path.join(d, 'documents.parquet')}'"
+        )
+        return con
+
+    ascii_dir = str(tmp_path / "ascii")
+    con = corpus(["plain ascii", "more ascii"], ascii_dir)
+    assert casefold_boundary_warning(con, ascii_dir) is None
+    con.close()
+
+    turkish_dir = str(tmp_path / "turkish")
+    con = corpus(["plain ascii", "İstanbul doc"], turkish_dir)
+    warning = casefold_boundary_warning(con, turkish_dir)
+    assert warning is not None and "doc_fingerprint" in warning
+    con.close()

@@ -840,6 +840,62 @@ def test_stateful_anomaly_group_batch_cap_fails_fast(monkeypatch):
     assert len(out) == 1 and len(out[0]) == 3
 
 
+def test_stateful_anomaly_cap_warns_at_half(monkeypatch, caplog):
+    """Advance signal one regime before the hard failure (r12 advice
+    item 5): a group past 50% of GROUP_BATCH_MAX_ROWS logs a warning
+    (once) while still folding normally; a group under 50% stays
+    silent."""
+    import logging
+
+    import pandas as pd
+
+    from uk_housing_dashboard_etl_spark.streaming import stateful
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.stored = t
+
+    monkeypatch.setattr(stateful, "GROUP_BATCH_MAX_ROWS", 10)
+
+    def chunk(ids):
+        t0 = dt.datetime(2024, 1, 1)
+        return pd.DataFrame(
+            {
+                "key": "a",
+                "event_id": ids,
+                "ts": [t0 + dt.timedelta(hours=int(i)) for i in ids],
+                "value": [float(i) for i in ids],
+            }
+        )
+
+    with caplog.at_level(
+        logging.WARNING, logger=stateful.__name__
+    ):
+        out = list(
+            stateful._score_group(
+                ("a",),
+                iter([chunk([0, 1, 2]), chunk([3, 4, 5, 6])]),
+                FakeState(),
+            )
+        )
+    assert len(out) == 1 and len(out[0]) == 7, "fold still completes"
+    warns = [r for r in caplog.records if "50%" in r.getMessage()]
+    assert len(warns) == 1, "exactly one advance warning past 50%"
+
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING, logger=stateful.__name__
+    ):
+        list(
+            stateful._score_group(
+                ("a",), iter([chunk([0, 1, 2])]), FakeState()
+            )
+        )
+    assert not caplog.records, "under 50%: no warning"
+
+
 def test_stateful_anomaly_inf_value_does_not_poison_state():
     """±Inf must behave exactly like NULL/NaN in the fold (r12 fuzz):
     scored unknown, never folded — pre-fix one +Inf set mean=Inf and

@@ -6598,10 +6598,14 @@ def q_streaming_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alone, but the sizing reuses the weekly drain's (week, event_type)
     # memo slot instead of paying a second approx_count_distinct scan
     # (~0.5 s/suite). The composite count is a small constant factor
-    # (|event_type| ~5) over the true key count, and the JVM rule's
-    # 25k-keys-per-shard divisor absorbs it: both counts pick the floor
-    # (4) at sf0.1 and both clamp to the cluster default at scale, so
-    # the proxy never changes the partition pick — only the scan count.
+    # (|event_type| ~5) over the true key count. Precise bound (r12
+    # advice item 3): the proxy leaves the partition pick unchanged
+    # only while both counts land on the same side of the JVM rule's
+    # 25k-keys-per-shard divisor — true at sf0.1 (both pick the floor,
+    # 4) and at production scale (both clamp to the cluster default),
+    # but a corpus with ~5k-25k distinct weeks WOULD get up to 5× more
+    # shards than measured-key sizing intends; week-grain keys make
+    # that regime unreachable here (5k weeks ≈ a century of data).
     groups = _measured_groups(
         spark, sf_dir, "events", ("date_trunc('week', ts)", "event_type")
     )

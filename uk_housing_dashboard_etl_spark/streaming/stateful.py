@@ -99,11 +99,24 @@ def _score_group(
         n, mean, m2 = state.get
     else:
         n, mean, m2 = 0, 0.0, 0.0
-    chunks, total = [], 0
+    chunks, total, warned = [], 0, False
     for c in pdfs:
         if not len(c):
             continue
         total += len(c)
+        if not warned and total * 2 > GROUP_BATCH_MAX_ROWS:
+            # advance signal at 50% of the cap (r12 advice item 5): a
+            # catch-up backlog grows across batches, so operators get a
+            # logged warning one regime before the hard failure
+            warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming_anomaly_scores: key %r is past 50%% of "
+                "GROUP_BATCH_MAX_ROWS (%d of %d rows in one micro-batch)"
+                " — bound the trigger before the cap hard-fails",
+                key[0], total, GROUP_BATCH_MAX_ROWS,
+            )
         if total > GROUP_BATCH_MAX_ROWS:
             raise ValueError(
                 f"streaming_anomaly_scores: key {key[0]!r} has more than "
