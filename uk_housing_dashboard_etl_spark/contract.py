@@ -10806,3 +10806,93 @@ QUERIES = {
     + _R12_QUEUE
     + [q for q in QUERIES if q not in _R12_FRONT and q not in _R12_QUEUE]
 }
+
+# ROUND-13 WINDOW (tools/rotation.py --plan at the r13 tree): required
+# (11) = the r12-deferred non-finite unit-sum class now guarded
+# (streaming_joined{,_outer,_agg}, salted_event_stats, value_trend) +
+# the embedding pair's component guards (embedding_health,
+# embedding_quantile_norm) + the as-of determinism rework (asof_join's
+# argmax oracle, asof_forward via the shared operator's NULL-key and
+# struct-carry fixes) + band_join (ANSI overflow on ±Inf buckets, r13
+# fuzz find) + streaming_anomaly (the stateful fold's 50%-cap advance
+# warning). Fill (39) = the ENTIRE remaining r6 era (26) + the oldest
+# 13 of r7; queue = the 17 r7 names the fill displaced. After r13 no
+# query's last green row is older than r7.
+# # required=11 (new=0), fill=39 (through r7-era), queue=17
+_R13_FRONT: list[str] = [
+    "band_join",
+    "embedding_quantile_norm",
+    "salted_event_stats",
+    "asof_forward",
+    "asof_join",
+    "value_trend",
+    "streaming_joined_agg",
+    "streaming_joined_outer",
+    "streaming_joined",
+    "embedding_health",
+    "streaming_anomaly",
+    "khop_distances",
+    "bloom_join_prune",
+    "link_prediction",
+    "acf_weekly",
+    "salted_join_stats",
+    "sketch_intersection_check",
+    "expectations",
+    "dedup_exact",
+    "sketch_cardinalities",
+    "sketch_weekly_distinct",
+    "type_breakdown",
+    "coverage_report",
+    "grid_weekly",
+    "week_over_week",
+    "props_json",
+    "quality_checks",
+    "latest_by_key",
+    "revenue_filter",
+    "weekly_type_pivot",
+    "similarity_lsh",
+    "similarity_ivf",
+    "embedding_near_dup",
+    "hash_sample",
+    "dataset_split",
+    "stratified_sample",
+    "corpus_cube",
+    "sessionize",
+    "range_join",
+    "similarity_topk",
+    "embedding_near_dup_lsh",
+    "doc_fingerprint",
+    "embedding_quantize",
+    "robust_anomalies",
+    "price_deciles",
+    "lapsed_parts",
+    "weekly_unpivot",
+    "repeat_customers",
+    "supplier_percentile",
+    "gap_interpolation",
+]
+_R13_QUEUE: list[str] = [
+    "top_parts_per_nation",
+    "modal_type",
+    "knn_classify",
+    "embedding_centroids",
+    "conversion_funnel",
+    "weekly_retention",
+    "multimodal_meta",
+    "cumulative_users",
+    "event_transitions",
+    "first_last_touch",
+    "corr_stats",
+    "price_histogram",
+    "grouping_sets",
+    "range_rolling",
+    "active_suppliers",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+]
+QUERIES = {
+    name: QUERIES[name]
+    for name in _R13_FRONT
+    + _R13_QUEUE
+    + [q for q in QUERIES if q not in _R13_FRONT and q not in _R13_QUEUE]
+}
