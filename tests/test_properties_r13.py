@@ -471,3 +471,155 @@ def test_streaming_joined_agg_engine_identical_under_nan_inf(
         _gate(spark, "streaming_joined_agg", sf, {"events": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+# ---- round-13 registry-sweep classes (tools/stress_adversarial_registry
+# found 30+ pairs beyond the hand-picked r12 set; these blocks pin the
+# representative operator per input class) ----
+
+LINEITEM_FULL_SCHEMA = pa.schema(
+    [
+        ("l_orderkey", pa.int64()),
+        ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()),
+        ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()),
+        ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]
+)
+
+ORDERS_FULL_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()),
+        ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_orderpriority", pa.string()),
+    ]
+)
+
+
+def _lineitem_pdf(rng: np.random.Generator, vals: list) -> pd.DataFrame:
+    n = len(vals)
+    qty = list(rng.uniform(1, 50, n).round(0))
+    # spread the non-finite draws across ALL FOUR measures so every
+    # guarded expression sees them
+    disc = list(rng.uniform(0, 0.1, n).round(2))
+    tax = list(rng.uniform(0, 0.08, n).round(2))
+    for i, v in enumerate(vals):
+        if v is None or not np.isfinite(v):
+            qty[i % n] = v
+            disc[(i + 1) % n] = v
+            tax[(i + 2) % n] = v
+    return pd.DataFrame(
+        {
+            "l_orderkey": pd.array(
+                rng.integers(1, max(2, n // 3), n), dtype="int64"
+            ),
+            "l_partkey": pd.array(rng.integers(1, 8, n), dtype="int64"),
+            "l_suppkey": pd.array(rng.integers(1, 5, n), dtype="int64"),
+            "l_linenumber": pd.array(range(1, n + 1), dtype="int32"),
+            "l_quantity": qty,
+            "l_extendedprice": vals,
+            "l_discount": disc,
+            "l_tax": tax,
+            "l_returnflag": rng.choice(["A", "N", "R"], n).astype(object),
+            "l_linestatus": rng.choice(["F", "O"], n).astype(object),
+            "l_shipdate": [
+                T0 + dt.timedelta(days=int(d))
+                for d in rng.integers(0, 600, n)
+            ],
+        }
+    )
+
+
+def _orders_pdf(rng: np.random.Generator, vals: list) -> pd.DataFrame:
+    n = len(vals)
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(1, n + 1), dtype="int64"),
+            "o_custkey": pd.array(rng.integers(1, 9, n), dtype="int64"),
+            "o_orderstatus": rng.choice(["F", "O", "P"], n).astype(object),
+            "o_totalprice": vals,
+            "o_orderdate": [
+                T0 + dt.timedelta(days=int(d))
+                for d in rng.integers(0, 600, n)
+            ],
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM"], n
+            ).astype(object),
+        }
+    )
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_pricing_summary_engine_identical_under_nan_inf(spark, vals, seed):
+    """TPC-H Q1's four unit sums and three deterministic means vs the
+    oracle with NaN/±Inf/NULL spread across every measure column —
+    non-finite terms leave each sum/mean like NULLs on both engines
+    while count_order keeps the row (r13 sweep class)."""
+    rng = np.random.default_rng(seed)
+    pdf = _lineitem_pdf(rng, vals)
+    sf = _write_sf({"lineitem": (pdf, LINEITEM_FULL_SCHEMA)})
+    try:
+        _gate(spark, "pricing_summary", sf, {"lineitem": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_trimmed_stats_engine_identical_under_null_rank_order(
+    spark, vals, seed
+):
+    """trimmed_stats vs its oracle with NULL and non-finite prices in
+    the ranked population: pre-fix a NULL price ranked FIRST on Spark
+    and LAST on DuckDB, shifting the whole trim band (r13 sweep) —
+    both are now excluded from ranking on both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _orders_pdf(rng, vals)
+    sf = _write_sf({"orders": (pdf, ORDERS_FULL_SCHEMA)})
+    try:
+        _gate(spark, "trimmed_stats", sf, {"orders": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_price_histogram_engine_identical_under_nan_inf(spark, vals, seed):
+    """price_histogram vs its oracle under NaN/±Inf prices: pre-fix
+    Spark's floor silently fabricated a ±maxlong phantom bucket where
+    DuckDB's bigint cast raised — non-finite prices now have no bucket
+    on either engine."""
+    rng = np.random.default_rng(seed)
+    pdf = _orders_pdf(rng, vals)
+    sf = _write_sf({"orders": (pdf, ORDERS_FULL_SCHEMA)})
+    try:
+        _gate(spark, "price_histogram", sf, {"orders": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_sessionize_engine_identical_on_null_ts_and_ties(spark, vals, seed):
+    """session_stats vs its oracle on NULL timestamps, forced (ts,
+    event_id) ties and non-finite values: pre-fix a NULL-ts row opened
+    its own session on Spark (NULLS FIRST) but absorbed into the last
+    session on DuckDB (NULLS LAST), and the oracle's running session
+    sum walked a different tie order than its own lag (r13 sweep)."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "sessionize", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

@@ -1,0 +1,210 @@
+"""Registry-wide adversarial sweep: run EVERY contract query/oracle
+pair on a contaminated copy of the driver corpus and report any
+divergence or crash — the empirical check behind SCALE.md §7's "no
+known wrong-on-adversarial-input pairs" claim.
+
+The r11-r13 fuzz program pinned ~30 hand-picked pairs with hypothesis
+blocks; this tool closes the OTHER direction — unknown unknowns — by
+sweeping the whole registry at once. Contamination is applied per AXIS
+so a failure attributes to the input class that caused it:
+
+- ``value``:  non-finite (NaN/+Inf/-Inf) and NULL doubles appended to
+              events.value with clean keys/timestamps — the integer-
+              unit quantization / floor-bucket class.
+- ``order``:  tied (user_id, ts) rows, NULL timestamps and NULL
+              user_ids in events — the total-order / carry-forward /
+              window-frame class.
+- ``price``:  non-finite and NULL doubles in orders.o_totalprice and
+              lineitem l_extendedprice/l_discount/l_tax/l_quantity —
+              the relational (TPC-H shape) surface's exposure.
+
+documents/embeddings stay CLEAN by design: exotic text is the
+documented U+0130 comparison-layer boundary (ASCII fixture invariant +
+selfcheck warning), and non-finite vector components are the
+embedding_health contract ("health-check before index build") with the
+health/quantile pairs themselves pinned by hypothesis blocks.
+
+Usage:  PYTHONPATH=.:tools python tools/stress_adversarial_registry.py \
+            [axis ...] [--base /root/testdata/sf0.001] [--only q1,q2]
+
+Oracle-less (rows-only) queries still run their Spark side — a crash
+there is a finding even without a comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+NONFINITE = [float("nan"), float("inf"), float("-inf"), None]
+
+
+def _copy_corpus(base: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(base, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(dst, f"{t}.parquet"))
+
+
+def _append_rows(path: str, rows: "pa.Table") -> None:
+    tbl = pq.read_table(path)
+    out = pa.concat_tables([tbl, rows.cast(tbl.schema)])
+    pq.write_table(out, path)
+
+
+def _contaminate_value(d: str) -> None:
+    """Non-finite/NULL event values on clean keys/timestamps: clone 4
+    real rows (fresh event_ids) and overwrite only `value`."""
+    path = os.path.join(d, "events.parquet")
+    tbl = pq.read_table(path)
+    head = tbl.slice(0, len(NONFINITE)).to_pydict()
+    max_id = duckdb.sql(
+        f"SELECT max(event_id) FROM '{path}'"
+    ).fetchone()[0]
+    head["event_id"] = [max_id + 1 + i for i in range(len(NONFINITE))]
+    head["value"] = list(NONFINITE)
+    _append_rows(path, pa.Table.from_pydict(head))
+
+
+def _contaminate_order(d: str) -> None:
+    """Total-order adversaries: exact (user_id, ts) duplicates of real
+    rows, a NULL-ts row and a NULL-user row (finite values)."""
+    path = os.path.join(d, "events.parquet")
+    tbl = pq.read_table(path)
+    base = tbl.slice(0, 4).to_pydict()
+    max_id = duckdb.sql(
+        f"SELECT max(event_id) FROM '{path}'"
+    ).fetchone()[0]
+    base["event_id"] = [max_id + 1 + i for i in range(4)]
+    # rows 0-1 duplicate existing (user, ts) pairs exactly (tie class);
+    # row 2 NULL ts; row 3 NULL user
+    base["ts"] = [base["ts"][0], base["ts"][1], None, base["ts"][3]]
+    base["user_id"] = [
+        base["user_id"][0], base["user_id"][1], base["user_id"][2], None,
+    ]
+    base["value"] = [1.25, 2.5, 3.75, 5.0]
+    _append_rows(path, pa.Table.from_pydict(base))
+
+
+def _contaminate_price(d: str) -> None:
+    """Non-finite/NULL prices in the relational tables."""
+    for t, cols in (
+        ("orders", ["o_totalprice"]),
+        ("lineitem", ["l_extendedprice", "l_discount", "l_tax",
+                      "l_quantity"]),
+    ):
+        path = os.path.join(d, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        tbl = pq.read_table(path)
+        head = tbl.slice(0, len(NONFINITE)).to_pydict()
+        if t == "orders":
+            max_id = duckdb.sql(
+                f"SELECT max(o_orderkey) FROM '{path}'"
+            ).fetchone()[0]
+            head["o_orderkey"] = [
+                max_id + 1 + i for i in range(len(NONFINITE))
+            ]
+        for c in cols:
+            if c in head:
+                head[c] = list(NONFINITE)
+        _append_rows(path, pa.Table.from_pydict(head))
+
+
+AXES = {
+    "value": _contaminate_value,
+    "order": _contaminate_order,
+    "price": _contaminate_price,
+}
+
+
+def run_axis(axis: str, base: str, only: set[str]) -> dict[str, str]:
+    import __spark_entry__ as e
+    from selfcheck import compare, duck_connection
+    from uk_housing_dashboard_etl_spark.session import get_spark
+
+    d = tempfile.mkdtemp(prefix=f"adv_{axis}_")
+    _copy_corpus(base, d)
+    AXES[axis](d)
+    spark = get_spark(app_name=f"adversarial_{axis}")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(d)
+    qs, oracles = e.queries(), e.oracle_sql()
+    findings: dict[str, str] = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, d).toPandas()
+        except Exception as exc:  # noqa: BLE001 — crash IS the finding
+            findings[name] = f"SPARK-CRASH {type(exc).__name__}: {exc}"[:300]
+            print(f"FAIL {name}: {findings[name]}")
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows ok "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            findings[name] = f"ORACLE-CRASH {type(exc).__name__}: {exc}"[:300]
+            print(f"FAIL {name}: {findings[name]}")
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            findings[name] = "; ".join(problems)[:300]
+            print(f"FAIL {name}: {findings[name]}")
+        else:
+            print(f"ok   {name} ({time.time()-t0:.1f}s)")
+    con.close()
+    shutil.rmtree(d, ignore_errors=True)
+    return findings
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base = "/root/testdata/sf0.001"
+    only: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--base="):
+            base = a.split("=", 1)[1]
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    axes = [a for a in args if a in AXES] or list(AXES)
+    all_findings: dict[str, dict[str, str]] = {}
+    for axis in axes:
+        print(f"=== axis: {axis} ===")
+        f = run_axis(axis, base, only)
+        if f:
+            all_findings[axis] = f
+    print("\n=== SUMMARY ===")
+    if not all_findings:
+        print("CLEAN: no divergence or crash on any axis")
+        return 0
+    for axis, f in all_findings.items():
+        print(f"[{axis}] {len(f)} findings:")
+        for name, why in sorted(f.items()):
+            print(f"  {name}: {why[:200]}")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -318,7 +318,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP aggregation with grouping indicators (subtotal lattice)."""
+    """ROLLUP aggregation with grouping indicators (subtotal lattice).
+    Non-finite quantities leave the sum like NULLs (r13 sweep)."""
+    from uk_housing_dashboard_etl_spark.functions.guards import (
+        finite_or_null,
+    )
     from uk_housing_dashboard_etl_spark.operators.relational import _dsum
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -328,7 +332,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("l_returnflag").cast("int").alias("g_flag"),
             F.grouping("l_linestatus").cast("int").alias("g_status"),
             F.count(F.lit(1)).alias("n_rows"),
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(finite_or_null(F.col("l_quantity"))).alias("sum_qty"),
         )
         .select(
             "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
@@ -3031,12 +3035,33 @@ WITH lookup AS (
 )
 """
 
+# _BASE with the weekly CTE's price guarded finite — the oracle twin
+# of weekly_mart's r13 non-finite boundary (registry-wide adversarial
+# sweep: one NaN/±Inf price crashed the deterministic mean's bigint
+# quantization on BOTH engines and would skew the exact percentiles
+# engine-dependently). Consumers: exactly the mart-chain oracles whose
+# Spark side flows through operators.weekly.weekly_mart, plus
+# sql_weekly_by_la (aliased to weekly_by_la's). Count-only consumers
+# (type_breakdown, coverage_report, robust_anomalies, modal_type,
+# qa_metrics, clean_transactions's raw passthrough) stay on _BASE —
+# they never aggregate price, so the guard would only stale them.
+_BASE_FIN = _BASE.replace(
+    "    FROM enriched\n    WHERE local_authority IS NOT NULL\n"
+    "    GROUP BY 1, 2",
+    "    FROM (SELECT date, transaction_id, local_authority,\n"
+    "                 CASE WHEN isfinite(price) THEN price END AS price\n"
+    "          FROM enriched)\n"
+    "    WHERE local_authority IS NOT NULL\n    GROUP BY 1, 2",
+    1,
+)
+assert _BASE_FIN != _BASE, "weekly CTE anchor moved — update _BASE_FIN"
+
 ORACLES: dict[str, str] = {
     "clean_transactions": _BASE
     + """
     SELECT date, transaction_id, price, key, prop_type FROM enriched
     """,
-    "weekly_by_la": _BASE
+    "weekly_by_la": _BASE_FIN
     + """
     SELECT week, local_authority, transactions,
            round(price_mean, 4) AS price_mean,
@@ -3097,7 +3122,8 @@ ORACLES: dict[str, str] = {
                CAST(ntile(10) OVER (PARTITION BY local_authority
                     ORDER BY price, transaction_id) AS INTEGER) AS decile
         FROM enriched
-        WHERE price IS NOT NULL AND local_authority IS NOT NULL
+        WHERE price IS NOT NULL AND isfinite(price)
+          AND local_authority IS NOT NULL
     )
     SELECT local_authority, decile, count(*) AS n,
            round({dmean_sql('price')}, 4) AS avg_price
@@ -3122,7 +3148,7 @@ ORACLES: dict[str, str] = {
     "top_parts_per_nation": """
     WITH per_part AS (
         SELECT n_name, l_partkey,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+               CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation ON s_nationkey = n_nationkey
@@ -3141,7 +3167,7 @@ ORACLES: dict[str, str] = {
            round(100.0 * count(local_authority) / count(*), 4) AS coverage_pct
     FROM enriched
     """,
-    "grid_weekly": _BASE
+    "grid_weekly": _BASE_FIN
     + """
     SELECT week, local_authority, transactions,
            round(price_mean, 4) AS price_mean,
@@ -3150,7 +3176,7 @@ ORACLES: dict[str, str] = {
            round(price_p90, 4) AS price_p90
     FROM dense
     """,
-    "rolling_windows": _BASE
+    "rolling_windows": _BASE_FIN
     + """
     SELECT week, local_authority, transactions, rolling_trans,
            round(price_mean, 4) AS price_mean,
@@ -3158,7 +3184,7 @@ ORACLES: dict[str, str] = {
            window_weeks
     FROM rolled
     """,
-    "anomalies": _BASE
+    "anomalies": _BASE_FIN
     + """
     SELECT week, local_authority, transactions, rolling_trans,
            round(price_mean, 4) AS price_mean,
@@ -3170,7 +3196,7 @@ ORACLES: dict[str, str] = {
            abs(z_rolling_trans) > 3.0 AS anomaly_rolling_trans
     FROM scored
     """,
-    "latest_snapshot": _BASE
+    "latest_snapshot": _BASE_FIN
     + """
     SELECT week, local_authority, transactions, rolling_trans,
            round(price_mean, 4) AS price_mean,
@@ -3179,7 +3205,7 @@ ORACLES: dict[str, str] = {
     FROM rolled
     WHERE week = (SELECT max(week) FROM rolled)
     """,
-    "week_over_week": _BASE
+    "week_over_week": _BASE_FIN
     + """
     , dense_r AS (
         SELECT week, local_authority, transactions,
@@ -3209,17 +3235,25 @@ ORACLES: dict[str, str] = {
     """,
     "sessionize": """
     WITH base AS (
-        SELECT user_id, value, ts, epoch_us(ts) AS us,
+        -- NULL ts excluded like the operator: "unknown time" belongs
+        -- to no session (the engines otherwise place it at opposite
+        -- ends of the gap walk — r13 sweep)
+        SELECT user_id, value, ts, event_id, epoch_us(ts) AS us,
                lag(epoch_us(ts)) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id) AS prev_us
-        FROM events
+        FROM events WHERE ts IS NOT NULL
     ), marked AS (
         SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                        THEN 1 ELSE 0 END AS is_start
         FROM base
     ), sessions AS (
+        -- the running sum must walk the SAME (ts, event_id) total
+        -- order as the lag above: ordering by (ts, us) let tied
+        -- timestamps interleave differently and split one session
+        -- into two (r13 sweep, off-by-one session count)
         SELECT user_id, value, ts, us,
-               CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, us
+               CAST(sum(is_start) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                     AS session_idx
         FROM marked
@@ -3227,7 +3261,11 @@ ORACLES: dict[str, str] = {
     SELECT user_id, session_idx, count(*) AS n_events,
            min(ts) AS session_start,
            round((max(us) - min(us)) / 1000000.0, 4) AS span_seconds,
-           round((CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(value), 4) AS value_mean
+           round((CAST(sum(CASE WHEN isfinite(value) THEN
+                          CAST(round(value * 10000.0) AS BIGINT) END)
+                      AS DOUBLE) / 10000.0)
+                 / count(CASE WHEN isfinite(value) THEN value END), 4)
+               AS value_mean
     FROM sessions
     GROUP BY 1, 2
     """,
@@ -3236,7 +3274,7 @@ ORACLES: dict[str, str] = {
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
            count(*) AS n_rows,
-           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty
+           CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round((l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -3261,13 +3299,13 @@ ORACLES: dict[str, str] = {
 _RELATIONAL_ORACLES: dict[str, str] = {
     "pricing_summary": """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
-           round((CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_quantity), 4) AS avg_qty,
-           round((CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_extendedprice), 4) AS avg_price,
-           round((CAST(sum(CAST(round(l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / count(l_discount), 4) AS avg_disc,
+           CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round((l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS sum_qty,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice) THEN CAST(round((l_extendedprice) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS sum_base_price,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)) THEN CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS sum_charge,
+           round((CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round((l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0) / count(CASE WHEN isfinite(l_quantity) THEN l_quantity END), 4) AS avg_qty,
+           round((CAST(sum(CASE WHEN isfinite(l_extendedprice) THEN CAST(round((l_extendedprice) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0) / count(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END), 4) AS avg_price,
+           round((CAST(sum(CASE WHEN isfinite(l_discount) THEN CAST(round((l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0) / count(CASE WHEN isfinite(l_discount) THEN l_discount END), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -3285,7 +3323,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "large_orders": """
     WITH per_order AS (
         SELECT l_orderkey,
-               CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty
+               CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round((l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS total_qty
         FROM lineitem GROUP BY 1
     )
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
@@ -3434,8 +3472,8 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "brand_revenue": """
     SELECT p_brand,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
-           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_qty,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round((l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS total_qty,
            count(*) AS line_count
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -3445,7 +3483,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "nation_pair_trade": """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -3478,7 +3516,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "product_profit": """
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) THEN CAST(round((l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS profit,
            count(*) AS n_lines
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -3573,7 +3611,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "important_parts": """
     WITH per_part AS (
         SELECT l_partkey,
-               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS value
+               round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS value
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -3591,8 +3629,8 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "min_cost_supplier": """
     WITH offers AS (
         SELECT l_partkey, l_suppkey, s_name, n_name AS supp_nation,
-               round((CAST(sum(CAST(round(l_extendedprice / l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
-                     / count(l_extendedprice / l_quantity), 4) AS unit_price
+               round((CAST(sum(CASE WHEN isfinite(l_extendedprice / l_quantity) THEN CAST(round((l_extendedprice / l_quantity) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0)
+                     / count(CASE WHEN isfinite(l_extendedprice / l_quantity) THEN 1 END), 4) AS unit_price
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
@@ -4147,7 +4185,7 @@ _EXTENSION_ORACLES["lang_id"] = (
     + f", {_lang_case} AS predicted_lang FROM documents"
 )
 
-_EXTENSION_ORACLES["gap_interpolation"] = _BASE + """
+_EXTENSION_ORACLES["gap_interpolation"] = _BASE_FIN + """
     , f AS (
         SELECT week, local_authority, transactions, price_mean,
                last_value(price_mean IGNORE NULLS) OVER (PARTITION BY local_authority ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
@@ -4176,7 +4214,7 @@ _EXTENSION_ORACLES["repeat_customers"] = """
 _EXTENSION_ORACLES["supplier_percentile"] = """
     WITH rev AS (
         SELECT l_suppkey,
-               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+               round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem
         GROUP BY 1
     )
@@ -4220,7 +4258,11 @@ _EXTENSION_ORACLES["weekly_unpivot"] = """
            CAST(coalesce(c.transactions, 0) AS BIGINT) AS transactions
     FROM weeks w
     CROSS JOIN types t
-    LEFT JOIN cnt c ON c.week = w.week AND c.event_type = t.event_type
+    -- NULL-safe week match (r13 sweep): a NULL-ts row forms a real
+    -- NULL-week group in the pivot twin on BOTH engines, but a plain
+    -- equi-join here dropped its counts to the zero-fill
+    LEFT JOIN cnt c ON c.week IS NOT DISTINCT FROM w.week
+                   AND c.event_type = t.event_type
     """
 
 # ------------------------------------------------- behavior / stats batch
@@ -4468,7 +4510,9 @@ _EXTENSION_ORACLES["first_last_touch"] = """
         SELECT user_id,
                min(ts) AS first_ts, max(ts) AS last_ts,
                count(*) AS n_events,
-               round(CAST(sum(CAST(round(value * 10000.0) AS BIGINT)) AS DOUBLE)
+               round(CAST(sum(CASE WHEN isfinite(value) THEN
+                              CAST(round(value * 10000.0) AS BIGINT) END)
+                          AS DOUBLE)
                      / 10000.0, 4) AS total_value
         FROM e GROUP BY 1
     )
@@ -4487,6 +4531,10 @@ _EXTENSION_ORACLES["corr_stats"] = """
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
            round(stddev_samp(l_extendedprice), 4) AS price_stddev
     FROM lineitem
+    -- both measures finite (r13: one ±Inf row NaN-poisons Spark's
+    -- moments while DuckDB's STDDEV raises out-of-range)
+    WHERE l_quantity IS NOT NULL AND isfinite(l_quantity)
+      AND l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
     GROUP BY 1, 2
     """
 
@@ -4496,7 +4544,8 @@ _EXTENSION_ORACLES["price_histogram"] = """
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
            floor(o_totalprice / 25000.0) * 25000.0 AS bucket_lo
-    FROM orders WHERE o_totalprice IS NOT NULL
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
     GROUP BY 1, 5
     """
 
@@ -4504,15 +4553,17 @@ _EXTENSION_ORACLES["grouping_sets"] = """
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
            count(*) AS n,
-           CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CASE WHEN isfinite(l_quantity) THEN
+                    CAST(round(l_quantity * 10000.0) AS BIGINT) END) AS DOUBLE)
                / 10000.0 AS sum_qty,
-           CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
+           CAST(sum(CASE WHEN isfinite(l_extendedprice) THEN
+                    CAST(round(l_extendedprice * 10000.0) AS BIGINT) END) AS DOUBLE)
                / 10000.0 AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """
 
-_EXTENSION_ORACLES["range_rolling"] = _BASE + """
+_EXTENSION_ORACLES["range_rolling"] = _BASE_FIN + """
     SELECT week, local_authority, transactions,
            CAST(sum(transactions) OVER w AS BIGINT) AS range_trans,
            round((CAST(sum(CAST(round(price_mean * 10000.0) AS BIGINT))
@@ -5281,7 +5332,8 @@ _EXTENSION_ORACLES["psi_drift"] = """
     WITH tagged AS (
         SELECT event_type, value AS v,
                (ts < TIMESTAMP '2024-01-16') AS ref
-        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
     ), edges AS (
         SELECT event_type,
                quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
@@ -5650,6 +5702,7 @@ _EXTENSION_ORACLES["sketch_weekly_distinct"] = """
            COUNT(DISTINCT user_id) AS exact_weekly_distinct,
            TRUE AS within_5pct
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """
 
@@ -5662,6 +5715,7 @@ _EXTENSION_ORACLES["sketch_quantiles"] = """
            TRUE AS median_in_rank_band,
            TRUE AS p90_in_rank_band
     FROM events
+    WHERE value IS NULL OR isfinite(value)
     GROUP BY event_type
     """
 
@@ -5801,7 +5855,9 @@ _EXTENSION_ORACLES["trimmed_stats"] = f"""
                    ORDER BY o_totalprice, o_orderkey) AS rn,
                count(*) OVER (PARTITION BY o_orderpriority) AS n
         FROM orders
-        WHERE o_totalprice IS NULL OR isfinite(o_totalprice)
+        -- NULLs excluded like non-finite (r13: the engines rank NULL
+        -- at opposite ends, shifting the trim band)
+        WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
     ), kept AS (
         SELECT * FROM r
         WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
@@ -6769,8 +6825,13 @@ def q_sql_weekly_by_la(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON c_nationkey = n_nationkey
             WHERE c_custkey % 7 <> 3
         ), enriched AS (
+            -- non-finite prices leave the mart's mean/percentiles like
+            -- NULLs (weekly_mart's r13 boundary, identical guard)
             SELECT e.ts AS date, e.event_id AS transaction_id,
-                   e.value AS price, l.local_authority
+                   CASE WHEN NOT isnan(e.value)
+                        AND abs(e.value) < CAST('Infinity' AS DOUBLE)
+                        THEN e.value END AS price,
+                   l.local_authority
             FROM __sql_events e
             LEFT JOIN lookup l ON CAST(e.user_id AS STRING) = l.key
             WHERE e.ts IS NOT NULL
@@ -10808,29 +10869,65 @@ QUERIES = {
 }
 
 # ROUND-13 WINDOW (tools/rotation.py --plan at the r13 tree): required
-# (11) = the r12-deferred non-finite unit-sum class now guarded
-# (streaming_joined{,_outer,_agg}, salted_event_stats, value_trend) +
-# the embedding pair's component guards (embedding_health,
-# embedding_quantile_norm) + the as-of determinism rework (asof_join's
-# argmax oracle, asof_forward via the shared operator's NULL-key and
-# struct-carry fixes) + band_join (ANSI overflow on ±Inf buckets, r13
-# fuzz find) + streaming_anomaly (the stateful fold's 50%-cap advance
-# warning). Fill (39) = the ENTIRE remaining r6 era (26) + the oldest
-# 13 of r7; queue = the 17 r7 names the fill displaced. After r13 no
-# query's last green row is older than r7.
-# # required=11 (new=0), fill=39 (through r7-era), queue=17
+# (43) = the r12-deferred non-finite unit-sum class
+# (streaming_joined{,_outer,_agg}, salted_event_stats, value_trend),
+# the embedding component guards, the as-of determinism rework, and the
+# registry-wide adversarial sweep's haul
+# (tools/stress_adversarial_registry.py — the weekly-mart chain's price
+# guard, the sessionize NULL-ts/tie fixes, the relational family's
+# revenue/quantity/profit guards, the rank-population NULL exclusions
+# in trimmed_stats, the corr/histogram/grouping-sets guards, band_join
+# overflow, psi_drift bucketing, sketch percentile parity) +
+# streaming_anomaly (the stateful fold's 50%-cap advance warning).
+# Fill (7) = the oldest remaining r6 names; the displaced 16 r6 names
+# queue for r14 — this round spent its slots on CLOSING 30+ proven
+# defects rather than finishing the r6 era (the close-tree selfcheck
+# covers every deferred name at HEAD as independent evidence).
+# # required=43 (new=0), fill=7 (through r6-era), queue=16
 _R13_FRONT: list[str] = [
     "band_join",
     "embedding_quantile_norm",
+    "sketch_weekly_distinct",
+    "grid_weekly",
+    "week_over_week",
+    "sessionize",
+    "price_deciles",
+    "weekly_unpivot",
+    "supplier_percentile",
+    "gap_interpolation",
+    "top_parts_per_nation",
+    "first_last_touch",
+    "corr_stats",
+    "price_histogram",
+    "grouping_sets",
+    "range_rolling",
     "salted_event_stats",
+    "session_summary",
+    "weekly_approx_check",
     "asof_forward",
     "asof_join",
     "value_trend",
+    "weekly_by_la",
+    "rolling_windows",
+    "anomalies",
+    "latest_snapshot",
     "streaming_joined_agg",
     "streaming_joined_outer",
     "streaming_joined",
     "embedding_health",
+    "psi_drift",
     "streaming_anomaly",
+    "sketch_quantiles",
+    "trimmed_stats",
+    "sql_weekly_by_la",
+    "rollup_lineitem",
+    "pricing_summary",
+    "brand_revenue",
+    "large_orders",
+    "nation_pair_trade",
+    "product_profit",
+    "important_parts",
+    "min_cost_supplier",
     "khop_distances",
     "bloom_join_prune",
     "link_prediction",
@@ -10838,13 +10935,12 @@ _R13_FRONT: list[str] = [
     "salted_join_stats",
     "sketch_intersection_check",
     "expectations",
+]
+_R13_QUEUE: list[str] = [
     "dedup_exact",
     "sketch_cardinalities",
-    "sketch_weekly_distinct",
     "type_breakdown",
     "coverage_report",
-    "grid_weekly",
-    "week_over_week",
     "props_json",
     "quality_checks",
     "latest_by_key",
@@ -10857,38 +10953,6 @@ _R13_FRONT: list[str] = [
     "dataset_split",
     "stratified_sample",
     "corpus_cube",
-    "sessionize",
-    "range_join",
-    "similarity_topk",
-    "embedding_near_dup_lsh",
-    "doc_fingerprint",
-    "embedding_quantize",
-    "robust_anomalies",
-    "price_deciles",
-    "lapsed_parts",
-    "weekly_unpivot",
-    "repeat_customers",
-    "supplier_percentile",
-    "gap_interpolation",
-]
-_R13_QUEUE: list[str] = [
-    "top_parts_per_nation",
-    "modal_type",
-    "knn_classify",
-    "embedding_centroids",
-    "conversion_funnel",
-    "weekly_retention",
-    "multimodal_meta",
-    "cumulative_users",
-    "event_transitions",
-    "first_last_touch",
-    "corr_stats",
-    "price_histogram",
-    "grouping_sets",
-    "range_rolling",
-    "active_suppliers",
-    "similarity_lsh_recall",
-    "similarity_ivf_recall",
 ]
 QUERIES = {
     name: QUERIES[name]

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from uk_housing_dashboard_etl_spark.functions.guards import finite_or_null
 from uk_housing_dashboard_etl_spark.functions.rounding import dmean, round4
 from uk_housing_dashboard_etl_spark.functions.topk import deterministic_topk
 
@@ -39,20 +40,26 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFram
     Catalyst pushes the shipdate filter to the parquet scan; the groupBy
     key has 6 distinct values, so map-side combine collapses virtually
     all rows before the shuffle.
+
+    Non-finite measure terms leave each sum/mean like NULLs (the
+    integer-unit quantization saturates/overflows otherwise — r13
+    sweep) while ``count_order`` still counts the row; the oracle
+    guards the identical expressions.
     """
+    fin = finite_or_null
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
         lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum(F.col("l_quantity")).alias("sum_qty"),
-            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(disc_price).alias("sum_disc_price"),
-            _dsum(charge).alias("sum_charge"),
-            dmean(F.col("l_quantity")).alias("avg_qty"),
-            dmean(F.col("l_extendedprice")).alias("avg_price"),
-            dmean(F.col("l_discount")).alias("avg_disc"),
+            _dsum(fin(F.col("l_quantity"))).alias("sum_qty"),
+            _dsum(fin(F.col("l_extendedprice"))).alias("sum_base_price"),
+            _dsum(fin(disc_price)).alias("sum_disc_price"),
+            _dsum(fin(charge)).alias("sum_charge"),
+            dmean(fin(F.col("l_quantity"))).alias("avg_qty"),
+            dmean(fin(F.col("l_extendedprice"))).alias("avg_price"),
+            dmean(fin(F.col("l_discount"))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -252,7 +259,9 @@ def customers_without_orders(
 
 
 def brand_revenue(part: DataFrame, lineitem: DataFrame, min_size: int = 10) -> DataFrame:
-    """Broadcast dim join (part) + hash agg per brand."""
+    """Broadcast dim join (part) + hash agg per brand. Non-finite
+    measure terms leave the sums like NULLs (r13 sweep); line_count
+    still counts the row."""
     dims = part.where(F.col("p_size") >= min_size).select("p_partkey", "p_brand")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -260,8 +269,8 @@ def brand_revenue(part: DataFrame, lineitem: DataFrame, min_size: int = 10) -> D
         .join(F.broadcast(dims), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-            _dsum(revenue).alias("revenue"),
-            _dsum(F.col("l_quantity")).alias("total_qty"),
+            _dsum(finite_or_null(revenue)).alias("revenue"),
+            _dsum(finite_or_null(F.col("l_quantity"))).alias("total_qty"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -313,9 +322,14 @@ def large_orders(
     HAVING filter kills ~99% of orders, so only the survivors (a
     dim-sized frame, broadcastable) meet the orders/customer tables.
     """
+    # non-finite quantities leave the per-order total like NULLs (r13
+    # sweep) — the HAVING threshold then sees the finite remainder,
+    # identically on both engines
     per_order = (
         lineitem.groupBy("l_orderkey")
-        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .agg(
+            _dsum(finite_or_null(F.col("l_quantity"))).alias("total_qty")
+        )
         .where(F.col("total_qty") > min_qty)
     )
     return (
@@ -439,7 +453,8 @@ def nation_pair_trade(
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(
-            _dsum(revenue).alias("revenue"),
+            # non-finite revenue terms leave the sum like NULLs (r13)
+            _dsum(finite_or_null(revenue)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -541,7 +556,11 @@ def product_profit(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("order_year"),
         )
-        .agg(_dsum(profit).alias("profit"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(
+            # non-finite profit terms leave the sum like NULLs (r13)
+            _dsum(finite_or_null(profit)).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
@@ -767,7 +786,8 @@ def important_parts(
         lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(round4(_dsum(revenue)).alias("value"))
+        # non-finite revenue terms leave the sum like NULLs (r13)
+        .agg(round4(_dsum(finite_or_null(revenue))).alias("value"))
     )
     total = per_part.agg(
         (F.sum(F.round(F.col("value") * 10000.0).cast("bigint")).cast("double")
@@ -812,8 +832,14 @@ def min_cost_supplier(
         .join(F.broadcast(region_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "supp_nation")
         .agg(
+            # non-finite unit prices (incl. x/0 from a zero quantity)
+            # leave the mean like NULLs (r13 sweep)
             round4(
-                dmean(F.col("l_extendedprice") / F.col("l_quantity"))
+                dmean(
+                    finite_or_null(
+                        F.col("l_extendedprice") / F.col("l_quantity")
+                    )
+                )
             ).alias("unit_price")
         )
     )
@@ -851,9 +877,12 @@ def top_parts_per_nation(
         )
         .groupBy("n_name", "l_partkey")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            # non-finite revenue terms leave the sum like NULLs (r13)
+            _dsum(
+                finite_or_null(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("revenue")
         )
     )
     w = Window.partitionBy("n_name").orderBy(
@@ -903,9 +932,18 @@ def price_deciles(enriched: DataFrame) -> DataFrame:
     weekly mart already pays. For a truly skewed giant group, switch to
     percentile-boundary assignment (two tiny aggregates + broadcast
     compare) — same output, no per-group sort.
+
+    Non-finite prices are excluded like NULLs at this operator boundary
+    (r13 sweep: a single ±Inf row crashed the decile mean's bigint
+    quantization; a decile band for NaN/Inf is meaningless anyway) —
+    the oracle filters ``isfinite(price)`` in the same place.
     """
+    p = F.col("price").cast("double")
     base = enriched.where(
-        F.col("price").isNotNull() & F.col("local_authority").isNotNull()
+        F.col("price").isNotNull()
+        & F.col("local_authority").isNotNull()
+        & ~F.isnan(p)
+        & (F.abs(p) < F.expr("CAST('Infinity' AS DOUBLE)"))
     )
     w = Window.partitionBy("local_authority").orderBy(
         F.col("price"), F.col("transaction_id")
@@ -991,9 +1029,14 @@ def supplier_percentile(lineitem: DataFrame) -> DataFrame:
     double. Never apply a global rank window to the raw fact table.
     """
     rev = lineitem.groupBy("l_suppkey").agg(
-        round4(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        )
+        # non-finite revenue terms leave the sum like NULLs (r13)
+        round4(
+            _dsum(
+                finite_or_null(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            )
+        ).alias("revenue")
     )
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_suppkey"))
     return rev.select(
@@ -1058,15 +1101,16 @@ def trimmed_stats(
     exact rank cut with approx-percentile boundaries at (trim, 100−trim)
     and a filter, which needs no per-group sort.
 
-    NaN/±Inf rows are excluded from the ranked population (NULLs keep
-    their existing rank-first behavior): a non-finite value cannot
-    quantize to dsum's integer units — a single ±Inf row inside the
-    kept band overflows the ANSI bigint cast (r12 fuzz finding) — and
-    trimming is exactly the tool that should not let sentinel values
-    consume trim slots.
+    NULL and NaN/±Inf rows are excluded from the ranked population: a
+    non-finite value cannot quantize to dsum's integer units — a single
+    ±Inf row inside the kept band overflows the ANSI bigint cast (r12
+    fuzz finding) — and a NULL row RANKS at opposite ends of the two
+    engines' total orders (Spark NULLS FIRST, DuckDB NULLS LAST — r13
+    sweep: one NULL shifted the whole trim band), besides being exactly
+    the sentinel rows trimming should not let consume trim slots.
     """
     vc = F.col(value_col)
-    finite = vc.isNull() | (
+    finite = vc.isNotNull() & (
         ~F.isnan(vc) & (F.abs(vc) < F.lit(float("inf")))
     )
     ranked = orders.where(finite).select(

@@ -56,15 +56,34 @@ def session_stats(
     timeout_minutes: float = 30.0,
     tie_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-session mart: event count, start, span seconds, value mean."""
+    """Per-session mart: event count, start, span seconds, value mean.
+
+    Non-finite values leave the mean like NULLs at this operator
+    boundary (the dmean quantization saturates on Spark, raises on the
+    oracle's bigint cast — r13 sweep); the row still counts into
+    ``n_events`` on both engines, and the guarded expression is what
+    the mean's denominator counts. NULL timestamps are excluded before
+    sessionization (r13 sweep): "unknown time" belongs to no session,
+    and the engines otherwise place the row at OPPOSITE ends of the
+    gap walk (Spark NULLS FIRST → its own session; DuckDB NULLS LAST →
+    absorbed into the last session)."""
     with_sessions = assign_sessions(
-        events, user_col, ts_col, timeout_minutes, tie_cols
+        events.where(F.col(ts_col).isNotNull()),
+        user_col,
+        ts_col,
+        timeout_minutes,
+        tie_cols,
     )
     us = F.unix_micros(F.col(ts_col))
     span_seconds = (F.max(us) - F.min(us)) / F.lit(1_000_000.0)
+    v = F.col(value_col).cast("double")
+    fv = F.when(
+        ~F.isnan(v) & (F.abs(v) < F.expr("CAST('Infinity' AS DOUBLE)")),
+        F.col(value_col),
+    )
     return with_sessions.groupBy(F.col(user_col), F.col("session_idx")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         round4(span_seconds).alias("span_seconds"),
-        round4(dmean(F.col(value_col))).alias("value_mean"),
+        round4(dmean(fv)).alias("value_mean"),
     )

@@ -62,7 +62,14 @@ def mergeable_daily_distinct(
     weeks — the incremental-rollup shape where yesterday's raw data is
     never rescanned. Output carries the exact weekly distinct for
     comparison.
+
+    NULL timestamps are excluded at this operator boundary (r13 sweep):
+    "unknown time" belongs to no week, and the engines otherwise
+    DISAGREE structurally — the sketch/exact join drops the NULL week
+    (Spark's equi-join never matches NULL) while a SQL GROUP BY keeps
+    it as a row.
     """
+    events = events.where(F.col(ts_col).isNotNull())
     daily = (
         events.withColumn("day", F.date_trunc("day", F.col(ts_col)))
         .groupBy("day")
@@ -139,7 +146,17 @@ def quantile_sketch_summary(
     # KLL_INVALID_INPUT_SKETCH_BUFFER (r10 sweep — same live ANSI-crash
     # class as r9's 0/0 fixes; an IS NULL guard does NOT catch it).
     # Such a group reports NULL estimates next to its NULL exact
-    # percentiles.
+    # percentiles. Non-finite values are dropped at this operator
+    # boundary (r13 sweep: Spark's exact percentile ranks NaN greatest
+    # while the oracle's percentile_cont skips it, shifting the
+    # interpolation by one element — and a quantile of NaN/±Inf is
+    # meaningless for the sketch's rank guarantee anyway); NULL-value
+    # rows still flow through unchanged.
+    vd = F.col(value_col).cast("double")
+    events = events.where(
+        F.col(value_col).isNull()
+        | (~F.isnan(vd) & (F.abs(vd) < F.expr("CAST('Infinity' AS DOUBLE)")))
+    )
     return (
         events.groupBy(group_col)
         .agg(

@@ -25,8 +25,25 @@ from pyspark.sql import functions as F
 def corr_stats(lineitem: DataFrame) -> DataFrame:
     """Per (returnflag, linestatus): association between quantity and
     gross price — Pearson corr, sample covariance, both sample stddevs.
+
+    Rows with a non-finite quantity OR price are excluded at this
+    operator boundary (r13 sweep): one ±Inf row makes Spark's moment
+    aggregates emit NaN/Inf while DuckDB's STDDEV raises an
+    out-of-range error — and a correlation over sentinel values is
+    meaningless. Both columns must be finite so every statistic sees
+    the SAME n (corr/covar pairwise semantics).
     """
-    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+    q, p = F.col("l_quantity").cast("double"), F.col(
+        "l_extendedprice"
+    ).cast("double")
+    inf = F.expr("CAST('Infinity' AS DOUBLE)")
+    both_ok = (
+        q.isNotNull() & ~F.isnan(q) & (F.abs(q) < inf)
+        & p.isNotNull() & ~F.isnan(p) & (F.abs(p) < inf)
+    )
+    return lineitem.where(both_ok).groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
         F.count("*").alias("n"),
         F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
         F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
@@ -41,10 +58,20 @@ def price_histogram(orders: DataFrame, bucket_width: float = 25000.0) -> DataFra
     Bucket = floor(price / width); bounds are exact integer multiples of
     the width, so bucket assignment is engine-independent. Emits count
     plus within-bucket min/max (the data-driven bucket envelope).
+
+    Non-finite prices are excluded like NULLs at this operator boundary
+    (r13 sweep: Spark's floor silently saturates ±Inf to a phantom
+    ±maxlong bucket while the oracle's bigint cast raises — and a
+    histogram bucket for NaN/Inf is meaningless).
     """
+    pv = F.col("o_totalprice").cast("double")
     b = F.floor(F.col("o_totalprice") / F.lit(bucket_width))
     return (
         orders.na.drop(subset=["o_totalprice"])
+        .where(
+            ~F.isnan(pv)
+            & (F.abs(pv) < F.expr("CAST('Infinity' AS DOUBLE)"))
+        )
         .groupBy(b.alias("bucket"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -76,9 +103,16 @@ def grouping_sets_summary(lineitem: DataFrame) -> DataFrame:
             SELECT l_returnflag, l_linestatus,
                    CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
                    count(*) AS n,
-                   CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE)
+                   -- non-finite terms leave the sums like NULLs (r13)
+                   CAST(sum(CASE WHEN NOT isnan(l_quantity)
+                                 AND abs(l_quantity) < CAST('Infinity' AS DOUBLE)
+                            THEN CAST(round(l_quantity * 10000.0) AS BIGINT)
+                            END) AS DOUBLE)
                        / 10000.0 AS sum_qty,
-                   CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE)
+                   CAST(sum(CASE WHEN NOT isnan(l_extendedprice)
+                                 AND abs(l_extendedprice) < CAST('Infinity' AS DOUBLE)
+                            THEN CAST(round(l_extendedprice * 10000.0) AS BIGINT)
+                            END) AS DOUBLE)
                        / 10000.0 AS sum_price
             FROM {view}
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -342,7 +376,18 @@ def psi_drift(
         round4,
     )
 
-    tagged = df.where(F.col(value_col).isNotNull()).select(
+    # non-finite values are excluded like NULLs at this operator
+    # boundary (r13 sweep: the engines BUCKET them at opposite ends —
+    # Spark's NaN > edge is false → bucket 1, DuckDB's NaN is greatest
+    # in its total order → bucket 10 — and an Inf in the reference
+    # period poisons the decile edges; a drift statistic over
+    # non-finite input is meaningless)
+    vd = F.col(value_col).cast("double")
+    tagged = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(vd)
+        & (F.abs(vd) < F.expr("CAST('Infinity' AS DOUBLE)"))
+    ).select(
         *group_cols,
         F.col(value_col).alias("__v"),
         period_col.alias("__ref"),

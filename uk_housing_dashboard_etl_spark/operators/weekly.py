@@ -123,6 +123,17 @@ def weekly_mart(enriched: DataFrame, approx: bool = False) -> DataFrame:
     Monday-start tumbling week via ``date_trunc('week')``; per (week, LA):
     count-distinct transactions, mean/median/p10/p90 of price (exact linear
     interpolation). Null-LA rows are dropped (pandas groupby semantics).
+
+    Non-finite prices (NaN/±Inf) are NULLed at this mart boundary — the
+    r13 registry-wide adversarial sweep showed one such row crashes the
+    deterministic mean's bigint quantization (ANSI CAST_OVERFLOW on
+    Spark, a raise on the oracle's cast: the r12 non-finite class) and
+    would skew the exact percentiles engine-dependently. A NULL price
+    leaves mean/percentiles like any missing value while the row still
+    counts into ``transactions`` — on both engines (the oracle's
+    ``_BASE_FIN`` weekly CTE applies the identical ``isfinite`` CASE).
+    This is the reference's own sentinel-containment pattern
+    (etl_main.py:269-278 zeroes z-scores when std is NaN/0).
     """
     # Two performance decisions, each measured ~3× at 20M rows:
     # 1. ONE percentile aggregate for all three points — separate
@@ -139,8 +150,17 @@ def weekly_mart(enriched: DataFrame, approx: bool = False) -> DataFrame:
         pcts = F.percentile_approx("price", pct_points).cast("array<double>")
     else:
         pcts = F.percentile("price", pct_points)
-    base = enriched.where(F.col("local_authority").isNotNull()).withColumn(
-        "week", F.date_trunc("week", F.col("date"))
+    base = (
+        enriched.where(F.col("local_authority").isNotNull())
+        .withColumn("week", F.date_trunc("week", F.col("date")))
+        .withColumn(
+            "price",
+            F.expr(
+                "CASE WHEN NOT isnan(price)"
+                " AND abs(price) < CAST('Infinity' AS DOUBLE)"
+                " THEN price END"
+            ),
+        )
     )
     stats = base.groupBy("week", "local_authority").agg(
         # deterministic mean (exact integer-scaled sum / count):
