@@ -1752,6 +1752,17 @@ def q_weekly_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         enriched.where(F.col("local_authority").isNotNull())
         .withColumn("week", F.date_trunc("week", F.col("date")))
+        # same non-finite price boundary as weekly_mart / _BASE_FIN
+        # (r13 sweep: this gate recomputes the mart's percentiles, so
+        # it must see the identical population)
+        .withColumn(
+            "price",
+            F.expr(
+                "CASE WHEN NOT isnan(price)"
+                " AND abs(price) < CAST('Infinity' AS DOUBLE)"
+                " THEN price END"
+            ),
+        )
         .select("week", "local_authority", "price")
     )
     g = base.groupBy("week", "local_authority").agg(
