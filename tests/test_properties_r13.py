@@ -623,3 +623,106 @@ def test_sessionize_engine_identical_on_null_ts_and_ties(spark, vals, seed):
         _gate(spark, "sessionize", sf, {"events": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+CUSTOMER_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()),
+        ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]
+)
+
+NATION_SCHEMA = pa.schema(
+    [
+        ("n_nationkey", pa.int32()),
+        ("n_name", pa.string()),
+        ("n_regionkey", pa.int32()),
+    ]
+)
+
+
+def _lookup_pdfs(rng: np.random.Generator, n_users: int):
+    cust = pd.DataFrame(
+        {
+            "c_custkey": pd.array(range(1, n_users + 1), dtype="int64"),
+            "c_name": [f"c{i}" for i in range(1, n_users + 1)],
+            "c_nationkey": pd.array(
+                rng.integers(0, 3, n_users), dtype="int32"
+            ),
+            "c_acctbal": list(rng.uniform(0, 1000, n_users).round(2)),
+            "c_mktsegment": ["BUILDING"] * n_users,
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": pd.array([0, 1, 2], dtype="int32"),
+            "n_name": ["ALPHA", "BETA", "GAMMA"],
+            "n_regionkey": pd.array([0, 0, 1], dtype="int32"),
+        }
+    )
+    return cust, nation
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_weekly_by_la_engine_identical_under_nan_inf(spark, vals, seed):
+    """The §2 flagship mart vs its _BASE_FIN oracle on NaN/±Inf/NULL
+    prices with NULL timestamps and users: pre-fix one non-finite price
+    crashed the deterministic mean's bigint quantization on BOTH
+    engines — it now leaves mean/percentiles like a NULL while the row
+    still counts into transactions."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    n_users = int(pd.Series(pdf["user_id"]).max() or 5) + 2
+    cust, nation = _lookup_pdfs(rng, n_users)
+    sf = _write_sf(
+        {
+            "events": (pdf, EVENTS_SCHEMA),
+            "customer": (cust, CUSTOMER_SCHEMA),
+            "nation": (nation, NATION_SCHEMA),
+        }
+    )
+    try:
+        _gate(
+            spark, "weekly_by_la", sf,
+            {"events": pdf, "customer": cust, "nation": nation},
+        )
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_corr_stats_engine_identical_under_nan_inf(spark, vals, seed):
+    """corr_stats vs its oracle with NaN/±Inf spread across both
+    measure columns: pre-fix Spark's moments NaN-poisoned where
+    DuckDB's STDDEV raised out-of-range — rows with a non-finite
+    measure are now excluded on both engines (same n everywhere)."""
+    rng = np.random.default_rng(seed)
+    pdf = _lineitem_pdf(rng, vals)
+    sf = _write_sf({"lineitem": (pdf, LINEITEM_FULL_SCHEMA)})
+    try:
+        _gate(spark, "corr_stats", sf, {"lineitem": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_sketch_weekly_distinct_engine_identical_on_null_ts(
+    spark, vals, seed
+):
+    """mergeable_daily_distinct vs its oracle with NULL timestamps:
+    pre-fix the sketch/exact equi-join dropped the NULL-week group the
+    oracle's GROUP BY kept — 'unknown time' now belongs to no week on
+    both engines."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "sketch_weekly_distinct", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
