@@ -84,11 +84,20 @@ def first_last_touch(
 
     ``deterministic_sum`` sums ``value`` in exact 1e-4-unit integers so
     the total is partitioning/engine independent (oracle mode); plain
-    double sum otherwise.
+    double sum otherwise. Non-finite values leave the sum like NULLs
+    in that mode (the quantization saturates on Spark, raises on the
+    oracle's bigint cast — r13 sweep) while ``n_events`` still counts
+    the row on both engines.
     """
     if deterministic_sum:
         tv = (
-            F.sum(F.round(F.col("value") * F.lit(10000.0)).cast("bigint"))
+            F.sum(
+                F.expr(
+                    "CASE WHEN NOT isnan(value)"
+                    " AND abs(value) < CAST('Infinity' AS DOUBLE)"
+                    " THEN CAST(round(value * 10000.0) AS BIGINT) END"
+                )
+            )
             .cast("double")
             / F.lit(10000.0)
         )
