@@ -726,3 +726,22 @@ def test_sketch_weekly_distinct_engine_identical_on_null_ts(
         _gate(spark, "sketch_weekly_distinct", sf, {"events": pdf})
     finally:
         shutil.rmtree(sf, ignore_errors=True)
+
+
+@SLOW
+@given(vals=adversarial_values(), seed=st.integers(0, 2**31))
+def test_sketch_cardinalities_engine_identical_on_all_null_group(
+    spark, vals, seed
+):
+    """approx_cardinalities vs its oracle when an entire group's ids
+    are NULL (exact distinct 0): pre-fix the rel_error ratio raised
+    ANSI DIVIDE_BY_ZERO — the CASE now keeps the division off empty
+    groups, flag true iff the sketch agrees the group is empty."""
+    rng = np.random.default_rng(seed)
+    pdf = _events_pdf(rng, vals)
+    pdf.loc[pdf["event_type"] == "view", "user_id"] = None
+    sf = _write_sf({"events": (pdf, EVENTS_SCHEMA)})
+    try:
+        _gate(spark, "sketch_cardinalities", sf, {"events": pdf})
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)

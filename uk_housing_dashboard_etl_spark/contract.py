@@ -743,16 +743,24 @@ def q_sketch_weekly_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = mergeable_daily_distinct(read_table(spark, sf_dir, "events"))
+    # a week whose only events carry NULL user_ids has exact distinct 0
+    # — the CASE keeps the ANSI division off that row (r13 close-profile
+    # fuzz: DIVIDE_BY_ZERO); an empty week is "within band" iff the
+    # sketch also reads zero
     return out.select(
         "week",
         "exact_weekly_distinct",
-        (
+        F.when(
+            F.col("exact_weekly_distinct") > 0,
             F.abs(
-                F.col("approx_weekly_distinct") - F.col("exact_weekly_distinct")
+                F.col("approx_weekly_distinct")
+                - F.col("exact_weekly_distinct")
             )
             / F.col("exact_weekly_distinct")
-            <= 0.05
-        ).alias("within_5pct"),
+            <= 0.05,
+        )
+        .otherwise(F.col("approx_weekly_distinct") == 0.0)
+        .alias("within_5pct"),
     )
 
 
@@ -10894,13 +10902,16 @@ QUERIES = {
 # queue for r14 — this round spent its slots on CLOSING 30+ proven
 # defects rather than finishing the r6 era (the close-tree selfcheck
 # covers every deferred name at HEAD as independent evidence).
-# # required=43 (new=0), fill=7 (through r6-era), queue=16
+# (the close-profile fuzz then added two: sketch_weekly_distinct's and
+# sketch_cardinalities' empty-group DIVIDE_BY_ZERO guards)
+# # required=44 (new=0), fill=6 (through r6-era), queue=16
 _R13_FRONT: list[str] = [
     "band_join",
     "embedding_quantile_norm",
     "sketch_weekly_distinct",
     "grid_weekly",
     "week_over_week",
+    "sketch_cardinalities",
     "sessionize",
     "price_deciles",
     "weekly_unpivot",
@@ -10945,11 +10956,10 @@ _R13_FRONT: list[str] = [
     "acf_weekly",
     "salted_join_stats",
     "sketch_intersection_check",
-    "expectations",
 ]
 _R13_QUEUE: list[str] = [
+    "expectations",
     "dedup_exact",
-    "sketch_cardinalities",
     "type_breakdown",
     "coverage_report",
     "props_json",

@@ -33,7 +33,13 @@ def approx_cardinalities(
     id_col: str = "user_id",
     lg_k: int = 12,
 ) -> DataFrame:
-    """Per-group exact vs HLL distinct-id counts with relative error."""
+    """Per-group exact vs HLL distinct-id counts with relative error.
+
+    A group whose every id is NULL has exact_distinct 0 — the CASE
+    keeps the ANSI division off that row (r13: DIVIDE_BY_ZERO);
+    rel_error is 0 when the sketch agrees the group is empty, +Inf
+    when it somehow doesn't (so a 5% band flag reads false).
+    """
     return (
         events.groupBy(group_col)
         .agg(
@@ -44,8 +50,15 @@ def approx_cardinalities(
         )
         .withColumn(
             "rel_error",
-            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+            ).otherwise(
+                F.when(F.col("approx_distinct") == 0.0, 0.0).otherwise(
+                    F.lit(float("inf"))
+                )
+            ),
         )
     )
 
