@@ -128,10 +128,70 @@ def _contaminate_price(d: str) -> None:
         _append_rows(path, pa.Table.from_pydict(head))
 
 
+def _contaminate_price_infilter(d: str) -> None:
+    """Non-finite prices on rows built to SURVIVE the relational
+    family's date/predicate filters (r13 residual probe): lineitem rows
+    shipped mid-1996 (inside the promo/revenue/market windows),
+    orders mid-1996, and positive-balance customers (idle_capital's
+    ``c_acctbal > 0``). The plain ``price`` axis clones head rows whose
+    dates fall wherever they fall — these are aimed."""
+    import datetime as dt
+
+    # CORRELATED contamination: the cloned lineitem rows point at
+    # cloned mid-1996 orders (and carry returnflag R), so multi-join
+    # revenue paths (orders-window joins like Q5/Q10/Q3/Q8 shapes) see
+    # the non-finite measures too — uncorrelated clones only reach
+    # single-table scans
+    od = os.path.join(d, "orders.parquet")
+    new_orderkeys = []
+    if os.path.exists(od):
+        tbl = pq.read_table(od)
+        head = tbl.slice(0, len(NONFINITE)).to_pydict()
+        max_id = duckdb.sql(
+            f"SELECT max(o_orderkey) FROM '{od}'"
+        ).fetchone()[0]
+        new_orderkeys = [
+            max_id + 1 + i for i in range(len(NONFINITE))
+        ]
+        head["o_orderkey"] = list(new_orderkeys)
+        head["o_orderdate"] = [
+            dt.datetime(1996, 2, 1)] * len(NONFINITE)
+        head["o_totalprice"] = list(NONFINITE)
+        _append_rows(od, pa.Table.from_pydict(head))
+    li = os.path.join(d, "lineitem.parquet")
+    if os.path.exists(li):
+        tbl = pq.read_table(li)
+        head = tbl.slice(0, len(NONFINITE)).to_pydict()
+        if new_orderkeys:
+            head["l_orderkey"] = list(new_orderkeys)
+        head["l_shipdate"] = [
+            dt.datetime(1996, 2, 1)] * len(NONFINITE)
+        head["l_returnflag"] = ["R"] * len(NONFINITE)
+        head["l_extendedprice"] = list(NONFINITE)
+        head["l_discount"] = [0.04] * len(NONFINITE)
+        head["l_quantity"] = list(NONFINITE)
+        _append_rows(li, pa.Table.from_pydict(head))
+    cu = os.path.join(d, "customer.parquet")
+    if os.path.exists(cu):
+        tbl = pq.read_table(cu)
+        head = tbl.slice(0, len(NONFINITE)).to_pydict()
+        max_id = duckdb.sql(
+            f"SELECT max(c_custkey) FROM '{cu}'"
+        ).fetchone()[0]
+        head["c_custkey"] = [
+            max_id + 1 + i for i in range(len(NONFINITE))
+        ]
+        # inf/nan survive c_acctbal > 0 in BOTH engines? NaN > 0 is
+        # false on both; +Inf > 0 true on both — keep the draws as-is
+        head["c_acctbal"] = list(NONFINITE)
+        _append_rows(cu, pa.Table.from_pydict(head))
+
+
 AXES = {
     "value": _contaminate_value,
     "order": _contaminate_order,
     "price": _contaminate_price,
+    "price_infilter": _contaminate_price_infilter,
 }
 
 

@@ -3331,10 +3331,10 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     GROUP BY 1, 2
     """,
     "promo_revenue": """
-    SELECT round(100.0 * (CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
-                 / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS promo_revenue_pct,
-           round(CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS promo_revenue,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+    SELECT round(100.0 * (CAST(sum(CASE WHEN p_type = 'PROMO' AND isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0)
+                 / (CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0), 4) AS promo_revenue_pct,
+           round(CAST(sum(CASE WHEN p_type = 'PROMO' AND isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS promo_revenue,
+           round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -3354,12 +3354,17 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "idle_capital": """
     WITH avg_bal AS (
-        SELECT (CAST(sum(CAST(round(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
-               / count(c_acctbal) AS a
+        SELECT (CAST(sum(CASE WHEN isfinite(c_acctbal) THEN
+                        CAST(round(c_acctbal * 10000.0) AS BIGINT) END)
+                    AS DOUBLE) / 10000.0)
+               / count(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END)
+               AS a
         FROM customer WHERE c_acctbal > 0
     )
     SELECT c_nationkey, count(*) AS n_customers,
-           round(CAST(sum(CAST(round(c_acctbal * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_acctbal
+           round(CAST(sum(CASE WHEN isfinite(c_acctbal) THEN
+                          CAST(round(c_acctbal * 10000.0) AS BIGINT) END)
+                      AS DOUBLE) / 10000.0, 4) AS total_acctbal
     FROM customer, avg_bal
     WHERE c_acctbal > a
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -3369,7 +3374,9 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "top_supplier": """
     WITH per_supp AS (
         SELECT l_suppkey,
-               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+               round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN
+                          CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END)
+                      AS DOUBLE) / 10000.0, 4) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -3397,7 +3404,9 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "top_customers": """
     WITH per_cust AS (
         SELECT o_custkey,
-               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+               round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN
+                          CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) END)
+                      AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         WHERE l_returnflag = 'R'
@@ -3448,7 +3457,9 @@ _RELATIONAL_ORACLES: dict[str, str] = {
                                ORDER BY ts DESC, event_id DESC) = 1
     """,
     "revenue_filter": """
-    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+    SELECT CAST(sum(CASE WHEN isfinite(l_extendedprice * l_discount) THEN
+                    CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT) END)
+                AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -10902,9 +10913,12 @@ QUERIES = {
 # queue for r14 — this round spent its slots on CLOSING 30+ proven
 # defects rather than finishing the r6 era (the close-tree selfcheck
 # covers every deferred name at HEAD as independent evidence).
-# (the close-profile fuzz then added two: sketch_weekly_distinct's and
-# sketch_cardinalities' empty-group DIVIDE_BY_ZERO guards)
-# # required=44 (new=0), fill=6 (through r6-era), queue=16
+# (the close-profile fuzz then added sketch_weekly_distinct's and
+# sketch_cardinalities' empty-group DIVIDE_BY_ZERO guards, and the
+# correlated in-filter probe added the five relational pairs it proved:
+# idle_capital, promo_revenue, revenue_filter, top_supplier,
+# top_customers)
+# # required=49 (new=0), fill=1 (through r6-era), queue=20
 _R13_FRONT: list[str] = [
     "band_join",
     "embedding_quantile_norm",
@@ -10912,6 +10926,7 @@ _R13_FRONT: list[str] = [
     "grid_weekly",
     "week_over_week",
     "sketch_cardinalities",
+    "revenue_filter",
     "sessionize",
     "price_deciles",
     "weekly_unpivot",
@@ -10950,14 +10965,18 @@ _R13_FRONT: list[str] = [
     "product_profit",
     "important_parts",
     "min_cost_supplier",
+    "top_customers",
+    "promo_revenue",
+    "idle_capital",
+    "top_supplier",
     "khop_distances",
+]
+_R13_QUEUE: list[str] = [
     "bloom_join_prune",
     "link_prediction",
     "acf_weekly",
     "salted_join_stats",
     "sketch_intersection_check",
-]
-_R13_QUEUE: list[str] = [
     "expectations",
     "dedup_exact",
     "type_breakdown",
@@ -10965,7 +10984,6 @@ _R13_QUEUE: list[str] = [
     "props_json",
     "quality_checks",
     "latest_by_key",
-    "revenue_filter",
     "weekly_type_pivot",
     "similarity_lsh",
     "similarity_ivf",

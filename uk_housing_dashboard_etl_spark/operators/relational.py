@@ -136,7 +136,9 @@ def top_customers_by_revenue(
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(round4(_dsum(revenue)).alias("revenue"))
+        # non-finite revenue terms leave the sum like NULLs (r13
+        # correlated in-filter probe)
+        .agg(round4(_dsum(finite_or_null(revenue))).alias("revenue"))
     )
     ranked = deterministic_topk(
         per_cust, [F.col("revenue").desc(), F.col("o_custkey")], k
@@ -177,7 +179,12 @@ def revenue_forecast_filter(
             & (F.col("l_discount") <= disc_hi)
             & (F.col("l_quantity") < max_qty)
         )
-        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(
+            # non-finite revenue terms leave the sum like NULLs (r13
+            # in-filter probe)
+            _dsum(finite_or_null(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )
 
 
@@ -300,8 +307,10 @@ def promo_revenue(
             F.col("l_partkey") == F.col("p_partkey"),
         )
     )
-    promo = _dsum(F.when(F.col("p_type") == "PROMO", rev))
-    total = _dsum(rev)
+    # non-finite revenue terms leave both sums like NULLs (r13
+    # in-filter probe)
+    promo = _dsum(F.when(F.col("p_type") == "PROMO", finite_or_null(rev)))
+    total = _dsum(finite_or_null(rev))
     return joined.agg(
         round4(F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
         round4(promo).alias("promo_revenue"),
@@ -359,8 +368,10 @@ def idle_capital(
     NOT EXISTS without materializing order rows — the big-order filter
     pushes to the orders scan before the anti join's build side.
     """
+    # non-finite balances leave the mean like NULLs (r13 in-filter
+    # probe: +Inf passes the > 0 predicate on both engines)
     avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
-        dmean(F.col("c_acctbal")).alias("__avg_bal")
+        dmean(finite_or_null(F.col("c_acctbal"))).alias("__avg_bal")
     )
     rich = (
         customer.crossJoin(F.broadcast(avg_bal))
@@ -374,7 +385,9 @@ def idle_capital(
     )
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        round4(_dsum(F.col("c_acctbal"))).alias("total_acctbal"),
+        round4(_dsum(finite_or_null(F.col("c_acctbal")))).alias(
+            "total_acctbal"
+        ),
     )
 
 
@@ -398,7 +411,8 @@ def top_supplier(
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(round4(_dsum(rev)).alias("total_revenue"))
+        # non-finite revenue terms leave the sum like NULLs (r13)
+        .agg(round4(_dsum(finite_or_null(rev))).alias("total_revenue"))
     )
     max_rev = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
     return (
