@@ -31,7 +31,11 @@ def corr_stats(lineitem: DataFrame) -> DataFrame:
     aggregates emit NaN/Inf while DuckDB's STDDEV raises an
     out-of-range error — and a correlation over sentinel values is
     meaningless. Both columns must be finite so every statistic sees
-    the SAME n (corr/covar pairwise semantics).
+    the SAME n (corr/covar pairwise semantics). The correlation itself
+    is the post-agg division covar/(σq·σp), NULL when either variance
+    is zero: Spark's ANSI ``corr`` RAISES DIVIDE_BY_ZERO on a
+    constant-valued group where DuckDB's returns NULL (r13 fresh-draw
+    fuzz).
     """
     q, p = F.col("l_quantity").cast("double"), F.col(
         "l_extendedprice"
@@ -41,14 +45,30 @@ def corr_stats(lineitem: DataFrame) -> DataFrame:
         q.isNotNull() & ~F.isnan(q) & (F.abs(q) < inf)
         & p.isNotNull() & ~F.isnan(p) & (F.abs(p) < inf)
     )
-    return lineitem.where(both_ok).groupBy(
-        "l_returnflag", "l_linestatus"
-    ).agg(
-        F.count("*").alias("n"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-        F.stddev_samp("l_quantity").alias("qty_stddev"),
-        F.stddev_samp("l_extendedprice").alias("price_stddev"),
+    return (
+        lineitem.where(both_ok)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias(
+                "qty_price_covar"
+            ),
+            F.stddev_samp("l_quantity").alias("qty_stddev"),
+            F.stddev_samp("l_extendedprice").alias("price_stddev"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            F.when(
+                (F.col("qty_stddev") > 0) & (F.col("price_stddev") > 0),
+                F.col("qty_price_covar")
+                / (F.col("qty_stddev") * F.col("price_stddev")),
+            ).alias("qty_price_corr"),
+            "qty_price_covar",
+            "qty_stddev",
+            "price_stddev",
+        )
     )
 
 
