@@ -70,6 +70,7 @@ ROUND_CLOSE: dict[int, str] = {
     10: "6859e3e",
     11: "e1976a6",
     12: "1a79fac",
+    13: "34c2fa2",
 }
 
 # ---------------------------------------------------------------- git

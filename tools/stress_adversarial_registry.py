@@ -187,11 +187,102 @@ def _contaminate_price_infilter(d: str) -> None:
         _append_rows(cu, pa.Table.from_pydict(head))
 
 
+def _contaminate_price_reach(d: str) -> None:
+    """Fifth axis (r14): non-finite prices on rows that SATISFY the six
+    residual pairs' JOIN predicates — the co-location/segment/region
+    paths ``price_infilter`` could not reach (r13 verdict item 2).
+
+    Per-pair reach, all through four cloned mid-1996 orders placed by an
+    ASIA BUILDING customer:
+
+    - ``revenue_by_nation``  (Q5): l_suppkey is a supplier in that same
+      customer's nation (the co-location predicate), order in 1996.
+    - ``shipping_priority``  (Q3): BUILDING segment, o_orderdate
+      1996-02-01 < cutoff < l_shipdate 1996-08-01.
+    - ``market_share``       (Q8): l_partkey is a STANDARD part; the
+      order's customer is in ASIA.
+    - ``small_qty_revenue`` (Q17): one Brand#3 part gets a NaN-quantity
+      line (poisons the per-part avg threshold), a second Brand#3 part
+      gets a tiny-quantity line with NaN price (passes the 20% cut,
+      poisons the revenue sum).
+    - ``disjunctive_revenue`` (Q19): a Brand#15 size≤15 part with
+      l_quantity 25 (third OR branch) and +Inf price.
+    - ``slow_suppliers``     (Q21): a NULL-suppkey, NULL-shipdate line
+      (no float measures there — reach proves it CLEAN, not RED).
+    """
+    import datetime as dt
+
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "nation", "region", "part",
+              "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{os.path.join(d, t + '.parquet')}'")
+    cust, supp = con.sql("""
+        SELECT c.c_custkey, s.s_suppkey FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_nationkey = c.c_nationkey
+        WHERE r.r_name = 'ASIA' AND c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, s.s_suppkey LIMIT 1""").fetchone()
+    (std_part,) = con.sql(
+        "SELECT p_partkey FROM part WHERE p_type = 'STANDARD' "
+        "ORDER BY p_partkey LIMIT 1").fetchone()
+    b3 = [r[0] for r in con.sql("""
+        SELECT l_partkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3' GROUP BY 1
+        HAVING avg(l_quantity) > 1 ORDER BY 1 LIMIT 2""").fetchall()]
+    b15 = con.sql(
+        "SELECT p_partkey FROM part WHERE p_brand = 'Brand#15' "
+        "AND p_size BETWEEN 1 AND 15 ORDER BY p_partkey LIMIT 1"
+    ).fetchone()
+    con.close()
+    b3_a, b3_b = (b3 + [std_part, std_part])[:2]
+    b15_part = b15[0] if b15 else std_part
+
+    od = os.path.join(d, "orders.parquet")
+    tbl = pq.read_table(od)
+    head = tbl.slice(0, len(NONFINITE)).to_pydict()
+    max_id = duckdb.sql(f"SELECT max(o_orderkey) FROM '{od}'").fetchone()[0]
+    okeys = [max_id + 1 + i for i in range(len(NONFINITE))]
+    head["o_orderkey"] = list(okeys)
+    head["o_custkey"] = [cust] * len(NONFINITE)
+    head["o_orderdate"] = [dt.datetime(1996, 2, 1)] * len(NONFINITE)
+    head["o_totalprice"] = list(NONFINITE)
+    _append_rows(od, pa.Table.from_pydict(head))
+
+    li = os.path.join(d, "lineitem.parquet")
+    tbl = pq.read_table(li)
+    nan, inf = float("nan"), float("inf")
+    #       orderkey  partkey   suppkey  shipdate          price  qty
+    rows = [
+        (okeys[0], std_part, supp, dt.datetime(1996, 8, 1), nan,   5.0),
+        (okeys[1], std_part, supp, dt.datetime(1996, 8, 1), inf,   5.0),
+        (okeys[2], std_part, supp, dt.datetime(1996, 8, 1), -inf,  5.0),
+        (okeys[3], std_part, supp, dt.datetime(1996, 8, 1), None,  5.0),
+        (okeys[0], b3_a,     supp, dt.datetime(1996, 8, 1), 100.0, nan),
+        (okeys[1], b3_b,     supp, dt.datetime(1996, 8, 1), nan,   1e-4),
+        (okeys[2], b15_part, supp, dt.datetime(1996, 8, 1), inf,   25.0),
+        (okeys[3], std_part, None, None,                    50.0,  5.0),
+    ]
+    head = tbl.slice(0, len(rows)).to_pydict()
+    head["l_orderkey"] = [r[0] for r in rows]
+    head["l_partkey"] = [r[1] for r in rows]
+    head["l_suppkey"] = [r[2] for r in rows]
+    head["l_shipdate"] = [r[3] for r in rows]
+    head["l_extendedprice"] = [r[4] for r in rows]
+    head["l_quantity"] = [r[5] for r in rows]
+    head["l_discount"] = [0.04] * len(rows)
+    head["l_tax"] = [0.02] * len(rows)
+    head["l_returnflag"] = ["R"] * len(rows)
+    _append_rows(li, pa.Table.from_pydict(head))
+
+
 AXES = {
     "value": _contaminate_value,
     "order": _contaminate_order,
     "price": _contaminate_price,
     "price_infilter": _contaminate_price_infilter,
+    "price_reach": _contaminate_price_reach,
 }
 
 

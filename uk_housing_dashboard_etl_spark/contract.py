@@ -3388,7 +3388,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "revenue_by_nation": """
     SELECT n_name,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -3470,7 +3470,7 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     "shipping_priority": """
     WITH per_order AS (
         SELECT o_orderkey, o_orderdate,
-               round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue
+               round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -3528,9 +3528,9 @@ _RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "market_share": """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
-           round(COALESCE(CAST(sum(CAST(round(CASE WHEN n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 0.0)
-                 / (CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0), 4) AS mkt_share,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS total_revenue
+           round(COALESCE(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(CASE WHEN n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) END * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 0.0)
+                 / (CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0), 4) AS mkt_share,
+           round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS total_revenue
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
     JOIN orders   ON l_orderkey = o_orderkey
@@ -3594,17 +3594,17 @@ _RELATIONAL_ORACLES: dict[str, str] = {
         WHERE p_brand = 'Brand#3'
     ), thresholds AS (
         SELECT l_partkey AS t_partkey,
-               round((CAST(sum(CAST(round(l_quantity * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)
-                     / count(l_quantity), 4) AS avg_qty
+               round((CAST(sum(CASE WHEN isfinite(l_quantity) THEN CAST(round(l_quantity * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0)
+                     / count(CASE WHEN isfinite(l_quantity) THEN l_quantity END), 4) AS avg_qty
         FROM brand_lines GROUP BY 1
     )
-    SELECT round((CAST(sum(CAST(round(l_extendedprice * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0) / 7.0, 4) AS avg_yearly,
+    SELECT round((CAST(sum(CASE WHEN isfinite(l_extendedprice) THEN CAST(round(l_extendedprice * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0) / 7.0, 4) AS avg_yearly,
            count(*) AS n_lines
     FROM brand_lines JOIN thresholds ON l_partkey = t_partkey
     WHERE l_quantity < 0.2 * avg_qty
     """,
     "disjunctive_revenue": """
-    SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0, 4) AS revenue,
+    SELECT round(CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0, 4) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN part ON l_partkey = p_partkey

@@ -105,7 +105,9 @@ def revenue_by_nation(
         .where(F.col("s_nationkey") == F.col("c_nationkey"))
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return joined.groupBy("n_name").agg(_dsum(revenue).alias("revenue"))
+    return joined.groupBy("n_name").agg(
+        _dsum(finite_or_null(revenue)).alias("revenue")
+    )
 
 
 def top_customers_by_revenue(
@@ -209,7 +211,7 @@ def shipping_priority(
         .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round4(_dsum(revenue)).alias("revenue"))
+        .agg(round4(_dsum(finite_or_null(revenue))).alias("revenue"))
     )
     ranked = deterministic_topk(
         per_order, [F.col("revenue").desc(), F.col("o_orderkey")], k
@@ -521,8 +523,10 @@ def market_share(
         .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    target_rev = _dsum(F.when(F.col("supp_nation") == target_nation, revenue))
-    total_rev = _dsum(revenue)
+    target_rev = _dsum(
+        F.when(F.col("supp_nation") == target_nation, finite_or_null(revenue))
+    )
+    total_rev = _dsum(finite_or_null(revenue))
     return (
         joined.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -677,15 +681,15 @@ def small_qty_revenue(
         .join(F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"))
     )
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        round4(dmean(F.col("l_quantity"))).alias("avg_qty")
+        round4(dmean(finite_or_null(F.col("l_quantity")))).alias("avg_qty")
     )
     return (
         li.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
         .where(F.col("l_quantity") < F.lit(qty_frac) * F.col("avg_qty"))
         .agg(
-            round4(_dsum(F.col("l_extendedprice")) / F.lit(years)).alias(
-                "avg_yearly"
-            ),
+            round4(
+                _dsum(finite_or_null(F.col("l_extendedprice"))) / F.lit(years)
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -714,7 +718,7 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         | branch("Brand#23", 1, 10, 10, 20)
         | branch("Brand#15", 1, 15, 20, 30)
     ).agg(
-        round4(_dsum(revenue)).alias("revenue"),
+        round4(_dsum(finite_or_null(revenue))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
