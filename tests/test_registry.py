@@ -91,6 +91,47 @@ def test_rotation_window_covers_new_and_stale():
         )
 
 
+def test_rows_only_twin_pairing():
+    """r13 verdict item 5: every rows-only (no-oracle) drain must have
+    a registered ORACLE-GATED twin, and whenever the drain is required
+    in the driver window the twin is required with it — a rows-only
+    green next to an unverified twin vouches for nothing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import rotation
+
+    twins = rotation.rows_only_twins()  # raises if any twin is missing
+    rows_only = [n for n in contract.QUERIES if n not in contract.ORACLES]
+    assert sorted(twins) == sorted(rows_only)
+    required = rotation.required_in_window()
+    for drain, twin in twins.items():
+        if drain in required:
+            assert twin in required, (
+                f"rows-only {drain!r} is window-required but its twin "
+                f"{twin!r} is not — the pairing rule must pull it in"
+            )
+
+
+def test_window_budget_not_exceeded():
+    """r13 verdict item 6: the REQUIRED set alone must fit the hard
+    50-slot driver window. If this fails, stop editing shared package
+    code and rotate — a required set past the window ships unverified
+    repairs."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools import rotation
+
+    n_req, _, window = rotation.projected_window()
+    assert n_req <= window, (
+        f"{n_req} required queries exceed the {window}-slot window — "
+        "freeze package code and spend the whole window on required"
+    )
+
+
 # The r9 byte-pinning fit-salt tripwire that lived here is gone: the
 # salt is now DERIVED from the rotation tracer's AST closure
 # (contract._FIT_SALT_ROOTS + contract._fit_code_salt), which makes the

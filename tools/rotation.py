@@ -293,6 +293,45 @@ def changed_units(rev: str) -> frozenset[tuple[str, str]]:
 
 # ------------------------------------------------------------- queries
 
+WINDOW = 50  # the driver samples this many registry entries per round
+
+# rows-only drains whose twin suffix is not the default "_check"
+_TWIN_OVERRIDES = {
+    "similarity_lsh": "similarity_lsh_recall",
+    "similarity_ivf": "similarity_ivf_recall",
+    "similarity_ivfpq": "similarity_ivfpq_recall",
+    "similarity_pq": "similarity_pq_recall",
+    "similarity_ivfpq_res": "similarity_ivfpq_res_recall",
+    "dedup_simhash": "dedup_simhash_complete",
+    "dedup_minhash": "dedup_minhash_recall",
+    "embedding_near_dup_lsh": "embedding_near_dup_lsh_recall",
+    "pca_scores": "pca_check",
+}
+
+
+def rows_only_twins() -> dict[str, str]:
+    """rows-only query -> its oracle-gated twin (r13 verdict item 5).
+
+    Every ``no_oracle`` drain is graded rows-only, so its evidence of
+    correctness is the hash-exact twin. When the drain enters the
+    driver window, the twin must enter too — a rows-only green next to
+    an unverified twin vouches for nothing.
+    """
+    from uk_housing_dashboard_etl_spark import contract
+
+    out: dict[str, str] = {}
+    for name in contract.QUERIES:
+        if name in contract.ORACLES:
+            continue
+        twin = _TWIN_OVERRIDES.get(name, f"{name}_check")
+        if twin not in contract.QUERIES or twin not in contract.ORACLES:
+            raise LookupError(
+                f"rows-only query {name!r} has no oracle-gated twin "
+                f"({twin!r} missing) — register one or add an override"
+            )
+        out[name] = twin
+    return out
+
 
 def last_verified() -> dict[str, int]:
     """query -> latest round with a GREEN CORRECTNESS row (0 = never).
@@ -377,10 +416,17 @@ def required_in_window() -> dict[str, str]:
             out[name] = "stale:" + ",".join(
                 sorted(f"{m.split('.')[-1]}.{u}" for m, u in touched)[:4]
             )
+    # rows-only drains are vouched for by their hash-exact twins: when
+    # the drain is (re)verified, the twin's green must be equally fresh
+    # (r13 verdict item 5 — streaming_anomaly rode the r13 window
+    # rows-only while its twin's last green sat outside it)
+    for drain, twin in rows_only_twins().items():
+        if drain in out and twin not in out:
+            out[twin] = f"twin:{drain}"
     return out
 
 
-def emit_front(window: int = 50) -> None:
+def emit_front(window: int = WINDOW) -> None:
     """Print a paste-ready front/queue pair for contract.py: new first,
     then stale (oldest-verified first), then the oldest-round fill to
     the window edge; displaced oldest names become the queue. Run at
@@ -420,6 +466,16 @@ def emit_front(window: int = 50) -> None:
     print("]")
 
 
+def projected_window() -> tuple[int, int, int]:
+    """(required, era_fill, window) — the budget arithmetic, done by
+    the tool on every run instead of by hand mid-round (r13 verdict
+    item 6: both r12 and r13 planned slots by hand and arrived at a
+    packed window only by luck)."""
+    req = required_in_window()
+    fill = max(0, WINDOW - len(req))
+    return len(req), fill, WINDOW
+
+
 def main() -> None:
     if len(__import__("sys").argv) > 1 and __import__("sys").argv[1] == "--plan":
         emit_front()
@@ -433,6 +489,10 @@ def main() -> None:
     for r in verified.values():
         eras[r] = eras.get(r, 0) + 1
     print("era counts:", dict(sorted(eras.items())))
+    n_req, n_fill, window = projected_window()
+    status = "OK" if n_req <= window else "OVER BUDGET"
+    print(f"window budget: required={n_req} + era-fill={n_fill} "
+          f"of {window} hard slots [{status}]")
 
 
 if __name__ == "__main__":

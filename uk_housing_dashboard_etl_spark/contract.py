@@ -2978,7 +2978,13 @@ def q_multimodal_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE chain mirroring the pipeline. Kept UNROUNDED internally;
 # each query's final SELECT rounds the computed-float columns to ROUND_DP.
-_BASE = """
+# The weekly CTE's FROM clause is a format slot ({weekly_from}): the
+# plain registry reads `enriched` directly; the _FIN variant wraps it
+# so non-finite prices become NULL before any aggregation. A shared
+# template (r13 advice) replaces the old exact-whitespace str.replace
+# surgery, which silently depended on the anchor text staying unique
+# and untouched by reformatting.
+_BASE_TMPL = """
 WITH lookup AS (
     SELECT CAST(c_custkey AS VARCHAR) AS key, n_name AS local_authority
     FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -3001,7 +3007,7 @@ WITH lookup AS (
            median(price) AS price_median,
            quantile_cont(price, 0.1) AS price_p10,
            quantile_cont(price, 0.9) AS price_p90
-    FROM enriched
+    FROM {weekly_from}
     WHERE local_authority IS NOT NULL
     GROUP BY 1, 2
 ), grid AS (
@@ -3054,6 +3060,8 @@ WITH lookup AS (
 )
 """
 
+_BASE = _BASE_TMPL.format(weekly_from="enriched")
+
 # _BASE with the weekly CTE's price guarded finite — the oracle twin
 # of weekly_mart's r13 non-finite boundary (registry-wide adversarial
 # sweep: one NaN/±Inf price crashed the deterministic mean's bigint
@@ -3064,16 +3072,13 @@ WITH lookup AS (
 # (type_breakdown, coverage_report, robust_anomalies, modal_type,
 # qa_metrics, clean_transactions's raw passthrough) stay on _BASE —
 # they never aggregate price, so the guard would only stale them.
-_BASE_FIN = _BASE.replace(
-    "    FROM enriched\n    WHERE local_authority IS NOT NULL\n"
-    "    GROUP BY 1, 2",
-    "    FROM (SELECT date, transaction_id, local_authority,\n"
-    "                 CASE WHEN isfinite(price) THEN price END AS price\n"
-    "          FROM enriched)\n"
-    "    WHERE local_authority IS NOT NULL\n    GROUP BY 1, 2",
-    1,
+_BASE_FIN = _BASE_TMPL.format(
+    weekly_from=(
+        "(SELECT date, transaction_id, local_authority,\n"
+        "                 CASE WHEN isfinite(price) THEN price END AS price\n"
+        "          FROM enriched)"
+    )
 )
-assert _BASE_FIN != _BASE, "weekly CTE anchor moved — update _BASE_FIN"
 
 ORACLES: dict[str, str] = {
     "clean_transactions": _BASE
@@ -4556,7 +4561,12 @@ _EXTENSION_ORACLES["first_last_touch"] = """
 
 _EXTENSION_ORACLES["corr_stats"] = """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           -- same post-agg op sequence as the Spark side (covar/(sq*sp)
+           -- guarded on zero variance), not native corr(): identical
+           -- float op order keeps 4dp half-boundary values in lockstep
+           round(CASE WHEN stddev_samp(l_quantity) > 0 AND stddev_samp(l_extendedprice) > 0
+                      THEN covar_samp(l_quantity, l_extendedprice)
+                           / (stddev_samp(l_quantity) * stddev_samp(l_extendedprice)) END, 4) AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
            round(stddev_samp(l_extendedprice), 4) AS price_stddev

@@ -14,6 +14,7 @@ state round-trips as a plain tuple.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Iterator
 
@@ -29,6 +30,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+_LOG = logging.getLogger(__name__)
 
 STATE_SCHEMA = StructType(
     [
@@ -109,9 +112,7 @@ def _score_group(
             # catch-up backlog grows across batches, so operators get a
             # logged warning one regime before the hard failure
             warned = True
-            import logging
-
-            logging.getLogger(__name__).warning(
+            _LOG.warning(
                 "streaming_anomaly_scores: key %r is past 50%% of "
                 "GROUP_BATCH_MAX_ROWS (%d of %d rows in one micro-batch)"
                 " — bound the trigger before the cap hard-fails",
