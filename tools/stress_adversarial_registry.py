@@ -277,12 +277,45 @@ def _contaminate_price_reach(d: str) -> None:
     _append_rows(li, pa.Table.from_pydict(head))
 
 
+def _contaminate_embeddings(d: str) -> None:
+    """Sixth axis (r14, verdict item 4): the similarity/PCA/covariance/
+    SemDeDup family had never been swept as a REGISTRY — the r13 sweep
+    left embeddings clean on hand-picked-pair reasoning. Clones (fresh
+    vec_ids, real labels): a NaN component, a +Inf component, a NULL
+    component, an all-zero (zero-norm) vector, a short/ragged vector,
+    and a NULL embedding."""
+    path = os.path.join(d, "embeddings.parquet")
+    tbl = pq.read_table(path)
+    dim = len(tbl.column("embedding")[0].as_py())
+    max_id = duckdb.sql(f"SELECT max(vec_id) FROM '{path}'").fetchone()[0]
+    base = [0.01 * (i % 7) - 0.02 for i in range(dim)]
+
+    def vec(k, v):
+        out = list(base)
+        out[k] = v
+        return out
+
+    vecs = [
+        vec(0, float("nan")),
+        vec(1, float("inf")),
+        vec(2, None),
+        [0.0] * dim,
+        base[: max(1, dim // 2)],
+        None,
+    ]
+    head = tbl.slice(0, len(vecs)).to_pydict()
+    head["vec_id"] = [max_id + 1 + i for i in range(len(vecs))]
+    head["embedding"] = vecs
+    _append_rows(path, pa.Table.from_pydict(head))
+
+
 AXES = {
     "value": _contaminate_value,
     "order": _contaminate_order,
     "price": _contaminate_price,
     "price_infilter": _contaminate_price_infilter,
     "price_reach": _contaminate_price_reach,
+    "embeddings": _contaminate_embeddings,
 }
 
 

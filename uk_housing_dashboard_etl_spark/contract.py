@@ -917,8 +917,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- extension: similarity search
 
 
+def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings through the vector family's shared ingest boundary
+    (r14 ``embeddings`` sweep axis: one NULL/ragged/non-finite/zero
+    vector crashed 25 of 27 family pairs). Every COMPUTE pair reads
+    through here; the two diagnostics (``embedding_health``,
+    ``embedding_quantile_norm``) read raw by contract — they are the
+    health check that characterizes malformed vectors. Oracle mirror:
+    ``_EMB_VALID``'s ``embeddings_valid`` CTE."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        valid_embeddings,
+    )
+
+    return valid_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -926,7 +941,7 @@ def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 per query vector (exact baseline)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=10)
 
@@ -934,7 +949,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (scale path; recall vs brute force
     asserted in tests, no SQL oracle)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     return lsh_bucketed_topk(corpus, _query_vectors(spark, sf_dir), k=10, bits=4)
 
@@ -949,7 +964,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     centroids = kmeans_fit(corpus, k=8, iterations=4)
     return ivf_topk(
@@ -969,7 +984,7 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return embedding_near_dup_lsh(
-        read_table(spark, sf_dir, "embeddings"), threshold=0.4, bits=3
+        _emb_valid(spark, sf_dir), threshold=0.4, bits=3
     )
 
 
@@ -999,7 +1014,7 @@ def _topk_recall_gate(exact: DataFrame, approx: DataFrame, min_recall: float) ->
 def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle gate for the LSH ANN path: per-query recall vs exact
     brute force ≥ 0.3 (measured 0.4-0.7 per query on this data)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     qs = _query_vectors(spark, sf_dir)
     return _topk_recall_gate(
@@ -1018,7 +1033,7 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     qs = _query_vectors(spark, sf_dir)
     centroids = kmeans_fit(corpus, k=8, iterations=4)
@@ -1085,7 +1100,7 @@ def _embexact04_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_dup,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return _cached_fit_large(
         spark, sf_dir, "embexact04_pairs",
         lambda: embedding_near_dup(emb, threshold=0.4),
@@ -1101,7 +1116,7 @@ def q_embedding_near_dup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFra
         embedding_near_dup_lsh,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     # single full-outer pass instead of three aggregates that would each
     # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
     exact = (
@@ -1141,7 +1156,7 @@ def _semdedup_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 centroid rows → the driver-rows cache, not parquet."""
     from uk_housing_dashboard_etl_spark.operators.ivf import kmeans_fit
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return _cached_fit(
         spark, sf_dir, "semdedup8",
         lambda: kmeans_fit(
@@ -1156,7 +1171,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality is driver-gated by semantic_dedup_check."""
     from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return semantic_near_dup(
         emb, threshold=0.4, k=8, iterations=4, n_probes=2,
         centroids=_semdedup_centroids(spark, sf_dir),
@@ -1170,7 +1185,7 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it can only prune pairs, never invent them."""
     from uk_housing_dashboard_etl_spark.operators.ivf import semantic_near_dup
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     # single full-outer pass instead of three aggregates that would each
     # re-execute the O(N²) exact subplan (see q_dedup_minhash_recall)
     exact = (
@@ -1973,7 +1988,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Threshold chosen to produce verifiable pairs on the synthetic
     embeddings (max pairwise cosine ≈ 0.51)."""
-    return embedding_near_dup(read_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    return embedding_near_dup(_emb_valid(spark, sf_dir), threshold=0.4)
 
 
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1981,7 +1996,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled corpus, majority label wins, smaller label breaks ties."""
     from uk_housing_dashboard_etl_spark.operators.similarity import knn_classify
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 100)
     qs = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -1994,7 +2009,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-unit sums so the mean is combine-order independent."""
     from uk_housing_dashboard_etl_spark.operators.similarity import label_centroids
 
-    return label_centroids(read_table(spark, sf_dir, "embeddings"))
+    return label_centroids(_emb_valid(spark, sf_dir))
 
 
 def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2277,7 +2292,7 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_decontaminate,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return semantic_decontaminate(
         emb.where(F.col("vec_id") % 10 != 0),
         emb.where(F.col("vec_id") % 10 == 0),
@@ -2733,7 +2748,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    q = quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_emb_valid(spark, sf_dir))
     return q.select(
         "vec_id",
         "scale",
@@ -6315,7 +6330,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_mining,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding", "label"
@@ -6810,7 +6825,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_covariance,
     )
 
-    return embedding_covariance(read_table(spark, sf_dir, "embeddings"))
+    return embedding_covariance(_emb_valid(spark, sf_dir))
 
 
 _EXTENSION_ORACLES["embedding_covariance"] = """
@@ -7746,7 +7761,7 @@ def _ivfpq(spark: SparkSession, sf_dir: str):
         pq_fit,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     unit = _norm_vectors(corpus, "vec_id", "embedding")
     cents = _cached_fit(
@@ -7818,7 +7833,7 @@ def _ivfpq_res(spark: SparkSession, sf_dir: str):
         ivfpq_topk,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     unit = _norm_vectors(corpus, "vec_id", "embedding")
     # `ivfpq_coarse` and `ivfpq_cells` are the SAME cache kinds _ivfpq
@@ -8237,7 +8252,7 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk_rerank,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     codebooks = _cached_fit(
         spark, sf_dir, "pq32", lambda: pq_fit(corpus, m=32, k=16, iterations=2)
@@ -8266,7 +8281,7 @@ def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk_rerank,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     qs = _query_vectors(spark, sf_dir)
     codebooks = _cached_fit(
@@ -9186,7 +9201,7 @@ def _pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigh + canonical sign — so the scores/check twins share it)."""
     from uk_housing_dashboard_etl_spark.operators.pca import pca_fit
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return _cached_fit(
         spark, sf_dir, "pca4", lambda: pca_fit(emb, n_components=4)
     )
@@ -9200,7 +9215,7 @@ def q_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigensolver); gated by ``pca_check`` in the same window."""
     from uk_housing_dashboard_etl_spark.operators.pca import pca_project
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return pca_project(emb, _pca_components(spark, sf_dir))
 
 
@@ -9212,7 +9227,7 @@ def q_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     data; the oracle expects every row TRUE."""
     from uk_housing_dashboard_etl_spark.operators.pca import pca_project
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     comps = _pca_components(spark, sf_dir)
     scores = pca_project(emb, comps)
     measured = scores.groupBy("component").agg(
@@ -9566,7 +9581,7 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         matryoshka_recall,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb_valid(spark, sf_dir)
     return matryoshka_recall(
         emb.where(F.col("vec_id") >= 5),
         _query_vectors(spark, sf_dir),
@@ -11009,3 +11024,66 @@ QUERIES = {
     + _R13_QUEUE
     + [q for q in QUERIES if q not in _R13_FRONT and q not in _R13_QUEUE]
 }
+
+
+# ---------------------------------------------------------------------
+# Vector-family oracle boundary (r14 `embeddings` sweep axis): the
+# DuckDB mirror of operators.similarity.valid_embeddings — same four
+# predicates (non-NULL, modal dimension with ties to the smaller,
+# all components non-NULL and finite, positive L2 norm). Applied
+# mechanically to the family's oracles: every `embeddings` reference
+# becomes `embeddings_valid` and the CTE is prepended (merged into an
+# existing WITH); asserted per-oracle so a missed reference fails at
+# import, not at compare time. embedding_health/embedding_quantile_norm
+# stay raw by contract — they are the diagnostics that characterize
+# malformed vectors before an index build.
+_EMB_VALID = (
+    "WITH emb_dim AS (\n"
+    "    SELECT len(embedding) AS d FROM embeddings\n"
+    "    WHERE embedding IS NOT NULL\n"
+    "    GROUP BY 1 ORDER BY count(*) DESC, 1 LIMIT 1\n"
+    "), embeddings_valid AS (\n"
+    "    SELECT * FROM embeddings\n"
+    "    WHERE embedding IS NOT NULL\n"
+    "      AND len(embedding) = (SELECT d FROM emb_dim)\n"
+    "      AND len(list_filter(embedding,\n"
+    "               x -> x IS NULL OR NOT isfinite(x))) = 0\n"
+    "      AND list_sum(list_transform(embedding,\n"
+    "               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0\n"
+    ")"
+)
+
+_EMB_FAMILY_ORACLES = [
+    "similarity_topk",
+    "embedding_near_dup",
+    "embedding_near_dup_lsh_recall",
+    "semantic_dedup_check",
+    "embedding_covariance",
+    "hard_negatives",
+    "semantic_decontaminate",
+    "matryoshka_recall",
+    "embedding_quantize",
+    "knn_classify",
+    "embedding_centroids",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
+    "similarity_ivfpq_res_recall",
+]
+
+
+def _emb_guard_oracle(sql: str) -> str:
+    import re as _re
+
+    body, n = _re.subn(r"\bembeddings\b", "embeddings_valid", sql)
+    assert n, "vector-family oracle has no `embeddings` reference"
+    stripped = body.lstrip()
+    if stripped[:4].upper() == "WITH":
+        return _EMB_VALID + "," + stripped[4:]
+    return _EMB_VALID + "\n" + body
+
+
+for _emb_name in _EMB_FAMILY_ORACLES:
+    ORACLES[_emb_name] = _emb_guard_oracle(ORACLES[_emb_name])
+del _emb_name

@@ -74,6 +74,56 @@ def cosine_prenorm_expr(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
     return F.expr(f"({dot}) / ({norm_a} * {norm_b})")
 
 
+def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The vector family's shared ingest boundary (r14 registry sweep,
+    ``embeddings`` axis): every compute operator downstream assumes
+    well-formed vectors, and ONE malformed row — NULL, ragged, a
+    NaN/±Inf/NULL component, or all-zero — crashed 25 of the family's
+    27 pairs (ANSI bigint casts, cosine divide-by-zero, numpy ragged-
+    shape kernels). Keep only rows whose vector is
+
+    - non-NULL,
+    - the corpus's MODAL dimension (one deterministic length census —
+      a cheap lengths-only aggregation; ties break to the smaller
+      dimension),
+    - all components non-NULL and finite,
+    - of positive L2 norm (a zero vector has no direction; every
+      cosine-family consumer would divide by it).
+
+    The diagnostics (``embedding_health``, ``embedding_quantile_norm``)
+    deliberately do NOT pass through this boundary: they are the
+    health-check contract that CHARACTERIZES malformed vectors before
+    an index build. Oracle mirror: ``contract._EMB_VALID``'s
+    ``embeddings_valid`` CTE, same four predicates."""
+    lengths = (
+        df.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(F.col(vec_col)).alias("_dim"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_dim"))
+        .limit(1)
+        .collect()
+    )
+    if not lengths:
+        return df.where(F.lit(False))
+    dim = lengths[0]["_dim"]
+    v = F.col(vec_col)
+    inf = F.expr("CAST('Infinity' AS DOUBLE)")
+    finite = F.forall(
+        v,
+        lambda e: e.isNotNull()
+        & ~F.isnan(e.cast("double"))
+        & (F.abs(e.cast("double")) < inf),
+    )
+    sq_norm = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, e: acc + e.cast("double") * e.cast("double"),
+    )
+    return df.where(
+        v.isNotNull() & (F.size(v) == F.lit(dim)) & finite & (sq_norm > 0)
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
