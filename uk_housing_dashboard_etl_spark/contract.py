@@ -916,6 +916,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- extension: similarity search
 
+# corpus dir -> modal embedding dimension (census memo; -1 = empty)
+_EMB_DIM_CACHE: dict[str, int] = {}
+
 
 def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings through the vector family's shared ingest boundary
@@ -924,12 +927,31 @@ def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     through here; the two diagnostics (``embedding_health``,
     ``embedding_quantile_norm``) read raw by contract — they are the
     health check that characterizes malformed vectors. Oracle mirror:
-    ``_EMB_VALID``'s ``embeddings_valid`` CTE."""
+    ``_EMB_VALID``'s ``embeddings_valid`` CTE.
+
+    The modal-dimension census is memoized per corpus dir: it is an
+    eager driver job, and every ANN query reads embeddings at least
+    twice (corpus + query vectors)."""
     from uk_housing_dashboard_etl_spark.operators.similarity import (
         valid_embeddings,
     )
 
-    return valid_embeddings(read_table(spark, sf_dir, "embeddings"))
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = _EMB_DIM_CACHE.get(sf_dir)
+    if dim is None:
+        lengths = (
+            emb.where(F.col("embedding").isNotNull())
+            .groupBy(F.size(F.col("embedding")).alias("_dim"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_dim"))
+            .limit(1)
+            .collect()
+        )
+        dim = lengths[0]["_dim"] if lengths else -1
+        _EMB_DIM_CACHE[sf_dir] = dim
+    if dim < 0:
+        return emb.where(F.lit(False))
+    return valid_embeddings(emb, dim=dim)
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,7 +988,13 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
-    centroids = kmeans_fit(corpus, k=8, iterations=4)
+    # deterministic fit shared with the recall gate (r14: the pair paid
+    # TWO fresh 4-iteration Lloyd's per suite — the fit is ~70% of each
+    # query's wall-clock — while the ivfpq family already shared fits)
+    centroids = _cached_fit(
+        spark, sf_dir, "ivf_coarse8",
+        lambda: kmeans_fit(corpus, k=8, iterations=4),
+    )
     return ivf_topk(
         ivf_index(corpus, centroids),
         centroids,
@@ -1036,7 +1064,10 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_valid(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") >= 5)
     qs = _query_vectors(spark, sf_dir)
-    centroids = kmeans_fit(corpus, k=8, iterations=4)
+    centroids = _cached_fit(
+        spark, sf_dir, "ivf_coarse8",
+        lambda: kmeans_fit(corpus, k=8, iterations=4),
+    )
     approx = ivf_topk(ivf_index(corpus, centroids), centroids, qs, k=10, n_probes=3)
     return _topk_recall_gate(
         brute_force_topk(corpus, qs, k=10), approx, min_recall=0.3
@@ -10944,59 +10975,57 @@ QUERIES = {
 # idle_capital, promo_revenue, revenue_filter, top_supplier,
 # top_customers)
 # # required=49 (new=0), fill=1 (through r6-era), queue=20
-_R13_FRONT: list[str] = [
-    "band_join",
-    "embedding_quantile_norm",
-    "sketch_weekly_distinct",
-    "grid_weekly",
-    "week_over_week",
-    "sketch_cardinalities",
-    "revenue_filter",
-    "sessionize",
-    "price_deciles",
-    "weekly_unpivot",
-    "supplier_percentile",
-    "gap_interpolation",
-    "top_parts_per_nation",
-    "first_last_touch",
+
+# ROUND-14 WINDOW (tools/rotation.py --plan at the r14 tree): required
+# (33) = the vector family behind the new valid-embeddings ingest
+# boundary (the `embeddings` sweep axis crashed 25 of its 27 pairs on
+# one NULL/ragged/non-finite/zero vector; q-functions now read through
+# contract._emb_valid, oracles through the embeddings_valid CTE, and
+# similarity_ivf/_recall share one cached coarse fit), the six
+# co-location relational pairs the new price_reach axis proved
+# (RED-before/CLEAN-after; slow_suppliers reached and clean unguarded),
+# corr_stats (oracle now mirrors the Spark post-agg division), and the
+# streaming_anomaly pair (module-level logger hoist; the twin rides via
+# the new rows-only pairing rule). Fill (17) = the entire remaining
+# r6 era, closing it; queue empty. Deliberate residual: 12 r7-era
+# names wait for r15 — the window chose 25 crash-pair repairs over
+# finishing the era (each deferred name's closure is unchanged and the
+# close-tree selfcheck covers it at HEAD).
+# # required=33 (new=0), fill=17 (through r6-era), queue=0
+_R14_FRONT: list[str] = [
+    "similarity_lsh",
+    "similarity_ivf",
+    "embedding_near_dup",
+    "similarity_topk",
+    "embedding_near_dup_lsh",
+    "embedding_quantize",
+    "knn_classify",
+    "embedding_centroids",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "pca_scores",
+    "pca_check",
+    "matryoshka_recall",
+    "semantic_dedup",
+    "semantic_decontaminate",
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivfpq_res",
+    "similarity_ivfpq_res_recall",
+    "embedding_near_dup_lsh_recall",
+    "semantic_dedup_check",
+    "embedding_covariance",
+    "hard_negatives",
+    "streaming_anomaly_check",
+    "shipping_priority",
+    "revenue_by_nation",
+    "market_share",
+    "small_qty_revenue",
+    "disjunctive_revenue",
     "corr_stats",
-    "price_histogram",
-    "grouping_sets",
-    "range_rolling",
-    "salted_event_stats",
-    "session_summary",
-    "weekly_approx_check",
-    "asof_forward",
-    "asof_join",
-    "value_trend",
-    "weekly_by_la",
-    "rolling_windows",
-    "anomalies",
-    "latest_snapshot",
-    "streaming_joined_agg",
-    "streaming_joined_outer",
-    "streaming_joined",
-    "embedding_health",
-    "psi_drift",
     "streaming_anomaly",
-    "sketch_quantiles",
-    "trimmed_stats",
-    "sql_weekly_by_la",
-    "rollup_lineitem",
-    "pricing_summary",
-    "brand_revenue",
-    "large_orders",
-    "nation_pair_trade",
-    "product_profit",
-    "important_parts",
-    "min_cost_supplier",
-    "top_customers",
-    "promo_revenue",
-    "idle_capital",
-    "top_supplier",
-    "khop_distances",
-]
-_R13_QUEUE: list[str] = [
     "bloom_join_prune",
     "link_prediction",
     "acf_weekly",
@@ -11010,19 +11039,18 @@ _R13_QUEUE: list[str] = [
     "quality_checks",
     "latest_by_key",
     "weekly_type_pivot",
-    "similarity_lsh",
-    "similarity_ivf",
-    "embedding_near_dup",
     "hash_sample",
     "dataset_split",
     "stratified_sample",
     "corpus_cube",
 ]
+_R14_QUEUE: list[str] = [
+]
 QUERIES = {
     name: QUERIES[name]
-    for name in _R13_FRONT
-    + _R13_QUEUE
-    + [q for q in QUERIES if q not in _R13_FRONT and q not in _R13_QUEUE]
+    for name in _R14_FRONT
+    + _R14_QUEUE
+    + [q for q in QUERIES if q not in _R14_FRONT and q not in _R14_QUEUE]
 }
 
 

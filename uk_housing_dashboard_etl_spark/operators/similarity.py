@@ -74,7 +74,9 @@ def cosine_prenorm_expr(a: str, b: str, norm_a: str, norm_b: str) -> F.Column:
     return F.expr(f"({dot}) / ({norm_a} * {norm_b})")
 
 
-def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def valid_embeddings(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """The vector family's shared ingest boundary (r14 registry sweep,
     ``embeddings`` axis): every compute operator downstream assumes
     well-formed vectors, and ONE malformed row — NULL, ragged, a
@@ -94,18 +96,25 @@ def valid_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     deliberately do NOT pass through this boundary: they are the
     health-check contract that CHARACTERIZES malformed vectors before
     an index build. Oracle mirror: ``contract._EMB_VALID``'s
-    ``embeddings_valid`` CTE, same four predicates."""
-    lengths = (
-        df.where(F.col(vec_col).isNotNull())
-        .groupBy(F.size(F.col(vec_col)).alias("_dim"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .orderBy(F.col("_n").desc(), F.col("_dim"))
-        .limit(1)
-        .collect()
-    )
-    if not lengths:
-        return df.where(F.lit(False))
-    dim = lengths[0]["_dim"]
+    ``embeddings_valid`` CTE, same four predicates.
+
+    Pass ``dim`` to skip the census — callers reading one corpus many
+    times (every ANN query reads it at least twice: corpus + query
+    vectors) should census once and share the result; the census is an
+    eager driver job, and an uncached one per read measurably taxes
+    the ANN suite."""
+    if dim is None:
+        lengths = (
+            df.where(F.col(vec_col).isNotNull())
+            .groupBy(F.size(F.col(vec_col)).alias("_dim"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("_dim"))
+            .limit(1)
+            .collect()
+        )
+        if not lengths:
+            return df.where(F.lit(False))
+        dim = lengths[0]["_dim"]
     v = F.col(vec_col)
     inf = F.expr("CAST('Infinity' AS DOUBLE)")
     finite = F.forall(
