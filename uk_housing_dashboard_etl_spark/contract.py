@@ -9443,7 +9443,7 @@ def _acf_oracle_sql(max_lag: int = 6) -> str:
     WITH s AS (
         SELECT date_trunc('week', ts) AS week,
                CAST(count(*) AS DOUBLE) AS x
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
     ), m AS (
         SELECT CAST(sum(CAST(round(x * 10000.0) AS BIGINT)) AS DOUBLE)
                / 10000.0 / count(*) AS mean
@@ -9788,6 +9788,9 @@ def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical result to the plain join (which IS the oracle), hot fact
     keys spread over 16 reducers. The explicit form of what AQE's
     skew-join split does when runtime stats reveal the skew."""
+    from uk_housing_dashboard_etl_spark.functions.guards import (
+        finite_or_null,
+    )
     from uk_housing_dashboard_etl_spark.functions.skew import salted_join
     from uk_housing_dashboard_etl_spark.operators.relational import _dsum
 
@@ -9803,8 +9806,12 @@ def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
+            # r14 sweep (price_infilter reached through the 1996 join):
+            # non-finite revenue terms leave the sum like NULLs
             _dsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                finite_or_null(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
             ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
@@ -9814,7 +9821,7 @@ def q_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["salted_join_stats"] = """
     SELECT o_orderpriority,
            count(*) AS n_lines,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+           CAST(sum(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT) END) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate <  TIMESTAMP '1997-01-01'

@@ -646,10 +646,14 @@ def autocorrelation(
     """
     from uk_housing_dashboard_etl_spark.functions.rounding import dsum
 
+    # a NULL time key has no position in the series: Spark's lag window
+    # sorts it FIRST, DuckDB's LAST (r14 sweep, order axis — a single
+    # NULL-ts event shifted every lag pair), so it is excluded on both
+    # engines (oracle: WHERE ts IS NOT NULL before the weekly groupBy)
     x = series.select(
         F.col(time_col).alias("__t"),
         F.col(value_col).cast("double").alias("__x"),
-    ).where(F.col("__x").isNotNull())
+    ).where(F.col("__x").isNotNull() & F.col("__t").isNotNull())
     # exact mean of the bounded series: integer-unit sum / count
     stats = x.agg(
         (
