@@ -9934,16 +9934,29 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional sum inside a single combinable aggregate — checks scale
     on expression budget, never extra scans). NULL predicate results
     count as violations."""
+    from uk_housing_dashboard_etl_spark.functions.guards import is_finite
     from uk_housing_dashboard_etl_spark.operators.stats import (
         expectation_suite,
     )
 
     li = read_table(spark, sf_dir, "lineitem")
+    # range checks are EXPLICITLY finite-and-in-band on both engines: a
+    # NaN quantity is out of range semantically, but DuckDB's columnar
+    # BETWEEN admits NaN while its constant fold rejects it (r14 sweep,
+    # price_reach axis) — the isfinite conjunct pins one answer
     return expectation_suite(
         li,
         [
-            ("qty_in_range", F.col("l_quantity").between(1, 50)),
-            ("discount_in_range", F.col("l_discount").between(0.0, 0.1)),
+            (
+                "qty_in_range",
+                is_finite(F.col("l_quantity"))
+                & F.col("l_quantity").between(1, 50),
+            ),
+            (
+                "discount_in_range",
+                is_finite(F.col("l_discount"))
+                & F.col("l_discount").between(0.0, 0.1),
+            ),
             ("shipdate_complete", F.col("l_shipdate").isNotNull()),
             ("orderkey_positive", F.col("l_orderkey") > 0),
             (
@@ -9957,9 +9970,11 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["expectations"] = """
     WITH t AS (
         SELECT count(*) AS n_rows,
-            sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+            sum(CASE WHEN coalesce(isfinite(l_quantity)
+                              AND l_quantity BETWEEN 1 AND 50, FALSE)
                 THEN 0 ELSE 1 END) AS qty_in_range,
-            sum(CASE WHEN coalesce(l_discount BETWEEN 0.0 AND 0.1, FALSE)
+            sum(CASE WHEN coalesce(isfinite(l_discount)
+                              AND l_discount BETWEEN 0.0 AND 0.1, FALSE)
                 THEN 0 ELSE 1 END) AS discount_in_range,
             sum(CASE WHEN l_shipdate IS NOT NULL
                 THEN 0 ELSE 1 END) AS shipdate_complete,
