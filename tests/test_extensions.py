@@ -544,3 +544,53 @@ def test_embedding_health_flags_bad_vectors(spark):
     assert out.n_nan == 1 and out.n_zero_norm == 1
     assert out.dims_min == 2 and out.dims_max == 3
     assert out.norm_p50 > 0
+
+
+def test_embedding_covariance_gram_kernel_matches_reference(spark):
+    """r14 optimization: the per-row pair explode became a per-batch
+    integer Gram matmul. Pin the kernel's exact integer semantics
+    against a brute-force Python reference on a RAGGED corpus (the
+    zero-padding must reproduce the old explode's per-position n and
+    per-pair sums) and prove batch-split invariance (partials must sum
+    identically across any partitioning)."""
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    vecs = [
+        [1.0, -2.5, 0.25],
+        [0.5, 1.5],            # ragged: shorter row
+        [-1.0, 0.0, 2.0],
+        [3.25, -0.75, 1.125],
+        [2.0],                 # ragged: single-dim row
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # brute-force reference: the old operator's exact integer moments
+    import math
+
+    units = [[math.floor(x * 1e6 + 0.5) for x in v] for v in vecs]
+    expect = {}
+    for i in range(1, 4):
+        for j in range(i, 4):
+            rows_ij = [u for u in units if len(u) >= j]
+            if not rows_ij:
+                continue
+            sxy = sum(u[i - 1] * u[j - 1] for u in rows_ij)
+            rows_i = [u for u in units if len(u) >= i]
+            n = len(rows_i)
+            sx = sum(u[i - 1] for u in rows_i)
+            rows_j = [u for u in units if len(u) >= j]
+            sy = sum(u[j - 1] for u in rows_j)
+            cov = sxy / 1e12 / n - (sx / 1e6 / n) * (sy / 1e6 / n)
+            expect[(i, j)] = (n, math.floor(cov * 1e4 + 0.5) / 1e4)
+
+    for n_parts in (1, 3, 5):
+        got = {
+            (r["dim_i"], r["dim_j"]): (r["n"], r["cov"])
+            for r in embedding_covariance(df.repartition(n_parts)).collect()
+        }
+        assert got == expect, f"mismatch at {n_parts} partitions"

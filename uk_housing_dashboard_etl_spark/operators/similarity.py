@@ -820,17 +820,22 @@ def embedding_covariance(
     decimal(38), and only the final covariance arithmetic runs in
     double with the identical operation sequence on the oracle side.
 
-    Plan: one corpus scan; the row-local pair fan-out (D(D+1)/2 per
-    vector, codegen transform/flatten) feeds a map-side-combinable
-    aggregate on D(D+1)/2 keys — shuffle carries |dims|² rows, never
-    vectors. Two cost decisions, each ~2×: products multiply in BIGINT
-    (exact — units ≤ ~2^21, products ≤ ~2^42) and only the partial SUM
-    widens to decimal(38), so the hot explode carries no decimal
-    arithmetic; and the FIRST moments come from a separate D-per-row
-    singles pass joined back at the 2080-row mart grain instead of
-    riding every pair row. Diagonal rows are the per-dimension
-    variances.
+    Plan: one corpus scan; each Arrow batch collapses to ONE integer
+    Gram matmul (U.T @ U) whose D(D+1)/2 upper-triangle partials — one
+    row per dimension pair per batch — feed the same decimal(38)
+    aggregate the old per-row explode fed (r14: the codegen pair
+    fan-out shipped 12.5M struct rows through the hash aggregate; the
+    matmul computes identical int64 sums in milliseconds, guide §4.2).
+    Shuffle still carries |dims|²·batches rows, never vectors; products
+    stay exact (units ≤ ~2^21 ⇒ products ≤ ~2^42, ≤10k-row batches keep
+    int64 partials ≤ ~2^56) and only the cross-batch SUM widens to
+    decimal(38). FIRST moments ride the diagonal rows of the same
+    kernel output instead of a second explode pass. Diagonal rows are
+    the per-dimension variances.
     """
+    import numpy as np
+    import pandas as pd
+
     from uk_housing_dashboard_etl_spark.functions.rounding import round4
 
     units = F.expr(
@@ -840,35 +845,93 @@ def embedding_covariance(
     base = embeddings.where(F.col(vec_col).isNotNull()).select(
         units.alias("__u")
     )
-    pair_terms = F.expr(
-        "flatten(transform(sequence(1, size(__u)), i ->"
-        " transform(sequence(i, size(__u)), j -> struct("
-        "   i AS dim_i, j AS dim_j,"
-        "   element_at(__u, i) * element_at(__u, j) AS xy))))"
+
+    # The D(D+1)/2-per-row pair fan-out used to run as a codegen
+    # explode + 12.5M-row hash aggregate; one Gram matmul per Arrow
+    # batch computes the identical integer sums ~3× faster (guide §4.2:
+    # whole batches into vectorized native code). Exactness is
+    # preserved end to end: units are int64, U.T @ U accumulates in
+    # int64 (|unit| ≤ ~2^21 ⇒ |product| ≤ ~2^42; a ≤10k-row Arrow batch
+    # keeps partials ≤ ~2^56), and the per-batch partials — one
+    # (dim_i, dim_j, sxy) row each — sum to the global moments in
+    # decimal(38) exactly as the per-row products did. Ragged vectors
+    # keep the old explode semantics via zero-padding (a zero unit
+    # contributes nothing to any product or single sum) plus an
+    # explicit rows-with-size≥d count.
+    def gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = pdf["__u"].tolist()
+            lens = np.fromiter(
+                (len(v) for v in rows), dtype=np.int64, count=len(rows)
+            )
+            lmax = int(lens.max())
+            if lmax == 0:
+                continue
+            try:
+                if (lens == lmax).all():
+                    U = np.asarray(rows, dtype=np.int64)
+                else:
+                    U = np.zeros((len(rows), lmax), dtype=np.int64)
+                    for r, v in enumerate(rows):
+                        U[r, : len(v)] = v
+            except (TypeError, ValueError):
+                # NULL components: a NULL product/addend vanishes from
+                # the old SQL sums exactly like a zero term does (the
+                # one divergence — a (dim_i, dim_j) sum with NO
+                # non-NULL term — yields 0 here vs NULL before; the
+                # query path can't reach it, _emb_valid drops any
+                # NULL-component vector upstream)
+                U = np.zeros((len(rows), lmax), dtype=np.int64)
+                for r, v in enumerate(rows):
+                    U[r, : len(v)] = [0 if x is None else x for x in v]
+            P = U.T @ U
+            s = U.sum(axis=0)
+            # rows with size ≥ d, 1-based dim d
+            n_d = np.cumsum(np.bincount(lens, minlength=lmax + 1)[::-1])[
+                ::-1
+            ][1:]
+            iu, ju = np.triu_indices(lmax)
+            diag = iu == ju
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu + 1,
+                    "dim_j": ju + 1,
+                    "sxy": P[iu, ju],
+                    "n": np.where(diag, n_d[iu], 0),
+                    "sx": np.where(diag, s[iu], 0),
+                }
+            )
+
+    part = base.mapInPandas(
+        gram_partials,
+        "dim_i long, dim_j long, sxy long, n long, sx long",
     )
-    prods = (
-        base.select(F.explode(pair_terms).alias("__p"))
-        .groupBy(
-            F.col("__p.dim_i").alias("dim_i"),
-            F.col("__p.dim_j").alias("dim_j"),
-        )
-        .agg(F.sum(F.col("__p.xy").cast("decimal(38,0)")).alias("__sxy"))
+    # ONE aggregate carries the pair sums AND the diagonal-rider first
+    # moments; the per-dimension singles then reach every pair row via
+    # two whole-partition windows over the D(D+1)/2-row mart (spread
+    # the diagonal row's value across its dim_i / dim_j group) instead
+    # of joins back onto re-executed copies of the source — the Python
+    # kernel and its Arrow transfer appear ONCE in the plan, and the
+    # only post-kernel exchanges are three dims²-row reshuffles.
+    agg_all = part.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("__sxy"),
+        F.sum("n").alias("__n"),
+        F.sum("sx").alias("__sd"),
     )
-    singles = (
-        base.select(F.posexplode("__u").alias("__pos", "__x"))
-        .groupBy((F.col("__pos") + 1).alias("dim"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__x").alias("__s"))
-    )
-    si = singles.select(
-        F.col("dim").alias("dim_i"),
-        F.col("n"),
-        F.col("__s").alias("__sx"),
-    )
-    sj = singles.select(
-        F.col("dim").alias("dim_j"), F.col("__s").alias("__sy")
-    )
-    agg = prods.join(F.broadcast(si), "dim_i").join(
-        F.broadcast(sj), "dim_j"
+    diag = F.col("dim_i") == F.col("dim_j")
+    wi = Window.partitionBy("dim_i")
+    wj = Window.partitionBy("dim_j")
+    agg = (
+        agg_all.withColumn("n", F.max(F.when(diag, F.col("__n"))).over(wi))
+        .withColumn("__sx", F.max(F.when(diag, F.col("__sd"))).over(wi))
+        .withColumn("__nj", F.max(F.when(diag, F.col("__n"))).over(wj))
+        .withColumn("__sy", F.max(F.when(diag, F.col("__sd"))).over(wj))
+        # zero-padded dims no row ever reached: the old per-position
+        # explode never emitted a singles row for them, so its inner
+        # joins dropped their pair rows — the n>0 guards do the same
+        .where((F.col("n") > 0) & (F.col("__nj") > 0))
     )
     nd = F.col("n").cast("double")
     cov = (
