@@ -204,7 +204,7 @@ def pq_encode(
     corpus never shuffles. At 100 TB this projection IS the index
     build. ``normalize=False`` encodes the raw arrays (residual path)."""
     vectors = _vectors(embeddings, id_col, vec_col, normalize)
-    m, dsub = _shape(codebooks)
+    m, dsub, _ = _shape(codebooks)
     codes = F.expr(
         f"transform(sequence(0, {m - 1}), s -> array_min("
         "transform(element_at(__cbs, s + 1),"
@@ -216,10 +216,12 @@ def pq_encode(
     ).select("vec_id", codes.alias("codes"))
 
 
-def _shape(codebooks: DataFrame) -> tuple[int, int]:
-    """(m, dsub) from the codebook frame — a 1-row aggregate probe.
-    Rejects codebooks whose cell ids would collide the ADC key packing
-    (covers codebooks built outside :func:`pq_fit` too)."""
+def _shape(codebooks: DataFrame) -> tuple[int, int, int]:
+    """(m, dsub, kpack) from the codebook frame — a 1-row aggregate
+    probe; ``kpack`` = max cell id + 1, the per-subspace stride of the
+    DENSE ADC table layout. Rejects codebooks whose cell ids would
+    collide the sparse map's key packing (covers codebooks built
+    outside :func:`pq_fit` too)."""
     r = codebooks.agg(
         (F.max("sub") + 1).alias("m"),
         F.max(F.size("centroid")).alias("dsub"),
@@ -230,7 +232,30 @@ def _shape(codebooks: DataFrame) -> tuple[int, int]:
             f"codebook cell id {r['max_cell']} >= {_PACK}: ADC tables "
             f"pack keys as sub * {_PACK} + cell — refit with k <= {_PACK}"
         )
-    return int(r["m"]), int(r["dsub"])
+    kpack = 0 if r["max_cell"] is None else int(r["max_cell"]) + 1
+    return int(r["m"]), int(r["dsub"]), kpack
+
+
+def _dense_dtab(map_sql: str, m: int, kpack: int) -> F.Column:
+    """Build the per-query ADC table as ONE dense ``m·kpack`` double
+    array (index ``sub·kpack + cell``), so the hot compressed scan
+    indexes in O(1) instead of linear-probing the sparse map's key
+    array per lookup (r14: Spark map ``element_at`` scans keys
+    sequentially — m lookups × m·k keys per corpus row made the ADC
+    scan ~3× the cost of the arithmetic it performs). ``map_sql`` is
+    the sparse ``sub·_PACK+cell → dist`` map expression; it is bound
+    through a single-element ``transform`` lambda, which Spark
+    evaluates exactly once per query row — a plain projection alias
+    would be inlined by CollapseProject into every one of the m·kpack
+    probe slots and re-evaluate the whole map (and its m·k subspace
+    distances) per slot, measured 2× WORSE than the sparse scan.
+    Cells Lloyd's emptied stay NULL, exactly the value the sparse map
+    returned for them."""
+    return F.expr(
+        f"transform(array({map_sql}),"
+        f" m0 -> transform(sequence(0, {m * kpack - 1}),"
+        f" i -> m0[(i div {kpack}) * {_PACK} + (i % {kpack})]))[0]"
+    )
 
 
 def pq_topk(
@@ -245,29 +270,32 @@ def pq_topk(
     similar first).
 
     Each query builds its m×ncells exact subspace-distance table ONCE
-    (row-local against the broadcast codebooks, dense sub-major
-    layout), then every corpus row's score is m integer lookups —
-    ``aggregate(sequence, ...)`` over array indexing, inside codegen,
-    no per-pair float vector math. Top-k per query is a rank window
-    over the scored frame (same shape as ``ivf_topk``)."""
-    m, dsub = _shape(codebooks)
+    (row-local against the broadcast codebooks; the sparse
+    sub·_PACK+cell map is then re-laid as a dense m·kpack array), then
+    every corpus row's score is m O(1) array indexes —
+    ``aggregate(sequence, ...)``, no per-pair float vector math and no
+    per-lookup map key scan. Top-k per query is a rank window over the
+    scored frame (same shape as ``ivf_topk``)."""
+    m, dsub, kpack = _shape(codebooks)
     qs = _norm_vectors(queries, "query_id", vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     # keyed by sub*_PACK + cell (a MAP, not positional): Lloyd's can
     # empty a cell, so codebooks may be ragged per subspace — a dense
-    # position formula would silently misalign the lookups
-    dtab = F.expr(
+    # position formula would silently misalign the lookups. The map is
+    # only the construction layout; _dense_dtab re-keys it to a dense
+    # array (NULL where a cell is absent) before the corpus scan.
+    dtab_sql = (
         "map_from_entries(transform(__cents, c ->"
         f" struct(c.sub * {_PACK} + c.cell,"
         f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
     )
     qtab = qs.crossJoin(F.broadcast(_codebook_array(codebooks))).select(
-        "query_id", dtab.alias("dtab")
+        "query_id", _dense_dtab(dtab_sql, m, kpack).alias("dtab")
     )
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-        f" (acc, s) -> acc + dtab[s * {_PACK} + codes[s]])"
+        f" (acc, s) -> acc + dtab[s * {kpack} + codes[s]])"
     )
     scored = codes.crossJoin(F.broadcast(qtab)).select(
         "query_id", "vec_id", round4(adc).alias("dist")
@@ -385,7 +413,7 @@ def ivfpq_topk(
         cosine_prenorm_expr,
     )
 
-    m, dsub = _shape(codebooks)
+    m, dsub, kpack = _shape(codebooks)
     qs = _norm_vectors(queries, "query_id", vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -416,17 +444,21 @@ def ivfpq_topk(
             "qvec", F.expr("zip_with(qvec, centroid, (x, y) -> x - y)")
         )
     q_cells = q_cells.drop("centroid")
-    dtab = F.expr(
+    dtab_sql = (
         "map_from_entries(transform(__cents, c ->"
         f" struct(c.sub * {_PACK} + c.cell,"
         f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
     )
+    # dense re-layout before the broadcast: the compressed scan then
+    # indexes O(1) per lookup instead of scanning the map's m·k key
+    # array (see _dense_dtab), and the broadcast rows shrink (no key
+    # array rides along)
     probes = q_cells.crossJoin(
         F.broadcast(_codebook_array(codebooks))
-    ).select("query_id", "cell", dtab.alias("dtab"))
+    ).select("query_id", "cell", _dense_dtab(dtab_sql, m, kpack).alias("dtab"))
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
-        f" (acc, s) -> acc + dtab[s * {_PACK} + codes[s]])"
+        f" (acc, s) -> acc + dtab[s * {kpack} + codes[s]])"
     )
     short = (
         codes.join(cells.select("vec_id", "cell"), "vec_id")
