@@ -191,7 +191,8 @@ def test_embedding_centroids_gate_on_contaminated_corpus(spark, data):
         {"embeddings": (_emb_pdf(rng, n_clean, dim), EMBEDDINGS_SCHEMA)}
     )
     try:
-        contract._EMB_DIM_CACHE.pop(d, None)
+        # r15: the census memo moved inside the emb_valid fit artifact,
+        # which is keyed on the (unique) temp dir — nothing to pop
         _gate(spark, "embedding_centroids", d, ["embeddings"])
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -916,10 +916,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- extension: similarity search
 
-# corpus dir -> modal embedding dimension (census memo; -1 = empty)
-_EMB_DIM_CACHE: dict[str, int] = {}
-
-
 def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings through the vector family's shared ingest boundary
     (r14 ``embeddings`` sweep axis: one NULL/ragged/non-finite/zero
@@ -929,16 +925,22 @@ def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     health check that characterizes malformed vectors. Oracle mirror:
     ``_EMB_VALID``'s ``embeddings_valid`` CTE.
 
-    The modal-dimension census is memoized per corpus dir: it is an
-    eager driver job, and every ANN query reads embeddings at least
-    twice (corpus + query vectors)."""
+    r15 (VERDICT r14 item 1, guide §2.3/§6): the boundary is ONE
+    fit-accounted on-disk artifact per corpus — the filtered projection
+    is written once through ``_cached_fit_large`` (so bench charges it
+    to ``ann_fit_seconds`` like every other index-build step) and all
+    25 consumer pairs scan the pre-filtered parquet instead of each
+    re-running the modal-dimension census (an eager driver
+    ``.collect()``) plus the per-row ``forall``-finite + norm-fold
+    filter. This is exactly the artifact a production vector store
+    ships: validate on ingest, not per query. At 100 TB the filter is
+    a single pass at index-build time instead of 25 corpus scans."""
     from uk_housing_dashboard_etl_spark.operators.similarity import (
         valid_embeddings,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
-    dim = _EMB_DIM_CACHE.get(sf_dir)
-    if dim is None:
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
         lengths = (
             emb.where(F.col("embedding").isNotNull())
             .groupBy(F.size(F.col("embedding")).alias("_dim"))
@@ -948,10 +950,11 @@ def _emb_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         dim = lengths[0]["_dim"] if lengths else -1
-        _EMB_DIM_CACHE[sf_dir] = dim
-    if dim < 0:
-        return emb.where(F.lit(False))
-    return valid_embeddings(emb, dim=dim)
+        if dim < 0:
+            return emb.where(F.lit(False))
+        return valid_embeddings(emb, dim=dim)
+
+    return _cached_fit_large(spark, sf_dir, "emb_valid", build)
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8128,6 +8131,7 @@ def _cached_fit(spark: SparkSession, sf_dir: str, kind: str, builder):
 # call-site kind roots at its enclosing builder and that the closures
 # still span the formerly-pinned modules AND the builder literals.
 _FIT_SALT_ROOTS: dict[str, tuple[tuple[str, str], ...]] = {
+    "emb_valid": (("contract", "_emb_valid"),),
     "simhash_sigs": (("contract", "_simhash_sigs"),),
     "jaccard02_pairs": (("contract", "_jaccard02_truth"),),
     "clusters02": (("contract", "_clusters02_labels"),),
