@@ -528,9 +528,20 @@ def phash_pairs(
     chunks = max_hamming + 1
     width = -(-63 // chunks)  # ceil
     mask = (1 << width) - 1
+    # lazily localCheckpoint the (pid, h) frame BEFORE the self-join
+    # (r15, guide §2.4/§5): the two join sides are planned as separate
+    # subtrees and — measured, AQE's ReuseExchange did NOT dedupe them
+    # at runtime — each side re-ran the whole upstream lineage, which
+    # for the registered query is the Python image decode
+    # (2 MapInPandas executions). Materializing the 2-column hash frame
+    # once is ~16 bytes/image and cut the registered query 1.8 s →
+    # 1.25 s (best-of-3, identical rows). At 100 TB this is the
+    # difference between one decode pass and two — the guide §8 rule
+    # (decide on small proxies, touch heavy payloads once) applied to
+    # the decode boundary.
     base = hashes.select(
         F.col(id_col).alias("pid"), F.col(hash_col).alias("h")
-    )
+    ).localCheckpoint(eager=False)
     banded = base.select(
         "pid",
         "h",
@@ -543,11 +554,10 @@ def phash_pairs(
             mask
         )
     )
-    # SHUFFLE_HASH, not broadcast: for a SELF-join the two sides are the
-    # identical plan, so hash-partitioning both on (c, band) lets
-    # Spark's ReuseExchange run the (expensive, Python-side) decode +
-    # hash lineage ONCE — a broadcast join would recompute it for the
-    # build side. The shuffle itself is tiny: (chunks+1) longs per image.
+    # SHUFFLE_HASH, not broadcast: both sides now scan the checkpointed
+    # hash frame, and hash-partitioning the tiny (chunks+1)-longs-per-
+    # image rows on (c, band) is cheaper than building a broadcast
+    # relation of the full banded fan-out on the driver.
     banded = banded.hint("shuffle_hash")
     a = banded.alias("a")
     b = banded.alias("b")
