@@ -425,25 +425,39 @@ def embedding_near_dup_lsh(
     cosine pairs rarely disagree on more than one hyperplane, so recall
     at near-dup thresholds stays high (asserted vs all-pairs in tests).
 
-    The candidate-pair frame stays fully distributed (bucket-join →
-    dedup — no driver collect, no broadcast of the corpus; this is the
-    architecture that survives 100 TB). Only the exact-cosine FILTER is
-    an Arrow kernel: per candidate row both vectors are already columnar,
-    and the per-dimension sequential accumulation keeps every score
-    bit-identical to the JVM/DuckDB fold (same parity argument as
-    :func:`arrow_topk`) at ~10× the throughput of the interpreted
-    ``aggregate(zip_with(...))`` expression.
+    Everything stays fully distributed (no driver collect, no broadcast
+    of the corpus; this is the architecture that survives 100 TB), but
+    the pair SCORING is per-bucket (r15, guide §8/§2.3): each vector
+    ships into the scoring kernel ``bits + 2`` times (its probe rows +
+    its bucket row), grouped by bucket, and one vectorized kernel
+    scores the bucket's probe×member matrix — accumulated PER DIMENSION
+    so every cosine is bit-identical to the JVM/DuckDB sequential fold
+    (the :func:`arrow_topk` parity argument). The r14 shape
+    materialized each candidate PAIR as a row, dedup'd ~N·E[bucket]
+    id-pairs, re-attached both 64-double payload vectors via two joins,
+    and shipped ~1 KB/pair through Arrow (≈1 GB at the registered
+    query's ~1M candidates — measured 3.2× slower end-to-end). Now the
+    only post-kernel exchange is the dedup of pairs that PASS the
+    threshold (near-dups are rare by definition), and payload bytes
+    through the Python boundary drop from O(candidate pairs) to
+    O(corpus · bits). The per-bucket matrix bounds a task's memory by
+    the hottest bucket — the same bound the old bucket JOIN's fan-out
+    already imposed, now explicit: size ``bits`` so buckets fit a task.
     """
     import numpy as np
     import pandas as pd
 
-    base = embeddings.select(
+    base = embeddings.where(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         _as_double(vec_col).alias("vec"),
         _bucket_expr(vec_col, bits).alias("bucket"),
     )
+    # NULL ids never survived the old id_a < id_b candidate filter, so
+    # dropping them at the source is a no-op on results and keeps the
+    # kernel's int64 id arrays total.
     probes = base.select(
-        F.col("vec_id"),
+        "vec_id",
+        "vec",
         F.explode(
             F.expr(
                 f"array_union(array(bucket), transform(sequence(0, {bits - 1}),"
@@ -451,58 +465,67 @@ def embedding_near_dup_lsh(
             )
         ).alias("bucket"),
     )
-    # candidate generation + dedup carry ONLY the id pair — shuffling the
-    # 128-double vector payloads through the bucket join and the
-    # dropDuplicates exchange is ~100× the bytes of the (id, id) rows;
-    # vectors re-attach afterward via two id-keyed joins of the corpus
-    a = probes.select(F.col("vec_id").alias("id_a"), "bucket")
-    b = base.select(F.col("vec_id").alias("id_b"), "bucket")
-    cand_ids = (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b")
+    p = probes.select("bucket", F.lit(1).alias("__probe"), "vec_id", "vec")
+    c = base.select("bucket", F.lit(0).alias("__probe"), "vec_id", "vec")
+    groups = p.unionByName(c).groupBy("bucket").agg(
+        F.collect_list(F.struct("__probe", "vec_id", "vec")).alias("__g")
     )
-    vecs = base.select("vec_id", "vec")
-    cand = cand_ids.join(
-        vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a")),
-        "id_a",
-    ).join(
-        vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b")),
-        "id_b",
-    ).select("id_a", "vec_a", "id_b", "vec_b")
     id_type = dict(
         (f.name, f.dataType.simpleString()) for f in base.schema.fields
     )["vec_id"]
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
-    def score_pairs(batches):
+    def score_bucket(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
-            B = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
-            D = A.shape[1]
-            dot = np.zeros(len(A))
-            na = np.zeros(len(A))
-            nb = np.zeros(len(A))
-            for d in range(D):
-                dot += A[:, d] * B[:, d]
-                na += A[:, d] * A[:, d]
-                nb += B[:, d] * B[:, d]
-            cos = dot / (np.sqrt(na) * np.sqrt(nb))
-            cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
-            keep = cos >= threshold
-            if keep.any():
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["id_a"].to_numpy()[keep],
-                        "id_b": pdf["id_b"].to_numpy()[keep],
-                        "cosine": cos[keep],
-                    }
+            for g in pdf["__g"]:
+                n = len(g)
+                if n == 0:
+                    continue
+                side = np.fromiter(
+                    (e["__probe"] for e in g), dtype=np.int64, count=n
                 )
+                # no forced dtype: ids may be any orderable id type
+                # (NULLs were dropped at the source)
+                ids = np.array([e["vec_id"] for e in g])
+                V = np.array(
+                    [np.asarray(e["vec"], dtype=np.float64) for e in g]
+                )
+                pi, ci = side == 1, side == 0
+                A, aid = V[pi], ids[pi]
+                B, bid = V[ci], ids[ci]
+                if not len(A) or not len(B):
+                    continue
+                D = A.shape[1]
+                # per-dimension sequential accumulation: each pair's
+                # dot and each vector's norm run the exact fold order
+                # the JVM/DuckDB expression runs, so scores are
+                # bit-identical (same kernel shape as embedding_near_dup)
+                na = np.zeros(len(A))
+                nb = np.zeros(len(B))
+                acc = np.zeros((len(A), len(B)))
+                for d in range(D):
+                    na += A[:, d] * A[:, d]
+                    nb += B[:, d] * B[:, d]
+                    acc += A[:, d, None] * B[None, :, d]
+                cos = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
+                mask = (aid[:, None] < bid[None, :]) & (cos >= threshold)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": aid[ii],
+                            "id_b": bid[jj],
+                            "cosine": cos[ii, jj],
+                        }
+                    )
 
-    return cand.mapInPandas(score_pairs, schema)
+    # multi-probe finds the same pair through up to bits+1 buckets with
+    # an identical (deterministic) cosine; one dedup over the MATCHES
+    # only — the r14 shape dedup'd the full candidate fan-out instead
+    return groups.mapInPandas(score_bucket, schema).dropDuplicates(
+        ["id_a", "id_b"]
+    )
 
 
 def _bucket_expr(vec_col: str, bits: int) -> F.Column:
