@@ -594,3 +594,145 @@ def test_embedding_covariance_gram_kernel_matches_reference(spark):
             for r in embedding_covariance(df.repartition(n_parts)).collect()
         }
         assert got == expect, f"mismatch at {n_parts} partitions"
+
+
+def test_embedding_covariance_null_components_zero_fill(spark):
+    """r15 ADVICE (medium): Arrow surfaces list<bigint>-with-NULLs as
+    float64/NaN, and numpy's NaN->int64 cast silently wraps to
+    INT64_MIN — the old 'x is None' fix-up never ran, so a direct
+    operator call on [1.0, None, 2.0] returned covariances around
+    -9.2e14. Pin the fixed semantics: a NULL component contributes
+    NOTHING to any product or single sum (exactly the old SQL
+    explode's dropped-NULL-term behavior), the row still counts into
+    per-dimension n, and magnitudes stay sane."""
+    import math
+
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    vecs = [[1.0, None, 2.0], [2.0, 3.0, 1.0], [0.5, -1.0, None]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    units = [
+        [0 if x is None else math.floor(x * 1e6 + 0.5) for x in v]
+        for v in vecs
+    ]
+    expect = {}
+    for i in range(1, 4):
+        for j in range(i, 4):
+            sxy = sum(u[i - 1] * u[j - 1] for u in units)
+            n = len(units)
+            sx = sum(u[i - 1] for u in units)
+            sy = sum(u[j - 1] for u in units)
+            cov = sxy / 1e12 / n - (sx / 1e6 / n) * (sy / 1e6 / n)
+            expect[(i, j)] = (n, math.floor(cov * 1e4 + 0.5) / 1e4)
+    got = {
+        (r["dim_i"], r["dim_j"]): (r["n"], r["cov"])
+        for r in embedding_covariance(df).collect()
+    }
+    assert got == expect
+    assert all(abs(c) < 1e6 for _, c in got.values())
+
+
+def test_embedding_covariance_unit_bound_raises_not_wraps(spark):
+    """r15 ADVICE (low): components whose 1e-6 units reach 2^31 would
+    overflow a single int64 product — the kernel must refuse loudly
+    (the old path wrapped silently). Components just under the bound
+    stay exact via the rows-per-block clamp."""
+    import pytest as _pytest
+
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    big = spark.createDataFrame(
+        [(0, [3000.0, 1.0]), (1, [2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="2\\^31|overflow"):
+        embedding_covariance(big).collect()
+
+    near = spark.createDataFrame(
+        [(0, [2000.0, -2000.0]), (1, [1999.5, 2000.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["dim_i"], r["dim_j"]): r["cov"]
+        for r in embedding_covariance(near).collect()
+    }
+    # exact reference at the extreme magnitude (blocked int64 partials)
+    import math
+
+    units = [[2000000000, -2000000000], [1999500000, 2000000000]]
+    for (i, j), cov_got in got.items():
+        sxy = sum(u[i - 1] * u[j - 1] for u in units)
+        sx = sum(u[i - 1] for u in units)
+        sy = sum(u[j - 1] for u in units)
+        cov = sxy / 1e12 / 2 - (sx / 1e6 / 2) * (sy / 1e6 / 2)
+        assert cov_got == math.floor(cov * 1e4 + 0.5) / 1e4, (i, j)
+
+
+def test_block_split_kernels_match_all_pairs_exactly(spark):
+    """r15 block-parallel sharding (sf1 scale tier finding): when the
+    session has more slots than buckets/cells, the per-group kernels
+    shard each group's A-side and replicate members — results must be
+    INVARIANT to the sharding. Force nsplit > 1 (bits=1 → 4 blocks,
+    k=1 → 8 blocks on the 8-core test session) with parameters that
+    make the candidate set exhaustive, so the outputs must EQUAL the
+    all-pairs baseline bit for bit."""
+    import numpy as np
+
+    from uk_housing_dashboard_etl_spark.operators import similarity as sim
+    from uk_housing_dashboard_etl_spark.operators.ivf import (
+        semantic_near_dup,
+    )
+    from uk_housing_dashboard_etl_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(df, threshold=0.2).collect()
+    }
+    assert exact, "fixture must produce pairs"
+
+    # drop the size gate so the tiny fixture exercises the SPLIT path
+    old_floor = sim.BLOCK_SPLIT_MIN_BYTES
+    sim.BLOCK_SPLIT_MIN_BYTES = 0
+    try:
+        # bits=1 multi-probe covers BOTH buckets -> candidates exhaustive
+        lsh = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_dup_lsh(
+                df, threshold=0.2, bits=1
+            ).collect()
+        }
+        assert lsh == exact
+
+        # k=1 puts every vector in one cell -> candidates exhaustive
+        sem = {
+            (r.id_a, r.id_b): r.cosine
+            for r in semantic_near_dup(
+                df, threshold=0.2, k=1, iterations=1, n_probes=1
+            ).collect()
+        }
+        assert sem == exact
+    finally:
+        sim.BLOCK_SPLIT_MIN_BYTES = old_floor
+
+    # and the gated (unsplit) plan must agree too
+    lsh1 = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_lsh(df, threshold=0.2, bits=1).collect()
+    }
+    assert lsh1 == exact

@@ -71,6 +71,7 @@ ROUND_CLOSE: dict[int, str] = {
     11: "e1976a6",
     12: "1a79fac",
     13: "34c2fa2",
+    14: "c4b35f4",
 }
 
 # ---------------------------------------------------------------- git

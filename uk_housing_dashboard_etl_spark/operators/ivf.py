@@ -214,11 +214,25 @@ def semantic_near_dup(
     ``arrow_topk``), so the subset-of-exact property is exact, not
     approximate. Row blocks keep the block×cell score matrix bounded.
 
+    r15 (guide §2.5/§2.6 — the sf1 scale tier made this visible): with
+    one task per cell the kernel's parallelism is capped at k, leaving
+    cores idle (37 s at sf1 on 32 cores with k=8; 8-vs-32-core ratio
+    1.0). When the session has more slots than cells, each cell's
+    A-side is hash-split into ``nsplit = defaultParallelism // k``
+    deterministic blocks and the cell's member list rides along to
+    every block (replication factor nsplit on the shuffled vectors —
+    the standard block-parallel all-pairs scheme), so parallelism
+    becomes k·nsplit while each pair is still scored EXACTLY once (the
+    pair (a, b) is emitted only by a's block, under the same
+    ``id_a < id_b`` mask). Results are invariant to nsplit; at
+    nsplit=1 the plan is byte-identical to the r14 shape.
+
     At 100 TB: size ``k`` so cells stay bounded (SemDeDup uses
-    k ≈ √N·c); per-cell cost is |cell|²·dim inside one task, and a
-    skewed cell is split by raising k or pre-salting — never by letting
-    one task own the corpus. ``n_probes`` multiplies pair volume by at
-    most p², so probe count trades recall against compute explicitly.
+    k ≈ √N·c); per-cell cost is |cell|²·dim split across nsplit tasks,
+    and a skewed cell is additionally split by raising k or pre-salting
+    — never by letting one task own the corpus. ``n_probes`` multiplies
+    pair volume by at most p², so probe count trades recall against
+    compute explicitly.
     """
     import numpy as np
     import pandas as pd
@@ -259,49 +273,110 @@ def semantic_near_dup(
     )["cell"]
     schema = f"cell {cell_type}, id_a {id_type}, id_b {id_type}, cosine double"
 
+    # block-parallel split (r15): more slots than cells ⇒ shard each
+    # cell's A-side deterministically and replicate the cell's member
+    # list to every shard; results invariant to nsplit (each pair is
+    # emitted by exactly one shard — its id_a's block). Gated on the
+    # input-size estimate: tiny corpora pay the split's extra groups
+    # without kernel work to parallelize (similarity.BLOCK_SPLIT_MIN_BYTES)
+    from uk_housing_dashboard_etl_spark.operators import (
+        similarity as _sim,
+    )
+
+    try:
+        nsplit = max(
+            1,
+            int(embeddings.sparkSession.sparkContext.defaultParallelism)
+            // max(int(k), 1),
+        )
+    except Exception:  # noqa: BLE001 — no context (e.g. connect): no split
+        nsplit = 1
+    if _sim._plan_size_bytes(embeddings) < _sim.BLOCK_SPLIT_MIN_BYTES:
+        nsplit = 1
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cell": [], "id_a": [], "id_b": [], "cosine": []}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"cell": [], "id_a": [], "id_b": [], "cosine": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        if "__a" in pdf.columns:
+            apdf = pdf[pdf["__a"]]
+            bpdf = pdf[~pdf["__a"]]
+        else:
+            apdf = bpdf = pdf
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return _empty()
         cell = pdf["cell"].iloc[0]
-        ids = pdf["vec_id"].to_numpy()
-        M = np.array(pdf["vec"].tolist(), dtype=np.float64)
-        D = M.shape[1]
-        nb = np.zeros(n)
+        aids = apdf["vec_id"].to_numpy()
+        bids = bpdf["vec_id"].to_numpy()
+        A = np.array(apdf["vec"].tolist(), dtype=np.float64)
+        B = np.array(bpdf["vec"].tolist(), dtype=np.float64)
+        D = B.shape[1]
+        # per-dimension sequential folds: norms and dots run the exact
+        # op order of the JVM/DuckDB expression, so every cosine is
+        # bit-identical regardless of the nsplit sharding
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
         for d in range(D):
-            nb += M[:, d] * M[:, d]
-        nb = np.sqrt(nb)
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        na, nb = np.sqrt(na), np.sqrt(nb)
+        from uk_housing_dashboard_etl_spark.operators.similarity import (
+            _seq_pairdot,
+        )
+
         frames = []
-        step = max(1, int(8e6 // max(n, 1)))
-        for s in range(0, n, step):
-            Mb = M[s : s + step]
-            acc = np.zeros((len(Mb), n))
-            for d in range(D):
-                acc += Mb[:, d, None] * M[None, :, d]
-            cos = acc / (nb[s : s + step, None] * nb[None, :])
+        step = max(1, int(8e6 // max(len(B), 1)))
+        for s in range(0, len(A), step):
+            Ab = A[s : s + step]
+            cos = _seq_pairdot(Ab, B) / (
+                na[s : s + step, None] * nb[None, :]
+            )
             cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
-            mask = (ids[s : s + step, None] < ids[None, :]) & (cos >= threshold)
+            mask = (aids[s : s + step, None] < bids[None, :]) & (
+                cos >= threshold
+            )
             ii, jj = np.nonzero(mask)
             if len(ii):
                 frames.append(
                     pd.DataFrame(
                         {
                             "cell": cell,
-                            "id_a": ids[s + ii],
-                            "id_b": ids[jj],
+                            "id_a": aids[s + ii],
+                            "id_b": bids[jj],
                             "cosine": cos[ii, jj],
                         }
                     )
                 )
         if not frames:
-            return pd.DataFrame(
-                {"cell": [], "id_a": [], "id_b": [], "cosine": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            return _empty()
         return pd.concat(frames, ignore_index=True)
 
-    pairs = index.groupBy("cell").applyInPandas(cell_pairs, schema=schema)
+    if nsplit > 1:
+        a_side = index.select(
+            "cell",
+            "vec_id",
+            "vec",
+            F.pmod(F.xxhash64("vec_id"), F.lit(nsplit)).cast("int").alias(
+                "__blk"
+            ),
+            F.lit(True).alias("__a"),
+        )
+        b_side = index.select(
+            "cell",
+            "vec_id",
+            "vec",
+            F.explode(F.expr(f"sequence(0, {nsplit - 1})")).alias("__blk"),
+            F.lit(False).alias("__a"),
+        )
+        pairs = (
+            a_side.unionByName(b_side)
+            .groupBy("cell", "__blk")
+            .applyInPandas(cell_pairs, schema=schema)
+        )
+    else:
+        pairs = index.groupBy("cell").applyInPandas(cell_pairs, schema=schema)
     # multi-probe can score a pair in up to n_probes shared cells; the
     # cosine is identical in each, so collapse on the id pair (the only
     # rows in this exchange are the already-thresholded pair ids)

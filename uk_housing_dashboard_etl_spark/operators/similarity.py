@@ -48,6 +48,45 @@ def _as_double(col: str) -> F.Column:
     return F.col(col).cast("array<double>")
 
 
+def _seq_pairdot(A, B, ti: int = 256, tj: int = 2048):
+    """n×m all-pairs dot matrix with the EXACT per-pair operation order
+    of the sequential JVM/DuckDB left-fold: for every pair, products
+    are added in ascending dimension order, so scores stay bit-identical
+    to the ``aggregate(zip_with(...))`` expression and to the oracle.
+
+    Tiled for cache residency (r15, guide §4.2): the naive per-dim
+    outer-product loop streams the FULL n×m accumulator (plus a fresh
+    n×m temporary) through memory D times — ~200 MB of traffic per
+    dimension at a 1250×5000 block, and the per-dim temporaries are
+    mmap-sized allocations that thrash the allocator across 32
+    concurrent Python workers. Restricting the d-loop to a ti×tj tile
+    keeps the accumulator slice and temporary in cache; per-pair op
+    order is unchanged (tiling only reorders ACROSS pairs, never within
+    one). Measured 5× single-threaded on 1250×5000×64 (5.3 s → 1.05 s,
+    ``np.array_equal`` exact), with far better parallel scaling because
+    the memory-bandwidth pressure drops with the traffic.
+    """
+    import numpy as np
+
+    n, m = len(A), len(B)
+    acc = np.zeros((n, m))
+    if n == 0 or m == 0:
+        return acc
+    d_count = A.shape[1]
+    AF = np.asfortranarray(A)
+    BF = np.asfortranarray(B)
+    for i0 in range(0, n, ti):
+        ai = AF[i0 : i0 + ti]
+        for j0 in range(0, m, tj):
+            bj = BF[j0 : j0 + tj]
+            sub = acc[i0 : i0 + ti, j0 : j0 + tj]
+            tmp = np.empty_like(sub)
+            for d in range(d_count):
+                np.multiply(ai[:, d, None], bj[None, :, d], out=tmp)
+                sub += tmp
+    return acc
+
+
 def cosine_expr(a: str, b: str) -> F.Column:
     """Cosine similarity of two array<double> columns, sequential-fold
     double math (deterministic)."""
@@ -179,6 +218,29 @@ def brute_force_topk(
 ARROW_TOPK_MAX_QUERY_MB = 100.0
 """Ceiling on the collected+broadcast Q×D query matrix in arrow_topk."""
 
+BLOCK_SPLIT_MIN_BYTES = 4 * 1024 * 1024
+"""Input-size floor for the block-parallel kernel split in
+:func:`embedding_near_dup_lsh` / ``ivf.semantic_near_dup``: below ~4 MB
+of vectors the per-group kernels run in milliseconds and the split's
+extra groups + member replication cost more than they parallelize
+(measured +0.2–0.5 s per query at the 2k-vector sf0.1 tier); above it
+the quadratic per-group work dominates and sharding wins (sf1 tier,
+20k vectors: semantic_dedup 37.5 → and embedding_near_dup_lsh 33.2 →
+single-digit seconds on 32 cores — see OPTIMIZATION_r15.md). The
+estimate is Catalyst's optimized-plan ``sizeInBytes`` — driver-side
+metadata, no job."""
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame — 0 when unavailable (the
+    conservative reading: callers fall back to the unsplit plan)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: no JVM handle
+        return 0
+
 
 def arrow_topk(
     embeddings: DataFrame,
@@ -276,10 +338,7 @@ def arrow_topk(
             for d in range(D):
                 nv += A[:, d] * A[:, d]
             nv = np.sqrt(nv)
-            acc = np.zeros((n, Q))
-            for d in range(D):
-                acc += A[:, d, None] * qmat_[None, :, d]
-            cos = acc / (nv[:, None] * nq_[None, :])
+            cos = _seq_pairdot(A, qmat_) / (nv[:, None] * nq_[None, :])
             cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
             vec_ids = pdf["vec_id"].to_numpy()
             kk = min(k, n)
@@ -393,10 +452,7 @@ def embedding_near_dup(
                 for d in range(D):
                     nv += Ab[:, d] * Ab[:, d]
                 nv = np.sqrt(nv)
-                acc = np.zeros((len(Ab), N))
-                for d in range(D):
-                    acc += Ab[:, d, None] * M_[None, :, d]
-                cos = acc / (nv[:, None] * nb_[None, :])
+                cos = _seq_pairdot(Ab, M_) / (nv[:, None] * nb_[None, :])
                 cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
                 mask = (ab_id[:, None] < ids_[None, :]) & (cos >= threshold)
                 ii, jj = np.nonzero(mask)
@@ -465,9 +521,41 @@ def embedding_near_dup_lsh(
             )
         ).alias("bucket"),
     )
+    # block-parallel split (r15, guide §2.5/§2.6 — exposed by the sf1
+    # scale tier: with one task per bucket the kernel's parallelism is
+    # capped at 2^bits, leaving cores idle at 32 slots / 8 buckets).
+    # Shard each bucket's PROBE side into deterministic blocks and
+    # replicate the bucket's member rows to every shard (factor nsplit
+    # on the grouped vectors — the standard block-parallel all-pairs
+    # scheme); each pair is still scored exactly once (by its id_a's
+    # block) so results are invariant to nsplit, and nsplit=1 (e.g. the
+    # 8-core rerun, or any corpus under BLOCK_SPLIT_MIN_BYTES where the
+    # split's overhead exceeds its parallelism) reproduces the
+    # unsharded plan.
+    try:
+        nsplit = max(
+            1,
+            int(embeddings.sparkSession.sparkContext.defaultParallelism)
+            >> bits,
+        )
+    except Exception:  # noqa: BLE001 — no context (e.g. connect): no split
+        nsplit = 1
+    if _plan_size_bytes(embeddings) < BLOCK_SPLIT_MIN_BYTES:
+        nsplit = 1
     p = probes.select("bucket", F.lit(1).alias("__probe"), "vec_id", "vec")
     c = base.select("bucket", F.lit(0).alias("__probe"), "vec_id", "vec")
-    groups = p.unionByName(c).groupBy("bucket").agg(
+    if nsplit > 1:
+        p = p.withColumn(
+            "__blk", F.pmod(F.xxhash64("vec_id"), F.lit(nsplit)).cast("int")
+        )
+        c = c.withColumn(
+            "__blk",
+            F.explode(F.expr(f"sequence(0, {nsplit - 1})")),
+        )
+        group_keys = ["bucket", "__blk"]
+    else:
+        group_keys = ["bucket"]
+    groups = p.unionByName(c).groupBy(*group_keys).agg(
         F.collect_list(F.struct("__probe", "vec_id", "vec")).alias("__g")
     )
     id_type = dict(
@@ -502,12 +590,12 @@ def embedding_near_dup_lsh(
                 # bit-identical (same kernel shape as embedding_near_dup)
                 na = np.zeros(len(A))
                 nb = np.zeros(len(B))
-                acc = np.zeros((len(A), len(B)))
                 for d in range(D):
                     na += A[:, d] * A[:, d]
                     nb += B[:, d] * B[:, d]
-                    acc += A[:, d, None] * B[None, :, d]
-                cos = acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                cos = _seq_pairdot(A, B) / (
+                    np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]
+                )
                 cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
                 mask = (aid[:, None] < bid[None, :]) & (cos >= threshold)
                 ii, jj = np.nonzero(mask)
@@ -849,12 +937,15 @@ def embedding_covariance(
     aggregate the old per-row explode fed (r14: the codegen pair
     fan-out shipped 12.5M struct rows through the hash aggregate; the
     matmul computes identical int64 sums in milliseconds, guide §4.2).
-    Shuffle still carries |dims|²·batches rows, never vectors; products
-    stay exact (units ≤ ~2^21 ⇒ products ≤ ~2^42, ≤10k-row batches keep
-    int64 partials ≤ ~2^56) and only the cross-batch SUM widens to
-    decimal(38). FIRST moments ride the diagonal rows of the same
-    kernel output instead of a second explode pass. Diagonal rows are
-    the per-dimension variances.
+    Shuffle still carries |dims|²·blocks rows, never vectors; products
+    stay exact BY CONSTRUCTION (r15: the kernel blocks each batch so
+    rows-per-block × max|unit|² < 2^62 — int64 partials cannot wrap no
+    matter how spark.sql.execution.arrow.maxRecordsPerBatch is
+    configured, and |unit| ≥ 2^31, where a single product would
+    overflow, raises instead of silently wrapping) and only the
+    cross-block SUM widens to decimal(38). FIRST moments ride the
+    diagonal rows of the same kernel output instead of a second explode
+    pass. Diagonal rows are the per-dimension variances.
     """
     import numpy as np
     import pandas as pd
@@ -874,10 +965,11 @@ def embedding_covariance(
     # batch computes the identical integer sums ~3× faster (guide §4.2:
     # whole batches into vectorized native code). Exactness is
     # preserved end to end: units are int64, U.T @ U accumulates in
-    # int64 (|unit| ≤ ~2^21 ⇒ |product| ≤ ~2^42; a ≤10k-row Arrow batch
-    # keeps partials ≤ ~2^56), and the per-batch partials — one
-    # (dim_i, dim_j, sxy) row each — sum to the global moments in
-    # decimal(38) exactly as the per-row products did. Ragged vectors
+    # int64 over blocks sized so rows × max|unit|² < 2^62 (enforced in
+    # the kernel, independent of the Arrow batch-size config), and the
+    # per-block partials — one (dim_i, dim_j, sxy) row each — sum to
+    # the global moments in decimal(38) exactly as the per-row
+    # products did. Ragged vectors
     # keep the old explode semantics via zero-padding (a zero unit
     # contributes nothing to any product or single sum) plus an
     # explicit rows-with-size≥d count.
@@ -892,40 +984,68 @@ def embedding_covariance(
             lmax = int(lens.max())
             if lmax == 0:
                 continue
-            try:
-                if (lens == lmax).all():
-                    U = np.asarray(rows, dtype=np.int64)
-                else:
-                    U = np.zeros((len(rows), lmax), dtype=np.int64)
-                    for r, v in enumerate(rows):
-                        U[r, : len(v)] = v
-            except (TypeError, ValueError):
-                # NULL components: a NULL product/addend vanishes from
-                # the old SQL sums exactly like a zero term does (the
-                # one divergence — a (dim_i, dim_j) sum with NO
-                # non-NULL term — yields 0 here vs NULL before; the
-                # query path can't reach it, _emb_valid drops any
-                # NULL-component vector upstream)
-                U = np.zeros((len(rows), lmax), dtype=np.int64)
-                for r, v in enumerate(rows):
-                    U[r, : len(v)] = [0 if x is None else x for x in v]
-            P = U.T @ U
-            s = U.sum(axis=0)
-            # rows with size ≥ d, 1-based dim d
-            n_d = np.cumsum(np.bincount(lens, minlength=lmax + 1)[::-1])[
-                ::-1
-            ][1:]
+            U = np.zeros((len(rows), lmax), dtype=np.int64)
+            for r, v in enumerate(rows):
+                a = np.asarray(v)
+                if a.dtype.kind == "f":
+                    # Arrow surfaces a list<bigint> column that carries
+                    # NULLs as float64 with NaN — and numpy's NaN→int64
+                    # cast silently WRAPS to INT64_MIN instead of
+                    # raising (r15 ADVICE), so detect the float dtype
+                    # and zero-fill explicitly: a NULL product/addend
+                    # vanishes from the old SQL sums exactly like a
+                    # zero term does. (The one divergence — a pair sum
+                    # with NO non-NULL term — yields 0 here vs NULL
+                    # before; the query path can't reach it,
+                    # _emb_valid drops NULL-component vectors.) The
+                    # values themselves are integral (Spark cast them
+                    # to BIGINT), so the cast back is exact under the
+                    # |unit| < 2^31 bound enforced below.
+                    a = np.where(np.isnan(a), 0.0, a).astype(np.int64)
+                elif a.dtype.kind == "O":
+                    # object rows (plain Python lists with None)
+                    a = np.array(
+                        [0 if x is None else x for x in v], dtype=np.int64
+                    )
+                U[r, : len(a)] = a
+            amax = int(np.abs(U).max()) if U.size else 0
+            if amax >= 1 << 31:
+                raise ValueError(
+                    f"embedding_covariance: |unit| = {amax} >= 2^31 — a "
+                    "single int64 product would overflow (components "
+                    "above ~2147 in magnitude). The old pair-explode "
+                    "path silently wrapped here too; refuse instead."
+                )
+            # int64 partials stay EXACT as long as rows-per-block ×
+            # max|unit|² < 2^62 — enforced per block instead of assumed
+            # from the (configurable) Arrow batch size (r15 ADVICE: the
+            # documented ≤10k-row bound silently shrank if
+            # spark.sql.execution.arrow.maxRecordsPerBatch was raised)
+            step = (
+                len(U)
+                if amax == 0
+                else max(1, min(len(U), (1 << 62) // (amax * amax)))
+            )
             iu, ju = np.triu_indices(lmax)
             diag = iu == ju
-            yield pd.DataFrame(
-                {
-                    "dim_i": iu + 1,
-                    "dim_j": ju + 1,
-                    "sxy": P[iu, ju],
-                    "n": np.where(diag, n_d[iu], 0),
-                    "sx": np.where(diag, s[iu], 0),
-                }
-            )
+            for s0 in range(0, len(U), step):
+                Ub = U[s0 : s0 + step]
+                lb = lens[s0 : s0 + step]
+                P = Ub.T @ Ub
+                s = Ub.sum(axis=0)
+                # rows with size ≥ d, 1-based dim d
+                n_d = np.cumsum(
+                    np.bincount(lb, minlength=lmax + 1)[::-1]
+                )[::-1][1:]
+                yield pd.DataFrame(
+                    {
+                        "dim_i": iu + 1,
+                        "dim_j": ju + 1,
+                        "sxy": P[iu, ju],
+                        "n": np.where(diag, n_d[iu], 0),
+                        "sx": np.where(diag, s[iu], 0),
+                    }
+                )
 
     part = base.mapInPandas(
         gram_partials,
