@@ -285,7 +285,11 @@ def semantic_near_dup(
 
     try:
         nsplit = max(
-            1,
+            # floor of 4 shards once the corpus is past the size gate:
+            # smaller accumulator blocks + load balance help even when
+            # cells already cover the cores (sf1 tier, 8 cores:
+            # 21.0 s med unsplit → 17.6 s at 4; 8 shards regress)
+            4,
             int(embeddings.sparkSession.sparkContext.defaultParallelism)
             // max(int(k), 1),
         )

@@ -534,7 +534,12 @@ def embedding_near_dup_lsh(
     # unsharded plan.
     try:
         nsplit = max(
-            1,
+            # floor of bits+1 once the corpus is past the size gate:
+            # probing multiplies the A side by bits+1 rows, so bits+1
+            # shards equalize the kernel's A and B block heights —
+            # measured best at BOTH 8 and 32 cores on the sf1 tier
+            # (8c: 38 s med unsplit → 22 s at 4; 8 shards regress to 40)
+            bits + 1,
             int(embeddings.sparkSession.sparkContext.defaultParallelism)
             >> bits,
         )
