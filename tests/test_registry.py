@@ -64,14 +64,14 @@ def test_rotation_window_covers_new_and_stale():
         f"queries with changed code/oracle (or never verified) outside "
         f"the driver window: "
         f"{sorted((n, required[n]) for n in missing)} — re-run the "
-        f"rotation (tools/rotation.py) and update _R14_FRONT"
+        f"rotation (tools/rotation.py) and update _R15_FRONT"
     )
     # the declared front/queue ordering must be applied verbatim
-    assert order[: len(contract._R14_FRONT)] == contract._R14_FRONT
-    n_front = len(contract._R14_FRONT)
+    assert order[: len(contract._R15_FRONT)] == contract._R15_FRONT
+    n_front = len(contract._R15_FRONT)
     assert (
-        order[n_front : n_front + len(contract._R14_QUEUE)]
-        == contract._R14_QUEUE
+        order[n_front : n_front + len(contract._R15_QUEUE)]
+        == contract._R15_QUEUE
     )
     # non-required window slots must go to the OLDEST-verified queries:
     # nothing outside the window+queue may be older than a fill slot
@@ -81,7 +81,7 @@ def test_rotation_window_covers_new_and_stale():
     ]
     outside = [
         verified[n]
-        for n in order[50 + len(contract._R14_QUEUE) :]
+        for n in order[50 + len(contract._R15_QUEUE) :]
         if n not in required
     ]
     if fill_rounds and outside:

@@ -11018,6 +11018,92 @@ QUERIES = {
 # finishing the era (each deferred name's closure is unchanged and the
 # close-tree selfcheck covers it at HEAD).
 # # required=33 (new=0), fill=17 (through r6-era), queue=0
+
+# ROUND-15 WINDOW (tools/rotation.py at the r15 optimization tree):
+# required (37) = every query whose executed code this round's
+# optimizations touched — the full vector family behind the new
+# emb_valid fit artifact (contract._emb_valid + _FIT_SALT_ROOTS entry
+# stales all 25 consumers AND the 11 dedup/fit-cache names whose kinds
+# share the roots dict), the PQ/IVFPQ six (pq._codebook_dense /
+# _dtab_from_dense), the LSH/SemDeDup kernels
+# (similarity._seq_pairdot, block split, BLOCK_SPLIT_MIN_BYTES),
+# embedding_covariance (NULL-fill + int64 block bound), and
+# multimodal_phash_pairs (decode-once checkpoint). Fill (13) = the
+# oldest remaining r7/r8-era names; the displaced 16 r8-era names
+# queue for r16.
+# # required=37 (new=0), fill=13 (through r8-era), queue=16
+_R15_FRONT: list[str] = [
+    "multimodal_phash_pairs",
+    "cluster_split",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_exact_substr",
+    "dedup_exact_substr_spans",
+    "dedup_exact_substr_trim",
+    "dedup_exact_substr_agree",
+    "dedup_minhash_recall",
+    "dedup_simhash_complete",
+    "incremental_near_gate",
+    "similarity_lsh",
+    "similarity_ivf",
+    "embedding_near_dup",
+    "similarity_topk",
+    "embedding_near_dup_lsh",
+    "embedding_quantize",
+    "knn_classify",
+    "embedding_centroids",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
+    "pca_scores",
+    "pca_check",
+    "matryoshka_recall",
+    "semantic_dedup",
+    "semantic_decontaminate",
+    "similarity_ivfpq",
+    "similarity_ivfpq_recall",
+    "similarity_pq",
+    "similarity_pq_recall",
+    "similarity_ivfpq_res",
+    "similarity_ivfpq_res_recall",
+    "embedding_near_dup_lsh_recall",
+    "semantic_dedup_check",
+    "embedding_covariance",
+    "hard_negatives",
+    "range_join",
+    "doc_fingerprint",
+    "robust_anomalies",
+    "lapsed_parts",
+    "repeat_customers",
+    "modal_type",
+    "conversion_funnel",
+    "weekly_retention",
+    "multimodal_meta",
+    "cumulative_users",
+    "event_transitions",
+    "active_suppliers",
+    "epoch_shards",
+]
+_R15_QUEUE: list[str] = [
+    "dsir_scores",
+    "importance_resample",
+    "ewma_weekly",
+    "cusum_weekly",
+    "theil_sen_weekly",
+    "holt_weekly",
+    "name_entities",
+    "qa_metrics",
+    "tfidf_top_terms",
+    "temperature_mix",
+    "transition_probs",
+    "lm_scores",
+    "bm25_scores",
+    "perplexity_buckets",
+    "heavy_hitters",
+    "key_skew",
+]
+
+# r14 window kept for the historical record (superseded by _R15_FRONT)
 _R14_FRONT: list[str] = [
     "similarity_lsh",
     "similarity_ivf",
@@ -11074,9 +11160,9 @@ _R14_QUEUE: list[str] = [
 ]
 QUERIES = {
     name: QUERIES[name]
-    for name in _R14_FRONT
-    + _R14_QUEUE
-    + [q for q in QUERIES if q not in _R14_FRONT and q not in _R14_QUEUE]
+    for name in _R15_FRONT
+    + _R15_QUEUE
+    + [q for q in QUERIES if q not in _R15_FRONT and q not in _R15_QUEUE]
 }
 
 
